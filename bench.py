@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed to full materialization via the noop sink (no
+driver-side collect, no pandas conversion — measures the Spark plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "a1_group_collect",
+    "a3_running_count",
+    "l1_topk_per_group",
+    "edgar_index_pipeline",
+    "edgar_company_topk",
+    "events_sessionize",
+    "events_tumbling_daily",
+    "text_quality_filter",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from sec_edgar_spark.session import get_spark
+    import sec_edgar_spark.queries as Q
+
+    spark = get_spark(app_name="sec-edgar-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = Q.queries()
+
+    # Warm the JVM + parquet footers with a trivial job so per-query
+    # timings measure the plans, not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

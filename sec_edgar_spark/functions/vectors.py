@@ -1,0 +1,59 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+All ops are zip_with/aggregate folds over the array — JVM-side,
+codegen'd, no UDF.  Sums fold left-to-right in element order, so results
+are bit-identical to a left-associated explicit sum (what the DuckDB
+oracle computes), provided both sides widen elements to double first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def as_double(c: Column | str) -> Column:
+    return _col(c).cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-fold dot product in double precision."""
+    prods = F.zip_with(as_double(a), as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def quantize(a: Column | str, scale: int = 1000) -> Column:
+    """Round each element to an integer grid — used to build exact-match
+    oracle variants and cheap LSH-ish bucket keys."""
+    return F.transform(as_double(a), lambda x: F.round(x * scale).cast("long"))
+
+
+def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id from fixed hyperplanes (list of vectors).
+
+    The planes are compile-time constants (deterministic, seeded
+    upstream), so the bucket id is a pure expression: bit b = 1 iff
+    dot(a, plane_b) >= 0.
+    """
+    acc = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(as_double(a), parr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, p: s + p,
+        )
+        acc = acc + F.when(d >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc

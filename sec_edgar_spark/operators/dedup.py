@@ -1,0 +1,192 @@
+"""Deduplication operators (library surface).
+
+Why explode-based, not array-transform-based: computing K minhashes as
+``array_min(transform(shingles, hash_i))`` K times makes Catalyst's
+CollapseProject inline the shingle-building expression into every one of
+the K output columns — the text gets re-tokenized O(K × shingles) times
+per row.  Exploding shingles to rows puts a Generate barrier in the
+plan: tokenize/shingle run once, the K hashes evaluate per shingle row,
+and ``groupBy(id).agg(min...)`` computes signatures with map-side
+partial aggregation.  That is also the formulation that scales: shingle
+rows distribute evenly regardless of document-length skew.
+
+All hashes are md5-based (functions/text.py) → engine-portable values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _hash64_prefixed(prefix: str, c: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams via posexplode + lead.
+
+    One window shuffle on the (high-cardinality) id; the token split
+    evaluates once per document row.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    return (
+        tok.select(F.col(id_col), *[l.alias(f"t{k}") for k, l in enumerate(leads)])
+        .filter(F.col(f"t{n-1}").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", *[f"t{k}" for k in range(n)]).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mhK-1) MinHash signatures.
+
+    shingle explode → K hash columns per shingle row → min-agg per doc
+    (partial aggregation map-side; the only shuffle carries K longs per
+    document).
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            _hash64_prefixed(f"{i}:", F.col("shingle")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_band_keys(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_key) — LSH banding of a signature frame."""
+    frames = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        frames.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *cols)).alias("band_key"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing any band bucket (id_a < id_b).
+
+    The self-join shuffles on (band, band_key) — only same-bucket docs
+    meet; never an all-pairs product.
+    """
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingle_sets: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    ``shingle_sets`` is (id, sh: array<string>); two hash-joins bring the
+    sets to the pair rows, then intersect/union evaluate colocated.
+    """
+    sa = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    sb = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh: array<string>) — collected distinct shingle sets."""
+    return (
+        shingle_rows(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(id, simhash) portable SimHash over whitespace tokens.
+
+    Token explode → one md5 hash column → ``bits`` conditional-sum
+    aggregates (all partial/map-side) → fingerprint assembly.
+    Documents with no tokens get fingerprint 0 via the left join.
+    """
+    tok = df.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+    hashed = tok.select(F.col(id_col), T.md5_hash64(F.col("tok")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    ids = df.select(F.col(id_col)).distinct()
+    return (
+        ids.join(votes.select(F.col(id_col), fp.alias("simhash")), id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )

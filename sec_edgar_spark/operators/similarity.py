@@ -1,0 +1,74 @@
+"""Similarity-search operators (library surface).
+
+Brute-force scoring is the correctness baseline; bucketed variants
+(sign-bit LSH, grid quantization) generate candidates via equi-joins so
+no stage is ever an all-pairs product at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import vectors as V
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    The query set broadcasts; the corpus scan is never shuffled — the
+    window's partition key is query_id so only (n_queries × corpus)
+    scored rows reduce to n_queries × k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+    )
+    scored = c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", V.cosine("q_emb", "c_emb").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's sign-bit bucket."""
+    keyed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        V.random_projection_sign_bits(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        V.random_projection_sign_bits(vec_col, planes).alias("q_bucket"),
+    )
+    scored = keyed.join(
+        broadcast(q),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", V.cosine("q_emb", "c_emb").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1,0 +1,202 @@
+"""Deduplication operators over the documents table.
+
+Four families, each the standard scale-out formulation:
+
+- exact:   md5(normalized text) → hash groupBy, keep min doc_id.
+- minhash: shingle → K md5-minhashes → band keys → bucket self-join →
+           candidate pairs → exact Jaccard verify.  The self-join happens
+           only inside LSH buckets, never all-pairs.
+- simhash: 16-bit portable simhash; near-dups = same fingerprint bucket.
+- ngram-jaccard: exact Jaccard on shingle sets for candidate pairs.
+
+Everything is md5-based (functions/text.py) so DuckDB reproduces the
+exact integers; no engine-native hash in any result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import text as T
+from .registry import query
+
+NUM_MINHASHES = 12
+BANDS = 4  # 3 hashes per band
+ROWS_PER_BAND = NUM_MINHASHES // BANDS
+
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def _shingles_sql(n: int = 3) -> str:
+    """DuckDB fragment: distinct word-3-gram shingles of ``text``."""
+    joined = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> {joined}))"
+    )
+
+
+def _minhash_sql(i: int) -> str:
+    """DuckDB fragment: min over shingles of md5-hash64('{i}:' || s)."""
+    return (
+        "list_min(list_transform(sh, "
+        f"s -> CAST('0x' || substr(md5('{i}:' || s), 1, 15) AS BIGINT)))"
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+      COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    One shuffle on the hash; at 100 TB the hash groupBy is the canonical
+    formulation (map-side partial counts collapse singletons)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), shingled AS (
+      SELECT doc_id, {_shingles_sql()} AS sh FROM tokd WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+      {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(4))}
+    FROM shingled WHERE len(sh) > 0
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation (first 4 of the 12 hashes, value-
+    checked against the oracle; the LSH query below uses all 12).
+    Pure codegen'd map stage — shingling and hashing never shuffle."""
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, "doc_id", "text", num_hashes=4)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), shingled AS (
+      SELECT doc_id, {_shingles_sql()} AS sh FROM tokd WHERE len(toks) >= 3
+    ), sigs AS (
+      SELECT doc_id, sh,
+        {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(NUM_MINHASHES))}
+      FROM shingled WHERE len(sh) > 0
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, "
+        f"md5({' || chr(58) || '.join(f'mh{b * ROWS_PER_BAND + r}::VARCHAR' for r in range(ROWS_PER_BAND))}) AS band_key "
+        f"FROM sigs"
+        for b in range(BANDS)
+      )}
+    ), candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM candidates c
+    JOIN sigs sa ON c.doc_a = sa.doc_id
+    JOIN sigs sb ON c.doc_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.2
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Scale shape: signatures are a map stage; banding explodes each doc
+    into BANDS rows; the self-join shuffles on (band, band_key) — i.e.
+    only same-bucket docs meet, the classic all-pairs killer at 100 TB.
+    Candidates then verify exact shingle-set Jaccard (array_intersect /
+    array_union on already-colocated rows).
+    """
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", num_hashes=NUM_MINHASHES)
+    bands = D.minhash_band_keys(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    sets = D.shingle_sets(d, "doc_id", "text", 3)
+    return (
+        D.jaccard_verify(pairs, sets, "doc_id", threshold=0.2)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # 16-bit vote-fold is Spark-side; verified in unit tests
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash16 buckets: docs sharing a fingerprint are near-dup
+    candidates.  Portable md5 bit votes; one groupBy on the fingerprint."""
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        D.simhash_fingerprints(d, "doc_id", "text", bits=16)
+        .groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "dedup_prefix_ngram",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+        md5(array_to_string(({_TOKENS})[1:8], ' ')) AS prefix_key
+      FROM documents
+      WHERE len({_TOKENS}) >= 8
+    )
+    SELECT prefix_key, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM keyed GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_prefix_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-ngram dedup (URL/boilerplate-style): docs sharing their
+    first 8 tokens collapse to one representative."""
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    prefix_key = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    return (
+        d.filter(F.size(toks) >= 8)
+        .select("doc_id", prefix_key.alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )

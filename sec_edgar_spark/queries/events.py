@@ -1,0 +1,134 @@
+"""Event-stream analytics (batch views of the streaming operators).
+
+The reference's daily-index feed is a natural stream (SURVEY §2.9); the
+streaming module (streaming/daily_feed.py) runs these same shapes with
+readStream + watermarks.  Here they run as batch queries so the DuckDB
+oracle can value-check the windowing/sessionization semantics — the
+Structured Streaming incremental execution of an identical plan is
+covered by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..catalog import table
+from .registry import query
+
+
+def _dec(c, prec: int = 12, scale: int = 2):
+    return c.cast(f"decimal({prec},{scale})")
+
+
+@query(
+    "events_tumbling_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate (batch form of the streaming
+    daily-feed rollup; window start == date_trunc day)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      COUNT(*) AS n_events,
+      CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-min inactivity gap, expressed as the
+    classic lag→flag→cumsum composition (batch equivalent of
+    session_window / applyInPandasWithState in the streaming module).
+    Partitioned by user_id — scales horizontally, no global sort."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_start").over(wrun).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (the reference parses JSON
+    payloads from the XBRL REST API, rest.py:126-156; here: get_json_object
+    → typed filter/agg, which Catalyst can't push but evaluates codegen'd)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
+    )

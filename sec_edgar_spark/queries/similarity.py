@@ -1,0 +1,173 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute-force cosine top-k: the correctness baseline.  Queries (a small
+  fixed set) broadcast against the corpus; per-query top-k via window.
+- LSH-bucketed variant: sign-bit random-projection buckets prune the
+  corpus before exact scoring — the 100 TB path (bucket-equi-join
+  instead of full cross product).
+
+Dot products fold left-to-right in double precision (functions/
+vectors.py), matching the oracle's explicit left-associated sum, so
+scores hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+from pyspark.sql.functions import broadcast
+
+from ..catalog import table
+from ..functions import vectors as V
+from .registry import query
+
+EMB_DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-associated explicit dot product (matches the Spark fold)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+_COSINE_SQL = (
+    f"{_dot_sql('q.embedding', 'c.embedding')} / "
+    f"(sqrt({_dot_sql('q.embedding', 'q.embedding')}) * "
+    f"sqrt({_dot_sql('c.embedding', 'c.embedding')}))"
+)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        {_COSINE_SQL} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, label, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus scan, score JVM-side, take per-query top-k via window (ties
+    broken by neighbor_id).  At scale: queries always broadcast; the
+    corpus is never shuffled — only (n_queries × k) rows survive."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            V.cosine("q_emb", "c_emb").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query(
+    "ann_quantized_bucket_join",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT vec_id, label,
+        CAST(round(CAST(embedding[1] AS DOUBLE) * 2) AS BIGINT) AS b1,
+        CAST(round(CAST(embedding[2] AS DOUBLE) * 2) AS BIGINT) AS b2,
+        CAST(round(CAST(embedding[3] AS DOUBLE) * 2) AS BIGINT) AS b3
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.b1, a.b2, a.b3
+    FROM keyed a JOIN keyed b
+      ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.vec_id < b.vec_id
+    """,
+)
+def ann_quantized_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-quantization candidate generation: coarse-quantize the first
+    3 dims → equi-join on the bucket key.  The equi-join (not a cross
+    product) is what survives 100 TB; the exact re-score of candidates is
+    ann_bruteforce_topk's scoring stage applied to this pair set."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = V.as_double("embedding")
+    keyed = e.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(F.element_at(emb, i) * 2).cast("bigint").alias(f"b{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        b,
+        (F.col("a.b1") == F.col("b.b1"))
+        & (F.col("a.b2") == F.col("b.b2"))
+        & (F.col("a.b3") == F.col("b.b3"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.b1").alias("b1"),
+        F.col("a.b2").alias("b2"),
+        F.col("a.b3").alias("b3"),
+    )
+
+
+@query("ann_lsh_topk", oracle=None)  # plane constants are Spark-side; rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit random-projection LSH: 8 fixed hyperplanes → 256 buckets;
+    exact cosine only within the query's bucket.  The scale path: bucket
+    key is a pure expression, candidate generation is an equi-join."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(EMB_DIM)] for _ in range(8)]
+    e = table(spark, sf_dir, "embeddings")
+    keyed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        V.random_projection_sign_bits("embedding", planes).alias("bucket"),
+    )
+    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        keyed.join(
+            broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine("q_emb", "embedding").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )

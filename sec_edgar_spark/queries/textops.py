@@ -1,0 +1,127 @@
+"""Text-analysis queries over the documents table (training-data ops).
+
+All expressions are JVM-side builtins (functions/text.py) — language ID,
+quality scoring, token counting and fingerprinting run without a single
+Python UDF, so at 100 TB they are a pure map stage over the text scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import text as T
+from .registry import query
+
+# DuckDB fragments mirroring functions/text.py primitives (kept in one
+# place so every text oracle stays consistent with the Spark side).
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_HASH64 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len({_TOKENS}) AS INT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+        AS n_bpe_tokens,
+      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+      CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+      CAST(length(text) AS INT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and char-class stats."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.alpha_chars("text").alias("n_alpha"),
+        T.punct_chars("text").alias("n_punct"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+        len({_TOKENS}) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS alpha_ratio,
+        CAST(len(list_filter({_TOKENS},
+             t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(t))))
+             AS DOUBLE) / greatest(len({_TOKENS}), 1) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(n_tokens AS INT) AS n_tokens,
+           alpha_ratio, stopword_ratio,
+           (n_tokens >= 10 AND alpha_ratio > 0.5) AS passes_quality
+    FROM scored
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, alpha ratio, stopword ratio, and a
+    pass/fail gate — the standard pretraining-corpus filter shape.
+    Ratios divide exact ints in double → bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tokens = F.size(toks)
+    alpha_ratio = T.alpha_chars("text").cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    stop_ratio = T.stopword_count(toks, "en").cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_tokens >= 10) & (alpha_ratio > 0.5)).alias("passes_quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=None,  # argmax tie-fold is clearer Spark-side; rows-only check
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax across 5 languages."""
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        T.lang_id(toks).alias("lang_guess"),
+        *[T.stopword_count(toks, lang).alias(f"hits_{lang}") for lang in sorted(T.STOPWORDS)],
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform({_TOKENS}, t -> {_HASH64.format(x='t')} % 2147483647)),
+        (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (md5-based, so
+    the oracle reproduces it exactly)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.size(T.tokens("text")) > 0)
+        .select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"))
+    )

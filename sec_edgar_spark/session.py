@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Single place that encodes the execution-model decisions:
+
+- AQE on: runtime re-planning (broadcast conversion, skew-join splitting,
+  partition coalescing) is the scale story for 100 TB — plans are written
+  declaratively and AQE picks physical strategies per-stage.
+- Arrow on: every pandas-UDF boundary (SGML parsing, embedding math)
+  moves columnar batches, never rows.
+- UTC session timezone: timestamp semantics must be engine-independent
+  (the DuckDB oracle is timezone-naive).
+- shuffle partitions sized from the env; at cluster scale this is set to
+  ~2-3x total cores by the operator, AQE coalesces small ones back.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def builder(
+    app_name: str = "sec-edgar-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+):
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+
+def get_spark(**kwargs) -> SparkSession:
+    """Get-or-create the tuned session."""
+    spark = builder(**kwargs).getOrCreate()
+    # Settings that must hold even on a pre-existing session (the driver
+    # may pass us its own SparkSession):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable invariants to a caller-owned session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
