@@ -90,9 +90,11 @@ def parse_idx_date(s: Column | str) -> Column:
     quarterly rows, ``yyyyMMdd`` in daily rows) to DateType (SURVEY §1.2).
     """
     c = F.col(s) if isinstance(s, str) else s
+    # try_to_date (not to_date): under ANSI mode a format mismatch must
+    # yield NULL so the coalesce can try the next shape.
     return F.coalesce(
-        F.to_date(c, "yyyy-MM-dd"),
-        F.to_date(c, "yyyyMMdd"),
+        F.try_to_date(c, "yyyy-MM-dd"),
+        F.try_to_date(c, "yyyyMMdd"),
     )
 
 

@@ -1,0 +1,158 @@
+"""Multimodal column plumbing (binary media + typed metadata).
+
+Media (image/audio/video) are opaque ``binary`` columns with a typed
+metadata struct; the Spark-side plumbing — schema, batching, partition
+sizing, UDF signatures — is real and tested, while the actual
+decode/resample kernels are STUBBED (the codec libraries are not in
+this container): ``decode_image_meta`` parses only magic-number headers
+deterministically, and ``extract_features`` raises NotImplementedError
+unless handed a ``kernel``.
+
+Scale shape: media rows are large and skewed → ``mapInPandas`` with
+small Arrow batches (``spark.sql.execution.arrow.maxRecordsPerBatch``),
+repartition by size bucket upstream, and NEVER collect blobs to the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("blob", BinaryType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "riff"),  # wav/avi container
+    (b"ID3", "mp3"),
+]
+
+
+def sniff_format(blob: bytes | None) -> str | None:
+    if not blob:
+        return None
+    for magic, name in _MAGIC:
+        if blob.startswith(magic):
+            return name
+    return "unknown"
+
+
+def png_dimensions(blob: bytes) -> tuple[int | None, int | None]:
+    """Header-only PNG dimensions (IHDR at fixed offset) — deterministic
+    metadata extraction without a codec library."""
+    if blob and blob.startswith(b"\x89PNG\r\n\x1a\n") and len(blob) >= 24:
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        return w, h
+    return None, None
+
+
+def decode_image_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched metadata pass: format sniff + header dims + size.
+
+    This is the real plumbing a decode stage uses; swapping the header
+    parser for an actual codec is a one-function change inside the same
+    mapInPandas shape.
+    """
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fmts, ws, hs, ns = [], [], [], []
+            for blob in pdf[blob_col]:
+                b = bytes(blob) if blob is not None else None
+                fmts.append(sniff_format(b))
+                w, h = png_dimensions(b) if b else (None, None)
+                ws.append(w)
+                hs.append(h)
+                ns.append(len(b) if b is not None else None)
+            pdf = pdf.copy()
+            pdf["format"] = fmts
+            pdf["width"] = pd.array(ws, dtype="Int32")
+            pdf["height"] = pd.array(hs, dtype="Int32")
+            pdf["n_bytes"] = pd.array(ns, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    kernel: Callable | None = None,
+    blob_col: str = "blob",
+    out_dim: int = 8,
+) -> DataFrame:
+    """Feature-extraction stage: blob → array<float> embedding.
+
+    ``kernel(bytes) -> list[float]`` supplies the actual model/codec;
+    without one this raises (decode libs absent in this container).
+    Tests inject a deterministic fake kernel to exercise the full
+    Spark path: schema, Arrow batching, null handling.
+    """
+    if kernel is None:
+        raise NotImplementedError(
+            "media feature extraction needs a kernel; codec/model libraries "
+            "are not available in this environment — inject kernel=... "
+        )
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [StructField("features", ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = [
+                (kernel(bytes(b)) if b is not None else None) for b in pdf[blob_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan* stub: emits (media_id, frame_index)
+    rows for frames a decoder would materialize — demonstrates the
+    explode shape without a codec."""
+    n_frames = (F.coalesce(F.length(F.col("blob")), F.lit(0)) / 1000).cast("int")
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames, F.lit(1)) - 1, F.lit(every_n))).alias(
+            "frame_index"
+        ),
+    )

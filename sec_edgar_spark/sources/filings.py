@@ -1,0 +1,119 @@
+"""Filing-blob source + patterned sink (SURVEY §2.1 S11-S14).
+
+The reference's network path (async aiohttp fetch under a ≤10 req/s
+global rate limit, client.py:221-277) is deliberately isolated here:
+
+- **Mirror path (the scale path)**: filings already on storage load via
+  ``binaryFile`` — at 100 TB this is the only sane mode, and every test
+  runs against it.
+- **Live-fetch stage**: ``fetch_urls`` runs HTTP GETs inside
+  ``mapPartitions``.  A 10 req/s *global* cap makes cluster parallelism
+  pointless (SURVEY §7 risk 1), so the live stage coalesces to ONE
+  partition and paces itself with a token bucket — byte-identical
+  semantics to the reference's pacing loop, still expressed as a
+  DataFrame transform.  Tests inject a fake ``http_get``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FETCH_RESULT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def fetch_urls(
+    urls: DataFrame,
+    http_get: Callable[[str], tuple[int, bytes]],
+    rate_limit: int = 10,
+) -> DataFrame:
+    """Rate-limited fetch stage over a one-column ``url`` DataFrame.
+
+    Reference semantics: at most ``rate_limit`` requests per wall-clock
+    second, globally (client.py:123-129, 266-277; ValueError above 10).
+    Implemented as a single-partition mapPartitions with per-second
+    batch pacing — the global budget cannot be shared across executors,
+    and at ≤10 req/s one task IS the throughput ceiling.
+    """
+    if rate_limit > 10:
+        raise ValueError("rate_limit must be ≤ 10 (EDGAR fair-access policy)")
+
+    def run(rows: Iterator[Row]) -> Iterator[Row]:
+        batch: list[str] = []
+        for row in rows:
+            batch.append(row.url)
+            if len(batch) == rate_limit:
+                start = time.monotonic()
+                for u in batch:
+                    status, content = http_get(u)
+                    yield Row(url=u, status=status, content=content)
+                elapsed = time.monotonic() - start
+                if elapsed < 1.0:
+                    time.sleep(1.0 - elapsed)
+                batch = []
+        for u in batch:
+            status, content = http_get(u)
+            yield Row(url=u, status=status, content=content)
+
+    return urls.select("url").coalesce(1).rdd.mapPartitions(run).toDF(FETCH_RESULT)
+
+
+def save_filings(
+    df: DataFrame,
+    directory: str,
+    dir_pattern: str = "{cik}/{type}",
+    file_pattern: str = "{accession_number}",
+) -> None:
+    """S13 patterned file-tree sink (daily.py:134-166 etc.).
+
+    Builds the save path as a codegen'd expression (C13) and writes via
+    foreachPartition — distributed, no driver loop.
+    """
+    from ..functions.scalars import save_path
+
+    cols = {
+        "cik": F.col("cik"),
+        "type": F.col("form_type"),
+        "accession_number": F.col("accession_number"),
+        "date": F.date_format("date_filed", "yyyyMMdd"),
+        "year": F.year("date_filed").cast("string"),
+        "quarter": F.quarter("date_filed").cast("string"),
+    }
+    needed = {
+        name: col
+        for name, col in cols.items()
+        if "{" + name + "}" in dir_pattern + "/" + file_pattern
+    }
+    with_path = df.withColumn(
+        "_save_path",
+        F.concat(F.lit(directory.rstrip("/") + "/"), save_path(dir_pattern, file_pattern + ".txt", **needed)),
+    )
+
+    def write_part(rows: Iterator[Row]) -> None:
+        import os
+
+        for row in rows:
+            p = row["_save_path"]
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            content = row["content"]
+            mode = "wb" if isinstance(content, (bytes, bytearray)) else "w"
+            with open(p, mode) as fh:
+                fh.write(content)
+
+    with_path.foreachPartition(write_part)

@@ -1,0 +1,91 @@
+"""Scalar/text/vector Column-function unit tests (C1-C13 + text + vec)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sec_edgar_spark.functions import scalars as S
+from sec_edgar_spark.functions import text as T
+from sec_edgar_spark.functions import vectors as V
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_accession_and_paths(spark):
+    url = "https://www.sec.gov/Archives/edgar/data/320193/0000320193-20-000010.txt"
+    assert one(spark, S.accession_filename(F.lit(url))) == "0000320193-20-000010.txt"
+    assert one(spark, S.accession_number(F.lit(url))) == "0000320193-20-000010"
+    assert (
+        one(spark, S.archives_path(F.lit("edgar/data/1/x.txt")))
+        == "Archives/edgar/data/1/x.txt"
+    )
+    assert (
+        one(spark, S.txt_url(F.lit(".../0000320193-20-000010-index.htm")))
+        == ".../0000320193-20-000010.txt"
+    )
+
+
+def test_clean_directory_path(spark):
+    assert one(spark, S.clean_directory_path(F.lit("Apple Inc. /DE/"))) == "Apple_Inc_DE"
+
+
+def test_quarter_math(spark):
+    d = F.lit("2024-11-05").cast("date")
+    assert one(spark, S.quarter_of(d)) == 4
+    assert one(spark, S.month_of_quarter(F.lit(3))) == 7
+    ny, nq = S.add_quarter(F.lit(2024), F.lit(4))
+    assert one(spark, ny) == 2025 and one(spark, nq) == 1
+    ny2, nq2 = S.add_quarter(F.lit(2024), F.lit(2))
+    assert one(spark, ny2) == 2024 and one(spark, nq2) == 3
+
+
+def test_date_tokens(spark):
+    assert one(spark, S.daily_idx_date(F.lit("1994-07-01").cast("date"))) == "070194"
+    assert one(spark, S.daily_idx_date(F.lit("1997-01-02").cast("date"))) == "970102"
+    assert one(spark, S.daily_idx_date(F.lit("2024-01-15").cast("date"))) == "20240115"
+    assert one(spark, S.sanitize_date_yyyymmdd(F.lit("2024-01-15").cast("date"))) == "20240115"
+    assert str(one(spark, S.parse_idx_date(F.lit("1996-12-19")))) == "1996-12-19"
+    assert str(one(spark, S.parse_idx_date(F.lit("20240115")))) == "2024-01-15"
+
+
+def test_cik_zfill_and_keys(spark):
+    assert one(spark, S.cik_zfill(F.lit(320193))) == "0000320193"
+    assert one(spark, S.normalize_key(F.lit("aapl"))) == "AAPL"
+
+
+def test_save_path_templating(spark):
+    col = S.save_path(
+        "{cik}/{type}", "{accession_number}", cik=F.lit(320193),
+        type=F.lit("10-K"), accession_number=F.lit("0000320193-20-000010"),
+    )
+    assert one(spark, col) == "320193/10-K/0000320193-20-000010"
+
+
+def test_tokens_and_counts(spark):
+    c = F.lit("Hello  world, 42 times!")
+    assert one(spark, T.token_count(c)) == 4
+    assert one(spark, T.bpe_token_count(c)) == 6  # Hello world , 42 times !
+    assert one(spark, T.alpha_chars(c)) == 15
+    assert one(spark, T.punct_chars(c)) == 2
+
+
+def test_lang_id_and_fingerprint(spark):
+    en = F.lit("the cat sat on the mat and it is that for")
+    assert one(spark, T.lang_id(T.tokens(en))) == "en"
+    und = F.lit("zzz qqq www")
+    assert one(spark, T.lang_id(T.tokens(und))) == "und"
+    fp1 = one(spark, T.rolling_fingerprint(F.lit("a b c")))
+    fp2 = one(spark, T.rolling_fingerprint(F.lit("c b a")))
+    assert fp1 != fp2  # order-sensitive
+    assert 0 <= fp1 < 2147483647
+
+
+def test_vector_math(spark):
+    a = F.array(*[F.lit(float(x)) for x in (1, 2, 3)])
+    b = F.array(*[F.lit(float(x)) for x in (4, 5, 6)])
+    assert one(spark, V.dot(a, b)) == 32.0
+    assert abs(one(spark, V.cosine(a, a)) - 1.0) < 1e-12
+    assert one(spark, V.norm(a)) == math.sqrt(14.0)
+    assert one(spark, V.quantize(a, 10)) == [10, 20, 30]
