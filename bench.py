@@ -51,9 +51,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = Q.queries()
 
-    # Warm the JVM + parquet footers with a trivial job so per-query
-    # timings measure the plans, not session startup.
+    # Warm the JVM (codegen/JIT), parquet footers and the reader path
+    # with trivial counts so per-query timings measure the plans, not
+    # session startup.  No query results are precomputed.
+    from sec_edgar_spark import catalog
+
     spark.range(1).count()
+    for t in catalog.TABLES:
+        catalog.table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

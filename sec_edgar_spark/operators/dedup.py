@@ -20,11 +20,27 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
+# MinHash universe: 31-bit prime field.  Each of the K hash functions is
+# an affine transform (a_i * h + b_i) mod P of ONE md5-derived base hash
+# — one md5 per shingle instead of K, and the whole derivation is exact
+# in any engine's 64-bit integers (a_i, h < 2^31 → product < 2^62).
+MINHASH_P = 2147483647
 
-def _hash64_prefixed(prefix: str, c: Column) -> Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 15), 16, 10
-    ).cast("bigint")
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a fixed LCG (seed constants are
+    part of the operator contract — the DuckDB oracle inlines them)."""
+    coeffs = []
+    x = 1103515245
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = (x % (MINHASH_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = x % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+MINHASH_COEFFS = _minhash_coeffs(64)  # enough for any K ≤ 64
 
 
 def shingle_rows(
@@ -62,11 +78,23 @@ def minhash_signatures(
     document).
     """
     sh = shingle_rows(df, id_col, text_col, shingle_n)
-    hashed = sh.select(
+    return minhash_signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Signature computation over pre-built (id, shingle) rows — lets
+    callers share (cache) the shingle explode across signature and
+    exact-verify branches."""
+    base = sh.select(
+        F.col(id_col), (T.md5_hash64(F.col("shingle")) % MINHASH_P).alias("h")
+    )
+    hashed = base.select(
         F.col(id_col),
         *[
-            _hash64_prefixed(f"{i}:", F.col("shingle")).alias(f"h{i}")
-            for i in range(num_hashes)
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
         ],
     )
     return hashed.groupBy(id_col).agg(
@@ -77,24 +105,22 @@ def minhash_signatures(
 def minhash_band_keys(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """(id, band, band_key) — LSH banding of a signature frame."""
-    frames = []
+    """(id, band, band_key) — LSH banding of a signature frame.
+
+    One posexplode over an array of band keys (NOT a bands-way union:
+    a union would re-evaluate the signature aggregation once per band
+    on every consumer branch).
+    """
+    keys = []
     for b in range(bands):
         cols = [
             F.col(f"mh{b * rows_per_band + r}").cast("string")
             for r in range(rows_per_band)
         ]
-        frames.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(":", *cols)).alias("band_key"),
-            )
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+        keys.append(F.md5(F.concat_ws(":", *cols)))
+    return sigs.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "band_key")
+    )
 
 
 def lsh_candidate_pairs(
@@ -153,11 +179,56 @@ def jaccard_verify(
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, sh: array<string>) — collected distinct shingle sets."""
-    return (
-        shingle_rows(df, id_col, text_col, n)
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("sh"))
+    return shingle_sets_from_rows(shingle_rows(df, id_col, text_col, n), id_col)
+
+
+def shingle_sets_from_rows(sh: DataFrame, id_col: str) -> DataFrame:
+    return sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    eager: bool = True,
+) -> DataFrame:
+    """Fused MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    One shingle explode, ONE aggregation producing both the signature
+    (K mins) and the exact shingle set per document; everything
+    downstream (banding, bucket self-join, Jaccard verify) consumes the
+    tiny per-document frame, which is cached — without the fusion the
+    signature and verify branches each re-tokenize the corpus, and with
+    a lazily-shared cache they race to populate it inside one job.
+
+    ``eager`` materializes the per-doc cache up front (one small count
+    job) so the returned plan reuses it deterministically.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    hashed = sh.select(
+        F.col(id_col),
+        F.col("shingle"),
+        (T.md5_hash64(F.col("shingle")) % MINHASH_P).alias("h"),
     )
+    per_doc = hashed.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("sh"),
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        ],
+    ).cache()
+    if eager:
+        per_doc.count()
+
+    band_df = minhash_band_keys(per_doc, id_col, bands, rows_per_band)
+    pairs = lsh_candidate_pairs(band_df, id_col)
+    sets = per_doc.select(F.col(id_col), "sh")
+    return jaccard_verify(pairs, sets, id_col, threshold)
 
 
 def simhash_fingerprints(

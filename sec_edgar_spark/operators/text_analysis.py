@@ -1,0 +1,66 @@
+"""Document-level text analysis operators (library surface).
+
+Same design rule as operators/dedup.py: tokenization happens ONCE via
+explode (a Generate barrier Catalyst can't inline away), per-token
+hashing is a codegen'd projection, and per-document reductions are
+hash aggregates.  Folding md5 inside a higher-order ``aggregate``
+lambda is 30-50× slower (interpreted per element) — measured on the
+sf0.1 documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+ROLLING_MOD = T.ROLLING_HASH_MOD
+
+
+def token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok) — ordered token explode."""
+    return df.select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "tok")
+    )
+
+
+def rolling_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint) — order-sensitive polynomial rolling hash.
+
+    Per-token md5 hashes compute in a codegen'd projection; the ordered
+    fold runs over the collected per-doc hash array (plain integer
+    arithmetic — cheap even interpreted).  Docs with no tokens are
+    absent (callers left-join if they need zeros).
+    """
+    tok = token_rows(df, id_col, text_col)
+    hashed = tok.select(
+        F.col(id_col),
+        F.col("pos"),
+        (T.md5_hash64(F.col("tok")) % ROLLING_MOD).alias("h"),
+    )
+    arrs = hashed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "h"))),
+            lambda s: s.getField("h"),
+        ).alias("hs")
+    )
+    fp = F.aggregate(
+        "hs",
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % ROLLING_MOD,
+    )
+    return arrs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_bpe_tokens, n_alpha, n_punct, n_chars_measured)
+    — single-pass character/token statistics, all codegen'd."""
+    return df.select(
+        F.col(id_col),
+        T.token_count(text_col).alias("n_tokens"),
+        T.bpe_token_count(text_col).alias("n_bpe_tokens"),
+        T.alpha_chars(text_col).alias("n_alpha"),
+        T.punct_chars(text_col).alias("n_punct"),
+        F.length(text_col).alias("n_chars_measured"),
+    )

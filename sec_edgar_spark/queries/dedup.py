@@ -39,10 +39,15 @@ def _shingles_sql(n: int = 3) -> str:
 
 
 def _minhash_sql(i: int) -> str:
-    """DuckDB fragment: min over shingles of md5-hash64('{i}:' || s)."""
+    """DuckDB fragment mirroring operators.dedup.minhash_signatures:
+    min over shingles of (a_i * (md5hash64(s) % P) + b_i) % P."""
+    from ..operators.dedup import MINHASH_COEFFS, MINHASH_P
+
+    a, b = MINHASH_COEFFS[i]
     return (
-        "list_min(list_transform(sh, "
-        f"s -> CAST('0x' || substr(md5('{i}:' || s), 1, 15) AS BIGINT)))"
+        "list_min(list_transform(sh, s -> "
+        f"({a} * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MINHASH_P}) "
+        f"+ {b}) % {MINHASH_P}))"
     )
 
 
@@ -137,12 +142,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     d = table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(d, "doc_id", "text", num_hashes=NUM_MINHASHES)
-    bands = D.minhash_band_keys(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    pairs = D.lsh_candidate_pairs(bands, "doc_id")
-    sets = D.shingle_sets(d, "doc_id", "text", 3)
     return (
-        D.jaccard_verify(pairs, sets, "doc_id", threshold=0.2)
+        D.minhash_lsh_dedup(
+            d, "doc_id", "text",
+            num_hashes=NUM_MINHASHES, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+            threshold=0.2,
+        )
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
     )

@@ -120,8 +120,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (md5-based, so
     the oracle reproduces it exactly)."""
+    from ..operators.text_analysis import rolling_fingerprints
+
     d = table(spark, sf_dir, "documents")
-    return (
-        d.filter(F.size(T.tokens("text")) > 0)
-        .select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"))
-    )
+    return rolling_fingerprints(d, "doc_id", "text")
