@@ -7,7 +7,9 @@ package populates the registry.  ``__spark_entry__.py`` re-exports
 
 from .registry import ORACLES, QUERIES, query  # noqa: F401
 from . import relational  # noqa: E402,F401
+from . import relational2  # noqa: E402,F401
 from . import edgar  # noqa: E402,F401
+from . import edgar2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401

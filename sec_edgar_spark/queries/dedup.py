@@ -153,9 +153,34 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok
+    ), votes AS (
+      SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT d.doc_id, CAST(COALESCE({fp}, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+    )
+    SELECT simhash, COUNT(*) AS n_docs,
+      string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+    FROM fp GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # 16-bit vote-fold is Spark-side; verified in unit tests
+    # portable md5 bit votes — the SQL reproduces the 16 vote sums and
+    # fingerprint assembly exactly (docs with no tokens get simhash 0).
+    oracle=_simhash_oracle(),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash16 buckets: docs sharing a fingerprint are near-dup

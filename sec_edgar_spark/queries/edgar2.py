@@ -1,0 +1,182 @@
+"""Second EDGAR coverage batch: F9/F10 filters, C7 date fill, J2
+accession↔extracted-file matching, U2 page union."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..catalog import table
+from ..filing_types import is_ownership_form
+from .registry import query
+from .edgar import _INDEX_CTE_SQL, synthetic_filing_index
+
+
+@query(
+    "edgar_ownership_filter",
+    oracle=_INDEX_CTE_SQL
+    + """
+    SELECT
+      regexp_replace(form_type, '/A$', '') IN ('3','4','5') AS is_ownership,
+      form_type, COUNT(*) AS n
+    FROM filing_index
+    GROUP BY 1, 2
+    """,
+)
+def edgar_ownership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 ownership include/exclude (company.py:226-235): the ownership
+    predicate (forms 3/4/5 incl. amendments) as a derived column."""
+    idx = synthetic_filing_index(spark, sf_dir)
+    return (
+        idx.groupBy(
+            is_ownership_form(F.col("form_type")).alias("is_ownership"),
+            "form_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "edgar_match_format",
+    oracle=_INDEX_CTE_SQL
+    + """
+    SELECT
+      CASE WHEN form_type LIKE '%/A' THEN 'AMEND' ELSE 'EXACT' END AS match_format,
+      COUNT(*) AS n, COUNT(DISTINCT cik) AS n_companies
+    FROM filing_index
+    GROUP BY 1
+    """,
+)
+def edgar_match_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 match_format EXACT/AMEND/ALL (company.py:158-166): amended
+    filings are the '/A'-suffixed variants."""
+    idx = synthetic_filing_index(spark, sf_dir)
+    return (
+        idx.groupBy(
+            F.when(F.col("form_type").endswith("/A"), "AMEND")
+            .otherwise("EXACT")
+            .alias("match_format")
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("cik").alias("n_companies"))
+    )
+
+
+@query(
+    "edgar_fill_days",
+    oracle="""
+    WITH spans AS (
+      SELECT o_custkey AS cik,
+        MIN(CAST(o_orderdate AS DATE)) AS first_day,
+        MAX(CAST(o_orderdate AS DATE)) AS last_day
+      FROM orders WHERE o_custkey % 50 = 0 GROUP BY 1
+    )
+    SELECT cik, first_day, last_day,
+      CAST(len(generate_series(first_day, last_day, INTERVAL 1 DAY)) AS INT) AS n_days
+    FROM spans
+    """,
+)
+def edgar_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 fill_days (combo.py:12-28): the daily-date enumeration as
+    sequence()+size — the reference's Python date loop as one expr."""
+    from ..functions.scalars import fill_days
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    spans = o.groupBy(F.col("o_custkey").alias("cik")).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_day"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+    )
+    return spans.select(
+        "cik",
+        "first_day",
+        "last_day",
+        F.size(fill_days(F.col("first_day"), F.col("last_day"))).alias("n_days"),
+    )
+
+
+@query(
+    "edgar_accession_file_match",
+    oracle=_INDEX_CTE_SQL
+    + """
+    , idx AS (
+      SELECT cik, regexp_extract(file_name, '/([0-9-]+)\\.txt$', 1) AS accession, line_no
+      FROM filing_index
+    ), extracted AS (
+      SELECT regexp_extract(file_name, '/([0-9-]+)\\.txt$', 1) AS accession,
+        CASE WHEN line_no % 7 = 0 THEN 'corr01'
+             WHEN line_no % 3 = 0 THEN 'corr04' ELSE 'nc' END AS suffix
+      FROM filing_index WHERE line_no % 2 = 0
+    ), ranked AS (
+      SELECT i.cik, i.accession, e.suffix,
+        ROW_NUMBER() OVER (PARTITION BY i.accession ORDER BY
+          CASE e.suffix WHEN 'nc' THEN 0 WHEN 'corr04' THEN 1
+               WHEN 'corr03' THEN 2 WHEN 'corr02' THEN 3 ELSE 4 END) AS pri
+      FROM idx i JOIN extracted e ON i.accession = e.accession
+    )
+    SELECT cik, accession, suffix FROM ranked WHERE pri = 1
+    """,
+)
+def edgar_accession_file_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 accession↔extracted-file match (_index.py:285-303): the
+    reference probes {accession}.{nc,corr04..corr01} in priority order;
+    here an equi-join on the extracted accession + priority row_number
+    — the 5-way suffix probe as one windowed join."""
+    idx = synthetic_filing_index(spark, sf_dir).select(
+        "cik",
+        F.regexp_extract("file_name", r"/([0-9-]+)\.txt$", 1).alias("accession"),
+        "line_no",
+    )
+    extracted = (
+        synthetic_filing_index(spark, sf_dir)
+        .filter(F.col("line_no") % 2 == 0)
+        .select(
+            F.regexp_extract("file_name", r"/([0-9-]+)\.txt$", 1).alias("e_accession"),
+            F.when(F.col("line_no") % 7 == 0, "corr01")
+            .when(F.col("line_no") % 3 == 0, "corr04")
+            .otherwise("nc")
+            .alias("suffix"),
+        )
+    )
+    pri = (
+        F.when(F.col("suffix") == "nc", 0)
+        .when(F.col("suffix") == "corr04", 1)
+        .when(F.col("suffix") == "corr03", 2)
+        .when(F.col("suffix") == "corr02", 3)
+        .otherwise(4)
+    )
+    w = Window.partitionBy("accession").orderBy(pri)
+    return (
+        idx.join(extracted, idx.accession == extracted.e_accession)
+        .withColumn("pri", F.row_number().over(w))
+        .filter(F.col("pri") == 1)
+        .select("cik", "accession", "suffix")
+    )
+
+
+@query(
+    "edgar_union_pages",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+      CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM (
+      SELECT user_id, event_id FROM events WHERE event_id < 3000
+      UNION ALL
+      SELECT user_id, event_id FROM events WHERE event_id >= 3000
+    )
+    GROUP BY user_id
+    """,
+)
+def edgar_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 REST pagination union (rest.py:74-86): older pages concat onto
+    recent — unionByName of page frames then one re-aggregation."""
+    e = table(spark, sf_dir, "events")
+    recent = e.filter(F.col("event_id") < 3000).select("user_id", "event_id")
+    older = e.filter(F.col("event_id") >= 3000).select("user_id", "event_id")
+    return (
+        recent.unionByName(older)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+        )
+    )

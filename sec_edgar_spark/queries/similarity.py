@@ -133,6 +133,38 @@ def ann_quantized_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        {_dot_sql('a.embedding', 'b.embedding')} /
+        (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
+         sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
+
+    Correctness baseline is the exact all-pairs comparison (fine at
+    oracle scale); at 100 TB the identical scoring expression runs after
+    an LSH/bucket candidate join (ann_lsh_topk's shape) instead of the
+    triangle self-join — the verify stage is shared, only candidate
+    generation changes.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = V.cosine("emb_a", "emb_b")
+    return (
+        a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
 @query("ann_lsh_topk", oracle=None)  # plane constants are Spark-side; rows-only
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit random-projection LSH: 8 fixed hyperplanes → 256 buckets;

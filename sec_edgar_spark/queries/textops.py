@@ -89,9 +89,35 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_oracle() -> str:
+    langs = sorted(T.STOPWORDS)
+    hits = ", ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        + f"], lower(x)))) AS INT) AS hits_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {mx} = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {mx} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKENS} AS toks FROM documents
+    ), h AS (
+      SELECT doc_id, lang, {hits} FROM t
+    )
+    SELECT doc_id, lang, {case} AS lang_guess,
+           {", ".join(f"hits_{lang}" for lang in langs)}
+    FROM h
+    """
+
+
 @query(
     "text_lang_id",
-    oracle=None,  # argmax tie-fold is clearer Spark-side; rows-only check
+    # argmax with sorted-lang tie order — the CASE chain reproduces the
+    # Spark fold exactly (first lang in sorted order reaching the max).
+    oracle=_lang_oracle(),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit argmax across 5 languages."""
