@@ -28,13 +28,19 @@ def cosine_topk(
     scored rows reduce to n_queries × k.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        V.norm(vec_col).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        V.norm(vec_col).alias("c_nrm"),
     )
     scored = c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", V.cosine("q_emb", "c_emb").alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -55,18 +61,24 @@ def lsh_bucketed_topk(
     keyed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
+        V.norm(vec_col).alias("c_nrm"),
         V.random_projection_sign_bits(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
+        V.norm(vec_col).alias("q_nrm"),
         V.random_projection_sign_bits(vec_col, planes).alias("q_bucket"),
     )
     scored = keyed.join(
         broadcast(q),
         (F.col("bucket") == F.col("q_bucket"))
         & (F.col("neighbor_id") != F.col("query_id")),
-    ).select("query_id", "neighbor_id", V.cosine("q_emb", "c_emb").alias("cosine"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))

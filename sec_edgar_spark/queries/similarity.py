@@ -46,10 +46,14 @@ _COSINE_SQL = (
 @query(
     "ann_bruteforce_topk",
     oracle=f"""
-    WITH scored AS (
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+        sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
-        {_COSINE_SQL} AS cosine
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
     SELECT query_id, neighbor_id, label, cosine, CAST(rk AS BIGINT) AS rk FROM (
@@ -65,11 +69,18 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by neighbor_id).  At scale: queries always broadcast; the
     corpus is never shuffled — only (n_queries × k) rows survive."""
     e = table(spark, sf_dir, "embeddings")
+    # Precompute each vector's norm ONCE in a projection — computing it
+    # inside the pair expression multiplies the fold by the pair count.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_nrm"),
     )
     c = e.select(
-        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+        V.norm("embedding").alias("c_nrm"),
     )
     scored = (
         c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -77,7 +88,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "label",
-            V.cosine("q_emb", "c_emb").alias("cosine"),
+            (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -136,12 +149,15 @@ def ann_quantized_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
     SELECT vec_a, vec_b, cosine FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        {_dot_sql('a.embedding', 'b.embedding')} /
-        (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
-         sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
     ) WHERE cosine >= 0.45
     """,
 )
@@ -155,9 +171,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation changes.
     """
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = V.cosine("emb_a", "emb_b")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        V.norm("embedding").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        V.norm("embedding").alias("nrm_b"),
+    )
+    cos = V.dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -174,32 +198,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rng = random.Random(42)
     planes = [[rng.gauss(0, 1) for _ in range(EMB_DIM)] for _ in range(8)]
+    from ..operators.similarity import lsh_bucketed_topk
+
     e = table(spark, sf_dir, "embeddings")
-    keyed = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        V.random_projection_sign_bits("embedding", planes).alias("bucket"),
-    )
-    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    scored = (
-        keyed.join(
-            broadcast(q),
-            (F.col("bucket") == F.col("q_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            V.cosine("q_emb", "embedding").alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= TOP_K)
-    )
+    return lsh_bucketed_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), planes, k=TOP_K
+    ).select("query_id", "neighbor_id", "cosine", "rk")
