@@ -44,16 +44,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key not in memo:
         path = f"{sf_dir}/{name}.parquet"
         if name == "events":
-            # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-            # reader rejects; read nanos as long and truncate to micros
-            # (lossless here — the data is micro-precise, and the DuckDB
-            # oracle coerces to micros the same way).
+            # The driver's events.parquet stores TIMESTAMP(NANOS), which
+            # the vectorized reader rejects; read nanos as long and
+            # truncate to micros (lossless here — the data is
+            # micro-precise, and the DuckDB oracle coerces to micros the
+            # same way).  Re-written mirrors may already be micros —
+            # only convert when the column actually came in as long.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             from pyspark.sql import functions as F
+            from pyspark.sql.types import LongType
 
-            df = spark.read.parquet(path).withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
+            df = spark.read.parquet(path)
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
             df = spark.read.parquet(path)
         memo[key] = df

@@ -53,6 +53,35 @@ def rolling_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return arrs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def token_aggregates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stoplists: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """(id, n_tokens, hits_<lang>...) via one token explode.
+
+    Counting stopword hits by filtering the token *array* per language
+    is an interpreted higher-order scan per language per document —
+    measured 28× slower at 10× scale.  Here: one explode, one codegen'd
+    `lower(tok) IN (...)` per language, one partial-aggregated groupBy.
+    Zero-token documents are restored by the caller's left join.
+    """
+    if stoplists is None:
+        stoplists = T.STOPWORDS
+    tok = token_rows(df, id_col, text_col)
+    aggs = [F.count("*").cast("int").alias("n_tokens")]
+    for lang in sorted(stoplists):
+        aggs.append(
+            F.sum(
+                F.when(F.lower("tok").isin(*stoplists[lang]), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias(f"hits_{lang}")
+        )
+    return tok.groupBy(id_col).agg(*aggs)
+
+
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, n_bpe_tokens, n_alpha, n_punct, n_chars_measured)
     — single-pass character/token statistics, all codegen'd."""

@@ -68,17 +68,32 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, alpha ratio, stopword ratio, and a
     pass/fail gate — the standard pretraining-corpus filter shape.
-    Ratios divide exact ints in double → bit-identical across engines."""
+
+    Token-level stats come from ONE explode + conditional-sum aggregate
+    (operators/text_analysis.token_aggregates — linear at scale);
+    character-level stats stay doc-level codegen'd regex.  Ratios divide
+    exact ints in double → bit-identical across engines.
+    """
+    from ..operators.text_analysis import token_aggregates
+
     d = table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    n_tokens = F.size(toks)
-    alpha_ratio = T.alpha_chars("text").cast("double") / F.greatest(
-        F.length("text"), F.lit(1)
+    tok_agg = token_aggregates(d, "doc_id", "text", {"en": T.STOPWORDS["en"]})
+    doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.alpha_chars("text").alias("n_alpha"),
+        F.length("text").alias("n_chars"),
     )
-    stop_ratio = T.stopword_count(toks, "en").cast("double") / F.greatest(
+    j = doc.join(tok_agg, "doc_id", "left")
+    n_tokens = F.coalesce("n_tokens", F.lit(0))
+    alpha_ratio = F.col("n_alpha").cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    )
+    stop_ratio = F.coalesce("hits_en", F.lit(0)).cast("double") / F.greatest(
         n_tokens, F.lit(1)
     )
-    return d.select(
+    return j.select(
         "doc_id",
         "lang",
         "source",
@@ -120,14 +135,29 @@ def _lang_oracle() -> str:
     oracle=_lang_oracle(),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: stopword-hit argmax across 5 languages."""
+    """Language-ID heuristic: stopword-hit argmax across 5 languages.
+
+    One token explode computes all 5 hit counters (conditional sums);
+    the argmax fold (sorted-lang tie order, all-zero → 'und') runs over
+    the 5 small columns.
+    """
+    from ..operators.text_analysis import token_aggregates
+
     d = table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    return d.select(
+    langs = sorted(T.STOPWORDS)
+    tok_agg = token_aggregates(d, "doc_id", "text")
+    j = d.select("doc_id", "lang").join(tok_agg, "doc_id", "left")
+    hits = {lang: F.coalesce(f"hits_{lang}", F.lit(0)) for lang in langs}
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties via strict '>'
+        take = hits[lang] > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, hits[lang]).otherwise(best_score)
+    return j.select(
         "doc_id",
         "lang",
-        T.lang_id(toks).alias("lang_guess"),
-        *[T.stopword_count(toks, lang).alias(f"hits_{lang}") for lang in sorted(T.STOPWORDS)],
+        best_lang.alias("lang_guess"),
+        *[hits[lang].cast("int").alias(f"hits_{lang}") for lang in langs],
     )
 
 
