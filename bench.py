@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "edgar_sgml_roundtrip",
+    "edgar_form4_roundtrip",
 ]
 
 

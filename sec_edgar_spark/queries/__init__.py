@@ -15,6 +15,7 @@ from . import textops  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import parsing_q  # noqa: E402,F401
 
 
 def queries():

@@ -205,6 +205,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_levenshtein_pairs",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, substr(text, 1, 80) AS head,
+        md5(array_to_string(({_TOKENS})[1:4], ' ')) AS bucket
+      FROM documents WHERE len({_TOKENS}) >= 4
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(levenshtein(a.head, b.head) AS INT) AS edit_distance
+    FROM keyed a JOIN keyed b
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 20
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: candidates from a 4-token-prefix bucket
+    equi-join (never all-pairs), verified by levenshtein on the first
+    80 chars.  Both engines implement classic Levenshtein → exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    keyed = d.filter(F.size(toks) >= 4).select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("head"),
+        F.md5(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 20)
+    )
+
+
+@query(
     "dedup_prefix_ngram",
     oracle=f"""
     WITH keyed AS (

@@ -1,0 +1,159 @@
+"""Parsing operators in the oracle gate, via construct→parse roundtrips.
+
+The testdata has no raw SGML/XML blobs, so these queries *construct*
+filing payloads deterministically from table columns, push them through
+the REAL parsers (parsing/form4.from_xml plan, parsing/meta mapInPandas
+stage), and emit the recovered typed fields.  The DuckDB oracle
+reconstructs the same values directly from the base columns — any
+parser deviation (field extraction, nesting, typing, text trimming)
+breaks the value hash.  This puts C14-C17 on the correctness gate
+instead of unit-tests-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import query
+
+
+@query(
+    "edgar_form4_roundtrip",
+    oracle="""
+    SELECT
+      '0000320193-96-' || lpad((o_orderkey % 100000)::VARCHAR, 6, '0')
+        AS accession_number,
+      'Common Stock' AS security_title,
+      CAST(o_orderdate AS DATE) AS transaction_date,
+      '4' AS transaction_form_type,
+      o_orderstatus AS transaction_code,
+      (o_orderkey % 2 = 1) AS equity_swap_involved,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4))
+        AS transaction_shares,
+      CAST(CAST(o_custkey AS DECIMAL(12,2)) AS DECIMAL(18,4))
+        AS transaction_price_per_share,
+      CASE WHEN o_orderkey % 3 = 0 THEN 'A' ELSE 'D' END
+        AS acquired_disposed_code,
+      CAST((o_orderkey % 1000) AS DECIMAL(18,4)) AS shares_owned_following,
+      'D' AS direct_or_indirect_ownership
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def edgar_form4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16/C17 on the gate: build an ownershipDocument XML per row from
+    orders columns, parse it with the production from_xml plan
+    (parsing/form4.parse_form4), return the typed transaction table."""
+    from ..parsing.form4 import parse_form4
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    accession = F.concat(
+        F.lit("0000320193-96-"),
+        F.lpad((F.col("o_orderkey") % 100000).cast("string"), 6, "0"),
+    )
+    xml = F.concat(
+        F.lit(
+            "<?xml version=\"1.0\"?><ownershipDocument><documentType>4"
+            "</documentType><nonDerivativeTable><nonDerivativeTransaction>"
+            "<securityTitle><value>Common Stock</value></securityTitle>"
+            "<transactionDate><value>"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit(
+            "</value></transactionDate><transactionCoding>"
+            "<transactionFormType>4</transactionFormType><transactionCode>"
+        ),
+        F.col("o_orderstatus"),
+        F.lit("</transactionCode><equitySwapInvolved>"),
+        (F.col("o_orderkey") % 2).cast("string"),
+        F.lit(
+            "</equitySwapInvolved></transactionCoding><transactionAmounts>"
+            "<transactionShares><value>"
+        ),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.lit("</value></transactionShares><transactionPricePerShare><value>"),
+        F.col("o_custkey").cast("decimal(12,2)").cast("string"),
+        F.lit(
+            "</value></transactionPricePerShare>"
+            "<transactionAcquiredDisposedCode><value>"
+        ),
+        F.when(F.col("o_orderkey") % 3 == 0, "A").otherwise("D"),
+        F.lit(
+            "</value></transactionAcquiredDisposedCode></transactionAmounts>"
+            "<postTransactionAmounts><sharesOwnedFollowingTransaction><value>"
+        ),
+        (F.col("o_orderkey") % 1000).cast("string"),
+        F.lit(
+            "</value></sharesOwnedFollowingTransaction>"
+            "</postTransactionAmounts>"
+            "<ownershipNature><directOrIndirectOwnership><value>D</value>"
+            "</directOrIndirectOwnership></ownershipNature>"
+            "</nonDerivativeTransaction></nonDerivativeTable>"
+            "</ownershipDocument>"
+        ),
+    )
+    payload = o.select(accession.alias("accession_number"), xml.alias("xml"))
+    return parse_form4(payload)
+
+
+@query(
+    "edgar_sgml_roundtrip",
+    oracle="""
+    SELECT
+      '0000000000-24-' || lpad((doc_id % 1000000)::VARCHAR, 6, '0')
+        AS accession_number,
+      '10-K' AS submission_type,
+      doc_id::VARCHAR AS central_index_key,
+      1 AS n_docs,
+      '10-K' AS doc_type,
+      'doc.htm' AS doc_filename,
+      CAST(length(text) AS INT) AS text_len
+    FROM documents
+    """,
+)
+def edgar_sgml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14/C15 on the gate: build an SGML container per document (header
+    with flat + nested keys, one <DOCUMENT> body), parse it with the
+    production mapInPandas stage (parsing/meta.parse_filings), and emit
+    the recovered header fields and document metadata."""
+    from ..parsing.meta import documents_table, parse_filings
+
+    d = table(spark, sf_dir, "documents")
+    accession = F.concat(
+        F.lit("0000000000-24-"),
+        F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+    )
+    container = F.concat(
+        F.lit("<SEC-DOCUMENT>x.txt : 20240115\n<SEC-HEADER>x.hdr.sgml : 20240115\n"),
+        F.lit("ACCESSION NUMBER:\t\t"),
+        accession,
+        F.lit("\nCONFORMED SUBMISSION TYPE:\t10-K\nFILER:\n\tCOMPANY DATA:\n"),
+        F.lit("\t\tCENTRAL INDEX KEY:\t\t\t"),
+        F.col("doc_id").cast("string"),
+        F.lit("\n</SEC-HEADER>\n<DOCUMENT>\n<TYPE>10-K\n<SEQUENCE>1\n"),
+        F.lit("<FILENAME>doc.htm\n<TEXT>\n"),
+        F.col("text"),
+        F.lit("\n</TEXT>\n</DOCUMENT>\n</SEC-DOCUMENT>\n"),
+    )
+    parsed = parse_filings(d.select(container.alias("content")))
+    docs = documents_table(parsed)
+    return (
+        parsed.select(
+            "accession_number",
+            F.col("metadata")["CONFORMED SUBMISSION TYPE"].alias("submission_type"),
+            F.col("metadata")["FILER/COMPANY DATA/CENTRAL INDEX KEY"].alias(
+                "central_index_key"
+            ),
+            F.size("documents").alias("n_docs"),
+        )
+        .join(
+            docs.select(
+                "accession_number",
+                F.col("type").alias("doc_type"),
+                F.col("filename").alias("doc_filename"),
+                F.length("text").alias("text_len"),
+            ),
+            "accession_number",
+        )
+    )
