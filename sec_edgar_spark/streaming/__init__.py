@@ -1,1 +1,1 @@
-from . import daily_feed  # noqa: F401
+from . import daily_feed, stateful  # noqa: F401
