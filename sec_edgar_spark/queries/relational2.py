@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.functions import broadcast
 
 from ..catalog import table
 from .registry import query
@@ -96,6 +97,116 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + conjunctive pushed filters + scalar agg —
+    the whole query is one codegen'd stage with zero shuffle rows."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"), 4, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q14_conditional_agg",
+    oracle="""
+    SELECT
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+        AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: CASE-inside-aggregate over a fact↔dim join (part
+    broadcasts); division of two exact sums in double."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice")) * _dec(
+        F.lit(1) - _dec(F.col("l_discount"), 4, 2), 4, 2
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    joined = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING as the driving semi-selective
+    input to subsequent joins (the reduced side joins first)."""
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 120)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
     )
 
 
