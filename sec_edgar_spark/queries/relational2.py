@@ -211,6 +211,30 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS p50,
+      quantile_cont(l_extendedprice, 0.9) AS p90,
+      CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
+      CAST(MAX(l_extendedprice) AS DOUBLE) AS mx
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median/p90) per group — both
+    engines use linear interpolation on sorted doubles; parity verified
+    empirically (same IEEE results)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+
+
+@query(
     "q2_max_per_group_join",
     oracle="""
     SELECT p.p_brand, p.p_partkey, p.p_retailprice
