@@ -218,14 +218,20 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       quantile_cont(l_extendedprice, 0.9) AS p90,
       CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
       CAST(MAX(l_extendedprice) AS DOUBLE) AS mx
-    FROM lineitem GROUP BY l_returnflag
+    FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (median/p90) per group — both
     engines use linear interpolation on sorted doubles; parity verified
-    empirically (same IEEE results)."""
-    l = table(spark, sf_dir, "lineitem")
+    empirically (same IEEE results).
+
+    Exact percentile buffers every value per group (142s at 6M rows in
+    the 10× probe), so it runs on a deterministic key-sample here — the
+    honest full-data path at scale is approx_percentile (t-digest
+    sketch, mergeable map-side), which has no cross-engine oracle.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return l.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.5).alias("p50"),
         F.percentile("l_extendedprice", 0.9).alias("p90"),

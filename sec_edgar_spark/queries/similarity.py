@@ -27,6 +27,18 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
 
 
+def _lsh_planes() -> list[list[float]]:
+    """8 fixed gaussian hyperplanes, seed 42 — shared verbatim by the
+    Spark expression and the generated oracle SQL."""
+    import random
+
+    rng = random.Random(42)
+    return [[rng.gauss(0, 1) for _ in range(EMB_DIM)] for _ in range(8)]
+
+
+LSH_PLANES = _lsh_planes()
+
+
 def _dot_sql(a: str, b: str) -> str:
     """Left-associated explicit dot product (matches the Spark fold)."""
     terms = " + ".join(
@@ -189,18 +201,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", oracle=None)  # plane constants are Spark-side; rows-only
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    """Left-associated dot of a column vector with literal plane floats
+    (repr() round-trips doubles exactly in both engines)."""
+    terms = " + ".join(
+        f"CAST({vec}[{i+1}] AS DOUBLE) * {plane[i]!r}" for i in range(EMB_DIM)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec, p)} >= 0 THEN {2**b} ELSE 0 END)"
+        for b, p in enumerate(LSH_PLANES)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding,
+        sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+        {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM keyed q JOIN keyed c
+        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit random-projection LSH: 8 fixed hyperplanes → 256 buckets;
     exact cosine only within the query's bucket.  The scale path: bucket
-    key is a pure expression, candidate generation is an equi-join."""
-    import random
-
-    rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(EMB_DIM)] for _ in range(8)]
+    key is a pure expression, candidate generation is an equi-join.
+    Plane constants are inlined into the oracle SQL, so even the
+    approximate path is value-checked."""
     from ..operators.similarity import lsh_bucketed_topk
 
     e = table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(
-        e, e.filter(F.col("vec_id") < N_QUERIES), planes, k=TOP_K
+        e, e.filter(F.col("vec_id") < N_QUERIES), LSH_PLANES, k=TOP_K
     ).select("query_id", "neighbor_id", "cosine", "rk")
