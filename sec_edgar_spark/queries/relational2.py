@@ -211,6 +211,124 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_battery2",
+    oracle="""
+    SELECT o_orderkey,
+      translate(o_orderpriority, '-', '_') AS pri_translated,
+      reverse(o_orderstatus) AS status_rev,
+      repeat(o_orderstatus, 3) AS status_x3,
+      left(o_orderpriority, 1) AS pri_code,
+      right(o_orderpriority, 3) AS pri_tail,
+      CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos,
+      rpad(o_orderstatus, 4, '.') AS status_padded,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS plus_45d,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        AS days_since_epoch_start,
+      CAST(abs(o_totalprice - 150000) AS DOUBLE) AS abs_delta,
+      CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+      CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+      CAST(sign(o_totalprice - 150000) AS DOUBLE) AS delta_sign,
+      CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def scalar_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar battery: string surgery (translate/reverse/repeat/
+    left/right/strpos/rpad), calendar math (last_day, interval add,
+    datediff), and exact numeric scalars (abs/ceil/floor/sign/mod).
+    Transcendentals are deliberately excluded — libm last-ulp results
+    are not engine-portable; sqrt (IEEE-exact) is covered by cosine."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.translate("o_orderpriority", "-", "_").alias("pri_translated"),
+        F.reverse("o_orderstatus").alias("status_rev"),
+        F.repeat("o_orderstatus", 3).alias("status_x3"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.substring(F.col("o_orderpriority"), -3, 3).alias("pri_tail"),
+        F.instr("o_orderpriority", "-").cast("int").alias("dash_pos"),
+        F.rpad("o_orderstatus", 4, ".").alias("status_padded"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias(
+            "days_since_epoch_start"
+        ),
+        F.abs(F.col("o_totalprice") - 150000).alias("abs_delta"),
+        F.ceil(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k_floor"),
+        F.signum(F.col("o_totalprice") - 150000).alias("delta_sign"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
+    )
+
+
+@query(
+    "setop_bag_semantics",
+    oracle="""
+    SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL multiset semantics."""
+    o = table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    ia = hi.intersectAll(open_).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    ea = hi.exceptAll(open_).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return ia.unionByName(ea)
+
+
+@query(
+    "j_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS user_key,
+      COALESCE(a.n_click, 0) AS n_click, COALESCE(b.n_err, 0) AS n_err
+    FROM (SELECT user_id AS k, COUNT(*) AS n_click FROM events
+          WHERE event_type = 'click' GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT user_id AS k, COUNT(*) AS n_err FROM events
+          WHERE event_type = 'error' GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-reduced aggregates with COALESCE keys."""
+    e = table(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("ak"))
+        .agg(F.count("*").alias("n_click"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("bk"))
+        .agg(F.count("*").alias("n_err"))
+    )
+    return a.join(b, a.ak == b.bk, "full_outer").select(
+        F.coalesce("ak", "bk").alias("user_key"),
+        F.coalesce("n_click", F.lit(0)).alias("n_click"),
+        F.coalesce("n_err", F.lit(0)).alias("n_err"),
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
