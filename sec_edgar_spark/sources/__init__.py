@@ -1,1 +1,1 @@
-from . import cik_map, filings, index, rest  # noqa: F401
+from . import cik_map, company_listing, filings, index, rest  # noqa: F401
