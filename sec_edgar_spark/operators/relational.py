@@ -42,6 +42,40 @@ def running_count(
     return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("bigint"))
 
 
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    ``aggs`` maps output column → (input column, fn) where fn is an
+    algebraic agg ('sum'/'count'/'min'/'max').  Phase 1 groups on
+    (key, salt) so a hot key's rows spread over ``salt_buckets``
+    reducers; phase 2 merges the partials per key.  AQE's skew handling
+    covers joins; this is the groupBy-side analog for pathological keys
+    (e.g. one CIK with 10^8 filings).
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_aggs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(col).alias(out))
+        elif fn in ("sum", "min", "max"):
+            phase1_aggs.append(getattr(F, fn)(col).alias(out))
+        else:
+            raise ValueError(f"non-algebraic agg {fn!r} cannot be salted")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "_salt").agg(*phase1_aggs)
+    final_aggs = [
+        merge_fn[fn](out).alias(out) for out, (_, fn) in aggs.items()
+    ]
+    return partial.groupBy(key).agg(*final_aggs)
+
+
 def grouped_collect(
     df: DataFrame, key: str, value: Column, out_col: str = "values"
 ) -> DataFrame:

@@ -1,1 +1,1 @@
-from . import daily_feed, stateful  # noqa: F401
+from . import daily_feed, dedup_stream, stateful  # noqa: F401

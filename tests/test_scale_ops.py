@@ -1,0 +1,79 @@
+"""Salted aggregation + streaming dedup tests."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_edgar_spark.operators.relational import salted_aggregate
+
+
+def test_salted_aggregate_matches_direct(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 1.0), ("cold", 2.0)],
+        ["k", "v"],
+    )
+    salted = salted_aggregate(
+        df, "k",
+        {"n": ("v", "count"), "total": ("v", "sum"),
+         "mn": ("v", "min"), "mx": ("v", "max")},
+        salt_buckets=8,
+    )
+    direct = df.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("total"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+    )
+    assert sorted(salted.collect()) == sorted(direct.collect())
+    # phase-1 really spreads the hot key across salt buckets
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark):
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    with pytest.raises(ValueError):
+        salted_aggregate(df, "k", {"med": ("v", "percentile")})
+
+
+@pytest.mark.timeout(240)
+def test_streaming_dedup_drops_later_copies(spark, tmp_path):
+    from sec_edgar_spark.streaming.dedup_stream import dedup_stream
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+
+    def write_batch(name, rows):
+        with open(feed / name, "w") as f:
+            for doc_id, ts, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+
+    write_batch(
+        "b1.json",
+        [(1, "2024-01-01T10:00:00", "hello world"),
+         (2, "2024-01-01T10:00:05", "HELLO WORLD  "),  # same normalized content
+         (3, "2024-01-01T10:00:10", "different")],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .json(str(feed))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.doc_id for r in spark.sql("SELECT * FROM t_dedup").collect()}
+        assert len(first) == 2  # one of {1,2} plus 3
+
+        # a later batch re-sends the same content -> dropped
+        write_batch("b2.json", [(4, "2024-01-01T10:05:00", "hello world"),
+                                (5, "2024-01-01T10:05:01", "brand new")])
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM t_dedup").collect()}
+        assert 4 not in ids and 5 in ids
+    finally:
+        q.stop()
