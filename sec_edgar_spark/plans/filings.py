@@ -41,6 +41,8 @@ def filings(
     cik_lookup: DataFrame | None = None,
     cik_map: DataFrame | None = None,
     user_filter: Column | Callable | None = None,
+    ownership: str = "include",
+    match_format: str = "ALL",
 ) -> DataFrame:
     """Build the filing query plan over the canonical index DataFrame.
 
@@ -49,10 +51,25 @@ def filings(
     ``lookup_term`` frame) restricts to resolved companies via the
     broadcast J1 join against ``cik_map``.
     """
+    if ownership not in ("include", "exclude"):
+        # F9 validated enum (company.py:226-235)
+        raise ValueError(f"ownership must be include|exclude, got {ownership!r}")
+    if match_format not in ("ALL", "EXACT", "AMEND"):
+        # F10 validated enum (company.py:158-166)
+        raise ValueError(f"match_format must be ALL|EXACT|AMEND, got {match_format!r}")
+
     df = index
     if filing_type is not None:
         validate_filing_type(filing_type)
         df = df.filter(F.col("form_type") == filing_type)
+    if ownership == "exclude":
+        from ..filing_types import is_ownership_form
+
+        df = df.filter(~is_ownership_form(F.col("form_type")))
+    if match_format == "EXACT":
+        df = df.filter(~F.col("form_type").endswith("/A"))
+    elif match_format == "AMEND":
+        df = df.filter(F.col("form_type").endswith("/A"))
     if start_date is not None and end_date is not None:
         df = df.filter(F.col("date_filed").between(start_date, end_date))
     elif start_date is not None:

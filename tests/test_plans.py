@@ -60,6 +60,19 @@ def test_user_filter_column_and_callable(index):
     assert py_filtered.count() == 1
 
 
+def test_ownership_and_match_format(index):
+    excl = filings(index, ownership="exclude")
+    assert all(r.form_type not in ("3", "4", "5") for r in excl.collect())
+    amend = filings(index, match_format="AMEND")
+    assert {r.form_type for r in amend.collect()} == {"SC 13D/A"}
+    exact = filings(index, match_format="EXACT")
+    assert all(not r.form_type.endswith("/A") for r in exact.collect())
+    with pytest.raises(ValueError):
+        filings(index, ownership="maybe")
+    with pytest.raises(ValueError):
+        filings(index, match_format="SOME")
+
+
 def test_grouped_urls_sorted(index):
     g = {r.cik: r.urls for r in grouped_urls(filings(index)).collect()}
     apple = g[320193]
