@@ -98,6 +98,59 @@ def edgar_form4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "edgar_xbrl_normalize",
+    oracle="""
+    SELECT c_custkey AS cik, tag, 'USD' AS unit,
+      CAST(CASE WHEN tag = 'Assets'
+           THEN CAST(c_acctbal AS DECIMAL(12,2)) * 1000
+           ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DECIMAL(24,4)) AS val,
+      2020 AS fy, 'FY' AS fp
+    FROM customer
+    CROSS JOIN (SELECT unnest(['Assets', 'Revenues']) AS tag)
+    WHERE c_custkey % 5 = 0
+    """,
+)
+def edgar_xbrl_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 XBRL normalization on the gate: build a companyfacts-shaped
+    nested payload per company (facts → taxonomy → tag → units → rows),
+    run the production map-of-maps explode chain (the same shape
+    sources/rest.read_company_facts scans from files), emit the long
+    fact table.  The oracle reconstructs the rows directly."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    json_payload = F.concat(
+        F.lit('{"us-gaap": {"Assets": {"units": {"USD": [{"val": '),
+        (bal * 1000).cast("string"),
+        F.lit(', "fy": 2020, "fp": "FY"}]}}, "Revenues": {"units": {"USD": [{"val": '),
+        bal.cast("string"),
+        F.lit(', "fy": 2020, "fp": "FY"}]}}}}'),
+    )
+    sch = (
+        "map<string,map<string,struct<"
+        "units:map<string,array<struct<val:decimal(24,4),fy:int,fp:string>>>>>>"
+    )
+    facts = c.select(
+        F.col("c_custkey").alias("cik"),
+        F.from_json(json_payload, sch).alias("facts"),
+    )
+    tax = facts.select("cik", F.explode("facts").alias("taxonomy", "tags"))
+    tags = tax.select("cik", F.explode("tags").alias("tag", "body"))
+    units = tags.select(
+        "cik", "tag", F.explode("body.units").alias("unit", "rows")
+    )
+    return units.select(
+        "cik", "tag", "unit", F.explode("rows").alias("r")
+    ).select(
+        "cik",
+        "tag",
+        "unit",
+        F.col("r.val").alias("val"),
+        F.col("r.fy").alias("fy"),
+        F.col("r.fp").alias("fp"),
+    )
+
+
+@query(
     "edgar_sgml_roundtrip",
     oracle="""
     SELECT
