@@ -75,12 +75,15 @@ def fill_days(start: Column, end: Column) -> Column:
 def daily_idx_date(d: Column | str) -> Column:
     """C8 — era-dependent daily-index date token (core/daily.py:118-132).
 
-    <1995: ``MMddyy``; 1995-01-01..1998-03-31: ``yyMMdd``; else ``yyyyMMdd``.
+    <1995: ``MMddyy``; 1995-01-01..1998-03-30: ``yyMMdd`` (the
+    reference's boundary is a strict ``< date(1998, 3, 31)``,
+    daily.py:129, so 1998-03-31 itself is ``yyyyMMdd``); else
+    ``yyyyMMdd``.
     """
     c = F.col(d) if isinstance(d, str) else d
     return (
         F.when(F.year(c) < 1995, F.date_format(c, "MMddyy"))
-        .when(c < F.lit("1998-04-01").cast("date"), F.date_format(c, "yyMMdd"))
+        .when(c < F.lit("1998-03-31").cast("date"), F.date_format(c, "yyMMdd"))
         .otherwise(F.date_format(c, "yyyyMMdd"))
     )
 

@@ -100,7 +100,11 @@ def parse_filing(content: str) -> dict:
                 "sequence": fields["sequence"],
                 "filename": fields["filename"],
                 "text": text,
-                "is_uuencoded": text.startswith("begin 644"),
+                # Containment, not prefix: the reference checks
+                # ``doc_txt.find("begin 644 ") != -1`` (parser.py:117),
+                # so a uu block preceded by other lines still routes
+                # to uudecode.
+                "is_uuencoded": "begin 644 " in text,
             }
         )
     return {

@@ -229,7 +229,7 @@ def edgar_cik_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(CASE WHEN quarter(date_filed) = 4 THEN 1 ELSE quarter(date_filed) + 1 END AS BIGINT) AS next_quarter,
       lpad(cik::VARCHAR, 10, '0') AS cik10,
       CASE WHEN year(date_filed) < 1995 THEN strftime(date_filed, '%m%d%y')
-           WHEN date_filed < DATE '1998-04-01' THEN strftime(date_filed, '%y%m%d')
+           WHEN date_filed < DATE '1998-03-31' THEN strftime(date_filed, '%y%m%d')
            ELSE strftime(date_filed, '%Y%m%d') END AS idx_date_token,
       regexp_extract('https://www.sec.gov/Archives/edgar/data/320193/0000320193-20-000010-index.htm',
                      '^(.*)-', 1) || '.txt' AS txt_url

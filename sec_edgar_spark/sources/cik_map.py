@@ -25,13 +25,16 @@ def read_cik_map(spark: SparkSession, path: str) -> DataFrame:
     cik_lookup.py:35-37.
     """
     raw = spark.read.option("multiLine", "true").json(path)
-    # Each top-level field is one entry struct; stack them to rows.
-    entries = F.array(
-        *[F.col(f"`{c}`") for c in raw.columns]
-    )
+    # Each top-level field is one entry struct; stack them to rows in
+    # ordinal (insertion) order — the reference's dict comprehension
+    # (cik_lookup.py:35-37) makes the *last* occurrence of a duplicate
+    # ticker/title win, so the ordinal must survive to the dedup below.
+    ordered = sorted(raw.columns, key=int)
+    entries = F.array(*[F.col(f"`{c}`") for c in ordered])
     return (
-        raw.select(F.explode(entries).alias("e"))
+        raw.select(F.posexplode(entries).alias("ord", "e"))
         .select(
+            F.col("ord"),
             F.upper("e.ticker").alias("ticker"),
             F.upper("e.title").alias("title"),
             F.col("e.cik_str").cast("long").alias("cik_str"),
@@ -49,8 +52,21 @@ def resolve_ciks(lookups: DataFrame, cik_map: DataFrame) -> DataFrame:
     Returns (lookup_term, cik, resolved_by).
     """
     term = F.upper(F.col("lookup_term"))
-    tick = cik_map.select(F.col("ticker").alias("_t"), F.col("cik_str").alias("_tcik"))
-    title = cik_map.select(F.col("title").alias("_n"), F.col("cik_str").alias("_ncik"))
+    # One row per key, last JSON entry wins — mirrors the reference's
+    # dict-probe semantics (duplicate titles across share classes fan
+    # out a join otherwise; cik_lookup.py:35-37 keeps one value).
+    ord_col = (
+        F.col("ord") if "ord" in cik_map.columns else F.monotonically_increasing_id()
+    )
+    keyed = cik_map.withColumn("_ord", ord_col)
+    tick = (
+        keyed.groupBy(F.col("ticker").alias("_t"))
+        .agg(F.max_by("cik_str", "_ord").alias("_tcik"))
+    )
+    title = (
+        keyed.groupBy(F.col("title").alias("_n"))
+        .agg(F.max_by("cik_str", "_ord").alias("_ncik"))
+    )
     digits = F.col("lookup_term").rlike("^[0-9]+$")
     out = (
         lookups.join(broadcast(tick), term == F.col("_t"), "left")

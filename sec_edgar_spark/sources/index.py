@@ -65,11 +65,17 @@ def read_master_idx(
         F.element_at(parts, 5).alias("file_name_raw"),
         F.size(parts).alias("n_fields"),
     )
-    # F1: the reference's row-validity regex, as typed predicates.
+    # F1: the reference's row-validity regex, as typed predicates.  The
+    # regex ``^[0-9]+[|].+[|].+[|][0-9\-]+[|].+$`` (_index.py:161-162)
+    # requires every middle field non-empty (``.+``), so empty
+    # company/form/file fields must be rejected too.
     valid = parsed.filter(
         (F.col("n_fields") == 5)
         & F.col("cik_raw").rlike("^[0-9]+$")
         & F.col("date_raw").rlike("^[0-9-]+$")
+        & (F.col("company_name") != "")
+        & (F.col("form_type") != "")
+        & (F.regexp_replace(F.col("file_name_raw"), r"[\r\n]+$", "") != "")
     )
     file_name = F.regexp_replace(F.col("file_name_raw"), r"[\r\n]+$", "")
     return valid.select(
@@ -106,11 +112,13 @@ def quarterly_idx_path(base: str, year: int, quarter: int) -> str:
 def daily_idx_path(base: str, date) -> str:
     """Mirror path of a daily master index, with the era-dependent
     filename (daily.py:69-78, 103-132): MMddyy before 1995, yyMMdd
-    until 1998-03-31, yyyyMMdd after."""
+    before 1998-03-31 (exclusive — daily.py:129 uses a strict
+    ``< date(1998, 3, 31)``, so 1998-03-31 itself is yyyyMMdd),
+    yyyyMMdd from then on."""
     y, q = date.year, (date.month - 1) // 3 + 1
     if y < 1995:
         token = date.strftime("%m%d%y")
-    elif (y, date.month, date.day) < (1998, 4, 1):
+    elif (y, date.month, date.day) < (1998, 3, 31):
         token = date.strftime("%y%m%d")
     else:
         token = date.strftime("%Y%m%d")

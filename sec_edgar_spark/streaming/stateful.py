@@ -8,6 +8,16 @@ open session; a session CLOSES (and is emitted) when a later event
 arrives more than ``gap`` after it ends.  The still-open session stays
 in state across batches.
 
+Late-data semantics: an event arriving in a later micro-batch with an
+*older* timestamp never moves the session end backwards — it folds into
+the open session with ``start = min``, ``end = max`` if it overlaps the
+session's gap-extended interval, and is emitted as its own singleton
+closed session if it is older than ``session_start - gap`` (it could
+not have extended any session we still hold).  With ``flush_idle=True``
+(requires a watermark on the input) an event-time timeout emits the
+open session once the watermark passes ``session_end + gap``, so the
+final session per key is not held forever.
+
 State shape per user: (session_start_us, last_ts_us, n_events).
 Emitted rows: one per closed session.
 """
@@ -41,9 +51,17 @@ STATE_SCHEMA = StructType(
 
 
 def sessionize_stream(
-    events: DataFrame, gap_seconds: int = 1800
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    flush_idle: bool = False,
 ) -> DataFrame:
-    """events(user_id, ts) stream → closed-session stream."""
+    """events(user_id, ts) stream → closed-session stream.
+
+    With ``flush_idle=True`` the input must carry a watermark on ``ts``
+    (``events.withWatermark("ts", ...)``); idle sessions are then
+    flushed by an event-time timeout at ``session_end + gap`` instead
+    of waiting for the key's next event.
+    """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -52,6 +70,26 @@ def sessionize_stream(
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                }
+            )
+
+        if flush_idle and state.hasTimedOut:
+            # Watermark passed session_end + gap: the open session can
+            # no longer be extended — emit and drop the state.
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield emit([(user_id, start_us, last_us, n)])
+            return
+
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -63,23 +101,29 @@ def sessionize_stream(
                 ts_us = int(pd.Timestamp(ts).value // 1000)
                 if last_us is None:
                     start_us, last_us, n = ts_us, ts_us, 1
-                elif ts_us - last_us > gap_us:
+                elif ts_us > last_us + gap_us:
                     closed.append((user_id, start_us, last_us, n))
                     start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us < start_us - gap_us:
+                    # Too late to extend any session we still hold:
+                    # emit it as its own (already closed) session.
+                    closed.append((user_id, ts_us, ts_us, 1))
                 else:
-                    last_us = ts_us
+                    # In-session, possibly late: never move end backwards.
+                    start_us = min(start_us, ts_us)
+                    last_us = max(last_us, ts_us)
                     n += 1
         state.update((start_us, last_us, n))
+        if flush_idle and last_us is not None:
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
-                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
-                    "n_events": [c[3] for c in closed],
-                }
-            )
+            yield emit(closed)
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if flush_idle
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -87,6 +131,6 @@ def sessionize_stream(
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

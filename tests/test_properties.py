@@ -79,7 +79,7 @@ def test_daily_idx_path_eras(d):
     token = path.rsplit("master.", 1)[1].removesuffix(".idx")
     if d.year < 1995:
         assert token == d.strftime("%m%d%y")
-    elif (d.year, d.month, d.day) < (1998, 4, 1):
+    elif (d.year, d.month, d.day) < (1998, 3, 31):
         assert token == d.strftime("%y%m%d")
     else:
         assert token == d.strftime("%Y%m%d")
