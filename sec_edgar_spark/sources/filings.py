@@ -34,6 +34,7 @@ FETCH_RESULT = StructType(
         StructField("url", StringType()),
         StructField("status", LongType()),
         StructField("content", BinaryType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -42,17 +43,49 @@ def fetch_urls(
     urls: DataFrame,
     http_get: Callable[[str], tuple[int, bytes]],
     rate_limit: int = 10,
+    retry_count: int = 3,
+    backoff_factor: float = 0,
+    validate: bool = True,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> DataFrame:
-    """Rate-limited fetch stage over a one-column ``url`` DataFrame.
+    """Rate-limited, retrying fetch stage over a one-column ``url``
+    DataFrame.
 
     Reference semantics: at most ``rate_limit`` requests per wall-clock
-    second, globally (client.py:123-129, 266-277; ValueError above 10).
-    Implemented as a single-partition mapPartitions with per-second
-    batch pacing — the global budget cannot be shared across executors,
-    and at ≤10 req/s one task IS the throughput ceiling.
+    second, globally (client.py:123-129, 266-277; ValueError above 10),
+    each request passing through Retry(retry_count, backoff_factor,
+    raise_on_status=True) + EDGAR response validation
+    (client.py:154-205).  Implemented as a single-partition
+    mapPartitions with per-second batch pacing — the global budget
+    cannot be shared across executors, and at ≤10 req/s one task IS the
+    throughput ceiling.
+
+    A URL that exhausts its retries or fails validation is NOT allowed
+    to kill the whole job (at scale one poisoned URL out of millions
+    must not abort the stage): it yields a row with ``content=NULL``
+    and the ``EDGARQueryError`` text in ``error``.  Callers wanting the
+    reference's raise-on-first-failure behavior filter
+    ``error IS NOT NULL`` and raise driver-side.
     """
     if rate_limit > 10:
         raise ValueError("rate_limit must be ≤ 10 (EDGAR fair-access policy)")
+
+    from ..exceptions import EDGARQueryError
+    from .client import get_with_retry
+
+    def fetch_one(u: str) -> Row:
+        try:
+            status, content = get_with_retry(
+                http_get,
+                u,
+                retry_count=retry_count,
+                backoff_factor=backoff_factor,
+                validate=validate,
+                sleep=sleep,
+            )
+            return Row(url=u, status=status, content=content, error=None)
+        except EDGARQueryError as exc:
+            return Row(url=u, status=None, content=None, error=str(exc))
 
     def run(rows: Iterator[Row]) -> Iterator[Row]:
         batch: list[str] = []
@@ -61,15 +94,13 @@ def fetch_urls(
             if len(batch) == rate_limit:
                 start = time.monotonic()
                 for u in batch:
-                    status, content = http_get(u)
-                    yield Row(url=u, status=status, content=content)
+                    yield fetch_one(u)
                 elapsed = time.monotonic() - start
                 if elapsed < 1.0:
                     time.sleep(1.0 - elapsed)
                 batch = []
         for u in batch:
-            status, content = http_get(u)
-            yield Row(url=u, status=status, content=content)
+            yield fetch_one(u)
 
     return urls.select("url").coalesce(1).rdd.mapPartitions(run).toDF(FETCH_RESULT)
 
