@@ -1,20 +1,49 @@
 """Filing-type vocabulary (SURVEY §1.1).
 
 The reference ships an 804-member ``FilingType`` enum
-(core/filing_types.py:4-813) used only for request-param validation.
-The engine keeps the vocabulary as a *set* plus a structural validator:
-unknown-but-well-formed types pass with the structural check (EDGAR
-adds form types over time; a closed enum goes stale), while clearly
-malformed input still fails fast like the reference's FilingTypeError
-(exceptions.py:11-13).
+(core/filing_types.py:4-813) used for request-param validation: a type
+outside the enum raises ``FilingTypeError`` — including well-formed
+strings EDGAR simply hadn't issued when the enum was written.
+
+This engine ships the same 804 values as package DATA
+(``data/filing_types.txt``, one form code per line, extracted verbatim
+from the reference enum's values) and validates in two modes:
+
+- ``strict=True`` (default, exact reference parity): membership in the
+  804-value vocabulary, case-sensitive, else ``FilingTypeError``.
+- ``strict=False`` (forward-compatible): a structural check accepts
+  well-formed unknown types — EDGAR adds form types over time and a
+  closed vocabulary goes stale.
+
+The vocabulary is data, not code: Spark-side use is a broadcast
+``isin`` / IN-list predicate, never a Python-side loop.
 """
 
 from __future__ import annotations
 
 import re
+from functools import lru_cache
+from importlib import resources
 
-# Core vocabulary (the high-traffic subset; the full 804-member list is
-# validated structurally below).
+
+class FilingTypeError(ValueError):
+    """Invalid filing type (parity with reference exceptions.py:11-13)."""
+
+
+@lru_cache(maxsize=1)
+def filing_type_vocabulary() -> frozenset[str]:
+    """The reference's full 804-member form-type vocabulary
+    (core/filing_types.py:4-813, enum values verbatim)."""
+    text = (
+        resources.files("sec_edgar_spark.data")
+        .joinpath("filing_types.txt")
+        .read_text(encoding="utf-8")
+    )
+    return frozenset(line for line in text.split("\n") if line)
+
+
+# Core vocabulary (the high-traffic subset) — kept for broadcast
+# IN-list predicates where the full set is overkill.
 COMMON_FILING_TYPES = frozenset(
     {
         "10-K", "10-K/A", "10-Q", "10-Q/A", "8-K", "8-K/A",
@@ -27,15 +56,25 @@ COMMON_FILING_TYPES = frozenset(
     }
 )
 
-_STRUCTURE = re.compile(r"^[A-Z0-9][A-Z0-9 ./-]{0,18}(/A)?$")
+# Well-formed form code: the vocabulary's own shapes generalized
+# (upper/lower alphanumerics, space, dot, slash, dash; ≤19 chars).
+_STRUCTURE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9 ./-]{0,18}$")
 
 
-class FilingTypeError(ValueError):
-    """Invalid filing type (parity with reference exceptions.py:11-13)."""
+def validate_filing_type(form_type: str, strict: bool = True) -> str:
+    """Validate a form type.
 
-
-def validate_filing_type(form_type: str) -> str:
-    if not isinstance(form_type, str) or not _STRUCTURE.match(form_type or ""):
+    ``strict=True`` reproduces the reference enum exactly: only the
+    804 known values pass.  ``strict=False`` accepts any structurally
+    well-formed code (forward compatibility with new EDGAR forms).
+    """
+    if not isinstance(form_type, str):
+        raise FilingTypeError(f"invalid filing type: {form_type!r}")
+    if strict:
+        if form_type not in filing_type_vocabulary():
+            raise FilingTypeError(f"invalid filing type: {form_type!r}")
+        return form_type
+    if not _STRUCTURE.match(form_type):
         raise FilingTypeError(f"invalid filing type: {form_type!r}")
     return form_type
 
