@@ -61,6 +61,26 @@ def main() -> int:
     spark.range(1).count()
     for t in catalog.TABLES:
         catalog.table(spark, sf_dir, t).count()
+    # Warm the three engine paths whose first use otherwise lands on
+    # whichever query runs first (round-1 bench showed ~7s of Arrow +
+    # codegen warmup attributed to q1/text_quality): whole-stage
+    # codegen + hash-agg shuffle, the Python-worker pool + Arrow
+    # transfer (workers are reused afterwards), and a window exec.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    noop(spark.range(100000).groupBy(F.col("id") % 7).count())
+    noop(spark.range(10000).mapInPandas(lambda it: it, "id long"))
+    noop(
+        spark.range(10000).select(
+            F.row_number()
+            .over(Window.partitionBy(F.col("id") % 5).orderBy("id"))
+            .alias("rn")
+        )
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -359,6 +359,38 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+      quantile_disc(l_extendedprice, 0.5) AS p50,
+      quantile_disc(l_extendedprice, 0.9) AS p90,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for percentiles: ``percentile_approx`` (GK
+    sketch) over the FULL table — mergeable map-side partials, bounded
+    memory per group, no per-group value buffering (the exact variant
+    above needed a key-sample to stay feasible; this one doesn't).
+
+    Oracle parity: both engines return a discrete order statistic
+    (an actual data value).  At gate scale the group sizes (~20k) are
+    far below the sketch accuracy (1e6), so the GK summary is exact
+    and matches DuckDB's ``quantile_disc`` element-for-element
+    (verified empirically at sf0.01).  At 100 TB the same operator
+    degrades gracefully to a 1e-6 relative-rank error instead of
+    OOMing.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000000).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "q2_max_per_group_join",
     oracle="""
     SELECT p.p_brand, p.p_partkey, p.p_retailprice

@@ -123,3 +123,55 @@ def daily_idx_path(base: str, date) -> str:
     else:
         token = date.strftime("%Y%m%d")
     return f"{base}/daily-index/{y}/QTR{q}/master.{token}.idx"
+
+
+# --------------------------------------------------------------------------
+# S3 — listings-directory existence check (reference _index.py:100-143)
+# --------------------------------------------------------------------------
+
+
+def listing_idx_filenames(listing_html: str) -> set[str]:
+    """``master.<token>.idx`` filenames present in a quarter's
+    listings-directory page (the page the reference fetches in
+    ``_get_listings_directory``, _index.py:100-115)."""
+    import re
+
+    return set(re.findall(r"master\.[0-9]+\.idx", listing_html))
+
+
+def check_idx_available(listing_html: str, idx_filename: str) -> None:
+    """The reference's pre-scan membership check (_index.py:130-143):
+    substring containment of the idx filename in the listings page,
+    ``EDGARQueryError`` when absent (no filings that day — weekends,
+    holidays)."""
+    from ..exceptions import EDGARQueryError
+
+    if idx_filename not in listing_html:
+        raise EDGARQueryError(
+            f"File {idx_filename} not found. "
+            "There may be no filings for the given day/quarter."
+        )
+
+
+def available_daily_idx_paths(
+    base: str, dates, listing_html_by_quarter: dict
+) -> tuple[list[str], list]:
+    """Graceful missing-day handling for a multi-day scan.
+
+    ``listing_html_by_quarter`` maps ``(year, quarter)`` to that
+    quarter's listings-directory page (one fetch per quarter, like the
+    reference's per-object cache).  Returns (paths_present,
+    dates_missing): the scan reads only idx files the directory
+    actually lists, instead of erroring on the first holiday.
+    """
+    present, missing = [], []
+    for d in dates:
+        q = (d.month - 1) // 3 + 1
+        listing = listing_html_by_quarter.get((d.year, q), "")
+        path = daily_idx_path(base, d)
+        filename = path.rsplit("/", 1)[1]
+        if filename in listing_idx_filenames(listing):
+            present.append(path)
+        else:
+            missing.append(d)
+    return present, missing
