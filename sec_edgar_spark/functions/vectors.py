@@ -57,3 +57,26 @@ def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> C
         )
         acc = acc + F.when(d >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
+
+
+def dot_literal(a: Column | str, vec: list[float]) -> Column:
+    """Left-fold dot of a column vector with literal floats — same
+    fold the oracle SQL writes out explicitly."""
+    parr = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(as_double(a), parr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, p: s + p,
+    )
+
+
+def nearest_centroid(a: Column | str, centroids: list[list[float]]) -> Column:
+    """1-based argmax over centroid dot products (IVF cell id).
+
+    Pure expression: K literal-dot products, array_position of the
+    max.  Both engines compute identical doubles from identical
+    constants and fold order, so the equality probe inside
+    array_position is exact.
+    """
+    arr = F.array(*[dot_literal(a, c) for c in centroids])
+    return F.array_position(arr, F.array_max(arr)).cast("long")

@@ -231,6 +231,62 @@ def minhash_lsh_dedup(
     return jaccard_verify(pairs, sets, id_col, threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int = 50,
+    eager: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    Candidate generation: two docs are candidates iff they share at
+    least one *discriminative* shingle — shingles occurring in more
+    than ``max_doc_freq`` documents (boilerplate headers, stopword
+    runs) are dropped from the index first, which is what keeps the
+    posting-list self-join from going quadratic on common text.  The
+    Jaccard itself is then computed on the FULL shingle sets (the cap
+    only prunes candidate generation, never the similarity value).
+
+    Scale shape: one shingle explode (cached, used by the index and
+    the verify sets), a broadcast anti-join against the tiny hot-
+    shingle set, a shuffle-on-shingle self-join, then colocated
+    array_intersect/array_union per pair.  When even the capped index
+    is too dense, MinHash-LSH (``minhash_lsh_dedup``) is the
+    sub-linear fallback; this operator is the exact tier.
+    """
+    from pyspark.sql.functions import broadcast
+
+    sh = shingle_rows(df, id_col, text_col, n).cache()
+    if eager:
+        sh.count()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    capped = sh.join(broadcast(hot), "shingle", "left_anti")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = shingle_sets_from_rows(sh, id_col)
+    return jaccard_verify(pairs, sets, id_col, threshold)
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:

@@ -84,3 +84,48 @@ def lsh_bucketed_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivf_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid (coarse quantizer), score only within the query's cell.
+
+    The cell id is a pure expression (K literal dots + argmax), so
+    candidate generation is an equi-join on the cell — the same
+    never-all-pairs shape as the LSH variant, but data-adaptive when
+    the centroids come from a (deterministic) training pass.  Raising
+    recall = probing more cells (union of per-cell joins).
+    """
+    keyed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        V.norm(vec_col).alias("c_nrm"),
+        V.nearest_centroid(vec_col, centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        V.norm(vec_col).alias("q_nrm"),
+        V.nearest_centroid(vec_col, centroids).alias("q_cell"),
+    )
+    scored = keyed.join(
+        broadcast(q),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

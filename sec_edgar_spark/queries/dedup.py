@@ -274,3 +274,45 @@ def dedup_prefix_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), shingled AS (
+      SELECT doc_id, {_shingles_sql()} AS sh FROM tokd WHERE len(toks) >= 3
+    ), rws AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shingled
+    ), hot AS (
+      SELECT shingle FROM rws GROUP BY shingle HAVING COUNT(*) > 50
+    ), capped AS (
+      SELECT * FROM rws WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), candidates AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM candidates c
+    JOIN shingled sa ON c.id_a = sa.doc_id
+    JOIN shingled sb ON c.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup: inverted-index candidate generation
+    (doc-frequency-capped shingle self-join — boilerplate shingles
+    never join) + exact set Jaccard on the full shingle sets.  The
+    exact tier above MinHash-LSH: same output contract, no hashing
+    approximation in candidate recall except the df-cap."""
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=50
+    )

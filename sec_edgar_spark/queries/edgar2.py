@@ -180,3 +180,81 @@ def edgar_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").cast("bigint").alias("first_event"),
         )
     )
+
+
+@query(
+    "edgar_company_pagination",
+    oracle="""
+    WITH filings AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+        strftime(o_orderdate, '%Y-%m-%d') AS dt,
+        CASE WHEN o_orderkey % 3 = 0 THEN '10-K' ELSE '10-Q' END AS typ,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_custkey <= 40
+    ), typed AS (
+      SELECT ck, ok, dt, typ,
+        ROW_NUMBER() OVER (PARTITION BY ck ORDER BY rn) AS sel
+      FROM filings WHERE typ = '10-Q'
+    )
+    SELECT
+      lpad(CAST(ck AS VARCHAR), 10, '0') AS lookup_cik,
+      lpad(CAST(ck AS VARCHAR), 10, '0') AS cik,
+      CAST(dt AS DATE) AS datefiled,
+      'https://www.sec.gov/Archives/edgar/data/' || ck || '/' || ok || '-index.htm'
+        AS filinghref,
+      typ AS type,
+      'https://www.sec.gov/Archives/edgar/data/' || ck || '/' || ok || '.txt'
+        AS txt_url
+    FROM typed WHERE sel <= 12
+    """,
+)
+def edgar_company_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 pagination roundtrip on the gate: synthesize browse-edgar XML
+    pages (10 filings per page, built with codegen'd string exprs from
+    ``orders``), then run the PRODUCTION paged-listing parse —
+    from_xml, posexplode, exact-type re-check, per-CIK count
+    truncation in (page_idx, pos) order, txt-URL derivation
+    (sources/company_listing.parse_paged_listing; reference
+    company.py:269-303)."""
+    from pyspark.sql import Window
+
+    from ..sources.company_listing import parse_paged_listing
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 40)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    numbered = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+        F.when(F.col("o_orderkey") % 3 == 0, "10-K").otherwise("10-Q").alias("typ"),
+        (F.row_number().over(w) - 1).alias("rn0"),
+    )
+    fragment = F.concat(
+        F.lit("<filing><dateFiled>"), F.col("dt"),
+        F.lit("</dateFiled><filingHREF>"
+              "https://www.sec.gov/Archives/edgar/data/"),
+        F.col("ck").cast("string"), F.lit("/"), F.col("ok").cast("string"),
+        F.lit("-index.htm</filingHREF><formName>Report</formName><type>"),
+        F.col("typ"), F.lit("</type></filing>"),
+    )
+    pages = (
+        numbered.select(
+            F.lpad(F.col("ck").cast("string"), 10, "0").alias("lookup_cik"),
+            (F.col("rn0") / 10).cast("int").alias("page_idx"),
+            F.struct((F.col("rn0") % 10).alias("pos"), fragment.alias("frag")).alias("pf"),
+        )
+        .groupBy("lookup_cik", "page_idx")
+        .agg(
+            F.concat(
+                F.lit("<companyFilings><companyInfo><CIK>"),
+                F.col("lookup_cik"),
+                F.lit("</CIK><name>Synth Co.</name></companyInfo><results>"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("pf")), lambda s: s["frag"]),
+                    "",
+                ),
+                F.lit("</results></companyFilings>"),
+            ).alias("xml")
+        )
+    )
+    return parse_paged_listing(pages, filing_type="10-Q", count=12)

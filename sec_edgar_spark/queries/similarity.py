@@ -252,3 +252,61 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), LSH_PLANES, k=TOP_K
     ).select("query_id", "neighbor_id", "cosine", "rk")
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """8 fixed pseudo-centroids, seed 7 — a deterministic stand-in for
+    a k-means training pass, shared verbatim with the oracle SQL (a
+    real deployment would persist trained centroids and inline them
+    the same way)."""
+    import random
+
+    rng = random.Random(7)
+    return [[rng.gauss(0, 1) for _ in range(EMB_DIM)] for _ in range(8)]
+
+
+IVF_CENTROIDS = _ivf_centroids()
+
+
+def _cell_sql(vec: str) -> str:
+    dots = ", ".join(_plane_dot_sql(vec, c) for c in IVF_CENTROIDS)
+    return (
+        f"CAST(list_position([{dots}], "
+        f"list_aggregate([{dots}], 'max')) AS BIGINT)"
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding,
+        sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+        {_cell_sql('embedding')} AS cell
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM keyed q JOIN keyed c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: coarse-quantize every vector to
+    its nearest of 8 fixed centroids, exact cosine only within the
+    query's cell.  Data-adaptive counterpart to ann_lsh_topk; centroid
+    constants are inlined into the oracle SQL so the approximate path
+    is value-checked end-to-end."""
+    from ..operators.similarity import ivf_bucketed_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_bucketed_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), IVF_CENTROIDS, k=TOP_K
+    ).select("query_id", "neighbor_id", "cosine", "rk")

@@ -221,6 +221,24 @@ def company_filing_urls(
         ):
             rows.append((cik, i, page))
     pages = spark.createDataFrame(rows, "lookup_cik string, page_idx int, xml string")
+    return parse_paged_listing(pages, filing_type=filing_type, count=count)
+
+
+def parse_paged_listing(
+    pages: DataFrame,
+    filing_type: str | None = None,
+    count: int | None = None,
+) -> DataFrame:
+    """The DataFrame half of L2: (lookup_cik, page_idx, xml) page rows
+    → typed listing rows, exact-type re-check, per-CIK ``count``
+    truncation in page order (reference company.py:295-303
+    ``txt_urls[:count]``), txt-URL derivation.
+
+    The truncation is a row_number window over (page_idx, pos) — Spark
+    plans it as WindowGroupLimit (rank pushdown), no full sort.
+    """
+    from pyspark.sql import Window
+
     doc = F.from_xml(F.col("xml"), COMPANY_FILINGS_XML)
     parsed = pages.select(
         "lookup_cik",
