@@ -38,6 +38,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "edgar_sgml_roundtrip",
     "edgar_form4_roundtrip",
+    # round 2 additions
+    "agg_percentiles_approx",
+    "dedup_ngram_jaccard_pairs",
+    "ann_ivf_topk",
+    "edgar_company_pagination",
 ]
 
 
