@@ -43,6 +43,7 @@ def filings(
     user_filter: Column | Callable | None = None,
     ownership: str = "include",
     match_format: str = "ALL",
+    fetch_html: Callable | None = None,
 ) -> DataFrame:
     """Build the filing query plan over the canonical index DataFrame.
 
@@ -80,11 +81,18 @@ def filings(
     if cik_lookup is not None:
         if cik_map is None:
             raise ValueError("cik_lookup requires cik_map")
-        from ..sources.cik_map import resolve_ciks
+        if fetch_html is not None:
+            # Full reference chain: map probe, then HTML-scrape the
+            # unresolved remainder (cik_lookup.py:107-174).
+            from ..sources.cik_scrape import resolve_ciks_with_scrape
 
+            chain = resolve_ciks_with_scrape(cik_lookup, cik_map, fetch_html)
+        else:
+            from ..sources.cik_map import resolve_ciks
+
+            chain = resolve_ciks(cik_lookup, cik_map)
         resolved = (
-            resolve_ciks(cik_lookup, cik_map)
-            .filter(F.col("cik").isNotNull())
+            chain.filter(F.col("cik").isNotNull())
             .select("cik")
             .distinct()
         )

@@ -116,3 +116,22 @@ def test_resolve_with_scrape_end_to_end(spark):
     assert got["AAPL"].resolved_by == "ticker"
     assert got["unknown co"].cik == 320193
     assert got["unknown co"].resolved_by == "scrape"
+
+
+def test_filings_facade_with_scrape(spark):
+    """filings(cik_lookup=..., fetch_html=...) routes unresolved terms
+    through the scrape stage (reference cik_lookup.py:107-174 chain)."""
+    from sec_edgar_spark.plans.filings import filings
+    from sec_edgar_spark.sources.cik_map import read_cik_map
+    from sec_edgar_spark.sources.index import read_master_idx
+
+    index = read_master_idx(spark, "tests/data/full-index/1996/QTR4/master.idx")
+    cik_map = read_cik_map(spark, "tests/data/company_tickers.json")
+    single = fixture("single_cik_search_result.html")  # resolves to 320193
+
+    def fetch_html(params):
+        return single
+
+    lookups = spark.createDataFrame([("not in map",)], ["lookup_term"])
+    got = filings(index, cik_lookup=lookups, cik_map=cik_map, fetch_html=fetch_html)
+    assert {r.cik for r in got.collect()} <= {320193}
