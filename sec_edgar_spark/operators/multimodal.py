@@ -5,8 +5,10 @@ metadata struct; the Spark-side plumbing — schema, batching, partition
 sizing, UDF signatures — is real and tested, while the actual
 decode/resample kernels are STUBBED (the codec libraries are not in
 this container): ``decode_image_meta`` parses only magic-number headers
-deterministically, and ``extract_features`` raises NotImplementedError
-unless handed a ``kernel``.
+deterministically (magic sniff + real PNG/GIF/JPEG header-dimension
+parsing — pure byte arithmetic, no codec needed), and
+``extract_features`` raises NotImplementedError unless handed a
+``kernel``.
 
 Scale shape: media rows are large and skewed → ``mapInPandas`` with
 small Arrow batches (``spark.sql.execution.arrow.maxRecordsPerBatch``),
@@ -72,6 +74,55 @@ def png_dimensions(blob: bytes) -> tuple[int | None, int | None]:
     return None, None
 
 
+def gif_dimensions(blob: bytes) -> tuple[int | None, int | None]:
+    """GIF logical-screen dimensions (little-endian at fixed offset)."""
+    if blob and blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        return w, h
+    return None, None
+
+
+def jpeg_dimensions(blob: bytes) -> tuple[int | None, int | None]:
+    """JPEG dimensions from the first SOF segment (marker scan —
+    header-only, no entropy decode)."""
+    if not blob or not blob.startswith(b"\xff\xd8"):
+        return None, None
+    i = 2
+    n = len(blob)
+    while i + 9 <= n:  # SOF reads up to blob[i+8]
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone marker, no length
+            continue
+        seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(blob[i + 5 : i + 7], "big")
+            w = int.from_bytes(blob[i + 7 : i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    return None, None
+
+
+def media_dimensions(blob: bytes | None) -> tuple[int | None, int | None]:
+    """Dispatch header-dimension extraction by sniffed format."""
+    fmt = sniff_format(blob)
+    if fmt == "png":
+        return png_dimensions(blob)
+    if fmt == "gif":
+        return gif_dimensions(blob)
+    if fmt == "jpeg":
+        return jpeg_dimensions(blob)
+    return None, None
+
+
 def decode_image_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """Arrow-batched metadata pass: format sniff + header dims + size.
 
@@ -97,7 +148,7 @@ def decode_image_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             for blob in pdf[blob_col]:
                 b = bytes(blob) if blob is not None else None
                 fmts.append(sniff_format(b))
-                w, h = png_dimensions(b) if b else (None, None)
+                w, h = media_dimensions(b) if b else (None, None)
                 ws.append(w)
                 hs.append(h)
                 ns.append(len(b) if b is not None else None)

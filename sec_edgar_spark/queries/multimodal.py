@@ -39,3 +39,76 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(d, "blob").select(
         "doc_id", "format", "width", "height", "n_bytes"
     )
+
+
+def _be2_sql(expr: str) -> str:
+    """DuckDB: value → 2-byte big-endian hex (for expected-dims math
+    the oracle computes arithmetically — no blob construction needed)."""
+    return expr  # dims are checked as ints; helper kept for clarity
+
+
+@query(
+    "multimodal_media_dims",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                      WHEN 2 THEN 'jpeg' ELSE 'riff' END AS format,
+      CASE doc_id % 4 WHEN 3 THEN 0
+           ELSE CAST(doc_id % 1920 + 1 AS INT) END AS width,
+      CASE doc_id % 4 WHEN 3 THEN 0
+           ELSE CAST(doc_id % 1080 + 1 AS INT) END AS height,
+      CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 10
+                           WHEN 2 THEN 11 ELSE 12 END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-dimension roundtrip on the gate: build REAL format
+    headers (PNG IHDR big-endian, GIF little-endian, JPEG SOF0 marker
+    segment, RIFF/WAVE magic) from table values with codegen'd byte
+    expressions, then recover format/width/height through the
+    production Arrow-batched metadata pass
+    (operators/multimodal.decode_image_meta).  The oracle computes the
+    expected values arithmetically — so the byte-level parsers are
+    value-checked, not just sniff-checked."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    w = F.col("doc_id") % 1920 + 1
+    h = F.col("doc_id") % 1080 + 1
+
+    def be(col, nbytes):
+        # int → fixed-width big-endian bytes via hex/lpad/unhex
+        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+    def le2(col):
+        lo = col % 256
+        hi = (col / 256).cast("long") % 256
+        return F.concat(be(lo, 1), be(hi, 1))
+
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        be(w, 4),
+        be(h, 4),
+    )  # 24 bytes
+    gif = F.concat(F.lit(b"GIF89a"), le2(w), le2(h))  # 10 bytes
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8\xff\xc0\x00\x11\x08"), be(h, 2), be(w, 2)
+    )  # 11 bytes
+    wav = F.concat(F.lit(b"RIFF"), F.lit(b"\x00\x00\x00\x00"), F.lit(b"WAVE"))  # 12
+    blob = (
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, gif)
+        .when(F.col("doc_id") % 4 == 2, jpeg)
+        .otherwise(wav)
+    )
+    media = d.select("doc_id", blob.alias("blob"))
+    # Dims coalesce to 0 for non-image formats: a NULL in a mixed
+    # int column becomes NaN on the comparator's pandas path and
+    # NaN != NaN breaks the value hash — 0 is the gate-stable encoding.
+    return decode_image_meta(media, "blob").select(
+        "doc_id",
+        "format",
+        F.coalesce("width", F.lit(0)).alias("width"),
+        F.coalesce("height", F.lit(0)).alias("height"),
+        "n_bytes",
+    )

@@ -77,3 +77,43 @@ def test_streaming_dedup_drops_later_copies(spark, tmp_path):
         assert 4 not in ids and 5 in ids
     finally:
         q.stop()
+
+
+def test_media_header_parsers_golden():
+    """Pure-byte header parsers against real and synthetic headers."""
+    from sec_edgar_spark.operators.multimodal import (
+        gif_dimensions,
+        jpeg_dimensions,
+        media_dimensions,
+        png_dimensions,
+    )
+
+    with open("tests/data/sample.png", "rb") as fh:
+        png = fh.read()
+    w, h = png_dimensions(png)
+    assert w and h and w > 0 and h > 0
+    assert media_dimensions(png) == (w, h)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert gif_dimensions(gif) == (320, 200)
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x04\x00\x00"          # APP0 segment (skipped)
+        + b"\xff\xc2\x00\x11\x08"              # SOF2 (progressive)
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+    )
+    assert jpeg_dimensions(jpeg) == (640, 480)
+
+    # DHT (C4) must NOT be treated as SOF.
+    jpeg_dht_first = (
+        b"\xff\xd8"
+        + b"\xff\xc4\x00\x04\x00\x00"
+        + b"\xff\xc0\x00\x11\x08"
+        + (10).to_bytes(2, "big") + (20).to_bytes(2, "big")
+    )
+    assert jpeg_dimensions(jpeg_dht_first) == (20, 10)
+
+    assert media_dimensions(b"RIFF\x00\x00\x00\x00WAVE") == (None, None)
+    assert media_dimensions(b"") == (None, None)
+    assert media_dimensions(None) == (None, None)
