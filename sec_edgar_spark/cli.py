@@ -38,6 +38,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     from .sources.index import read_master_idx
 
     spark = spark or get_spark(app_name="sec-edgar-spark-cli")
+    if args.filing_type and args.filing_type.startswith("FILING_"):
+        # Reference-CLI parity: accept enum NAMES like FILING_10K
+        # (ref cli.py:90-93 FilingType[ftype] lookup).
+        from .filing_types import FilingTypeError, filing_type_enum
+
+        try:
+            args.filing_type = filing_type_enum()[args.filing_type]
+        except KeyError:
+            raise FilingTypeError(f"invalid filing type: {args.filing_type!r}")
     if args.index.endswith(".idx") or "*" in args.index:
         index = read_master_idx(spark, args.index)
     else:

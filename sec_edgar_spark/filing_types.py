@@ -31,15 +31,29 @@ class FilingTypeError(ValueError):
 
 
 @lru_cache(maxsize=1)
-def filing_type_vocabulary() -> frozenset[str]:
-    """The reference's full 804-member form-type vocabulary
-    (core/filing_types.py:4-813, enum values verbatim)."""
+def filing_type_enum() -> dict[str, str]:
+    """The reference's full 804-member FilingType enum as a
+    name→value dict (core/filing_types.py:4-813, verbatim) — e.g.
+    ``{"FILING_10K": "10-K", ...}``.  The CLI accepts these enum
+    names like the reference's ``FilingType[ftype]`` lookup
+    (cli.py:90-93)."""
     text = (
         resources.files("sec_edgar_spark.data")
         .joinpath("filing_types.txt")
         .read_text(encoding="utf-8")
     )
-    return frozenset(line for line in text.split("\n") if line)
+    out = {}
+    for line in text.split("\n"):
+        if line:
+            name, _, value = line.partition("\t")
+            out[name] = value
+    return out
+
+
+@lru_cache(maxsize=1)
+def filing_type_vocabulary() -> frozenset[str]:
+    """The 804 form-type *values* (enum values verbatim)."""
+    return frozenset(filing_type_enum().values())
 
 
 # Core vocabulary (the high-traffic subset) — kept for broadcast

@@ -58,3 +58,26 @@ def test_lowercase_enum_members_accepted():
     # The reference enum really does contain lowercase values.
     assert validate_filing_type("10-k405") == "10-k405"
     assert validate_filing_type("sec staff action") == "sec staff action"
+
+
+def test_enum_name_lookup():
+    from sec_edgar_spark.filing_types import filing_type_enum
+
+    e = filing_type_enum()
+    assert e["FILING_10K"] == "10-K"
+    assert e["FILING_4"] == "4"
+    assert len(e) == 804
+
+
+def test_cli_accepts_enum_name(spark):
+    from sec_edgar_spark.cli import main
+
+    rc = main(
+        [
+            "--index", "tests/data/full-index/1996/QTR4/master.idx",
+            "--filing-type", "FILING_10K",
+            "--show", "1",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
