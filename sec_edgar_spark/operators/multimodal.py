@@ -207,3 +207,71 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             "frame_index"
         ),
     )
+
+
+def wav_meta(blob: bytes | None) -> tuple[int | None, int | None, int | None]:
+    """(channels, sample_rate, n_samples) from RIFF/WAVE chunks —
+    header-only byte walk, no audio decode.
+
+    ``n_samples`` = data-chunk byte length / block align; duration_s =
+    n_samples / sample_rate downstream.  Returns NULLs for anything
+    that is not a well-formed WAVE.
+    """
+    if not blob or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None, None, None
+    channels = rate = block_align = None
+    data_len = None
+    i = 12
+    n = len(blob)
+    while i + 8 <= n:
+        cid = blob[i : i + 4]
+        clen = int.from_bytes(blob[i + 4 : i + 8], "little")
+        body = blob[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    n_samples = (
+        data_len // block_align
+        if data_len is not None and block_align
+        else None
+    )
+    return channels, rate, n_samples
+
+
+AUDIO_META_SCHEMA_FIELDS = [
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+]
+
+
+def decode_audio_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched WAVE metadata pass — same mapInPandas shape as
+    ``decode_image_meta``; a real resample/transcode kernel drops into
+    the same stage."""
+    out_schema = StructType(
+        [f for f in df.schema.fields] + AUDIO_META_SCHEMA_FIELDS
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            chs, rates, samps = [], [], []
+            for blob in pdf[blob_col]:
+                b = bytes(blob) if blob is not None else None
+                c, r, s = wav_meta(b)
+                chs.append(c)
+                rates.append(r)
+                samps.append(s)
+            pdf = pdf.copy()
+            pdf["channels"] = pd.array(chs, dtype="Int32")
+            pdf["sample_rate"] = pd.array(rates, dtype="Int32")
+            pdf["n_samples"] = pd.array(samps, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

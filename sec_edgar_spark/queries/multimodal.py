@@ -112,3 +112,79 @@ def multimodal_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("height", F.lit(0)).alias("height"),
         "n_bytes",
     )
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(doc_id % 2 + 1 AS INT) AS channels,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           ELSE 44100 END AS INT) AS sample_rate,
+      CAST((doc_id % 1000 + 1) AS BIGINT) AS n_samples,
+      round(CAST(doc_id % 1000 + 1 AS DOUBLE)
+            / (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               ELSE 44100 END), 6) AS duration_s
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata roundtrip on the gate: build well-formed
+    RIFF/WAVE headers (fmt chunk: channels/sample-rate/block-align;
+    data chunk sized for n_samples) with codegen'd byte expressions,
+    recover (channels, sample_rate, n_samples) through the production
+    Arrow-batched WAVE walk (operators/multimodal.decode_audio_meta),
+    derive duration.  Oracle computes expectations arithmetically."""
+    from ..operators.multimodal import decode_audio_meta
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    channels = F.col("doc_id") % 2 + 1
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+    )
+    n_samples = F.col("doc_id") % 1000 + 1
+    bits = 16
+    block_align = channels * (bits // 8)
+    byte_rate = rate * block_align
+    data_len = n_samples * block_align
+
+    def le(col, nbytes):
+        # int → fixed-width little-endian bytes: byte-reverse the
+        # big-endian unhex
+        be_hex = F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+        parts = [
+            F.unhex(F.substring(be_hex, 2 * i + 1, 2))
+            for i in reversed(range(nbytes))
+        ]
+        return F.concat(*parts)
+
+    fmt_chunk = F.concat(
+        F.lit(b"fmt "), le(F.lit(16), 4),
+        le(F.lit(1), 2),          # PCM
+        le(channels, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(F.lit(bits), 2),
+    )
+    # data chunk: header only — the metadata walk reads the declared
+    # length, never the sample bytes, so the blob stays header-sized
+    # (a real file would carry data_len bytes after this header).
+    data_chunk = F.concat(F.lit(b"data"), le(data_len, 4))
+    riff_len = F.lit(4 + 8 + 16 + 8) + data_len  # WAVE + fmt + data hdrs
+    blob = F.concat(
+        F.lit(b"RIFF"), le(riff_len, 4), F.lit(b"WAVE"), fmt_chunk, data_chunk
+    )
+    media = d.select("doc_id", blob.alias("blob"))
+    meta = decode_audio_meta(media, "blob")
+    return meta.select(
+        "doc_id",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        F.round(
+            F.col("n_samples").cast("double") / F.col("sample_rate"), 6
+        ).alias("duration_s"),
+    )

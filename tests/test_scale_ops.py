@@ -117,3 +117,21 @@ def test_media_header_parsers_golden():
     assert media_dimensions(b"RIFF\x00\x00\x00\x00WAVE") == (None, None)
     assert media_dimensions(b"") == (None, None)
     assert media_dimensions(None) == (None, None)
+
+
+def test_wav_meta_golden():
+    from sec_edgar_spark.operators.multimodal import wav_meta
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    fmt = b"fmt " + le(16, 4) + le(1, 2) + le(2, 2) + le(44100, 4) + le(176400, 4) + le(4, 2) + le(16, 2)
+    data = b"data" + le(400, 4) + b"\x00" * 400
+    wav = b"RIFF" + le(4 + len(fmt) + len(data), 4) + b"WAVE" + fmt + data
+    assert wav_meta(wav) == (2, 44100, 100)
+    # LIST chunk before fmt must be skipped; odd-length chunk padding honored.
+    junk = b"LIST" + le(3, 4) + b"abc" + b"\x00"
+    wav2 = b"RIFF" + le(4 + len(junk) + len(fmt) + len(data), 4) + b"WAVE" + junk + fmt + data
+    assert wav_meta(wav2) == (2, 44100, 100)
+    assert wav_meta(b"RIFF\x00\x00\x00\x00AVI ") == (None, None, None)
+    assert wav_meta(None) == (None, None, None)
