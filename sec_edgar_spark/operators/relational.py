@@ -82,3 +82,33 @@ def grouped_collect(
     """A1 group-by-key list aggregation with deterministic (sorted)
     order — the dict[cik → list] shape of _index.py:174-178."""
     return df.groupBy(key).agg(F.sort_array(F.collect_list(value)).alias(out_col))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the fact side, replicate the dim side.
+
+    Each fact row gets a random-but-deterministic salt in
+    [0, salt_buckets); the dim side is exploded ``salt_buckets``× so
+    every (key, salt) pair exists — a hot fact key's rows now land on
+    ``salt_buckets`` reducers instead of one.  Use when the dim side
+    is too big to broadcast AND AQE's skew split (which handles the
+    sorted-merge case automatically) is unavailable or insufficient;
+    dim replication costs salt_buckets× its size, so keep the dim the
+    smaller input.
+    """
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+    )
+    replicated_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
+    )
+    out = salted_fact.join(replicated_dim, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -83,3 +83,55 @@ def test_daily_idx_path_eras(d):
         assert token == d.strftime("%y%m%d")
     else:
         assert token == d.strftime("%Y%m%d")
+
+
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+)
+@settings(max_examples=100, deadline=None)
+def test_media_header_roundtrip(w, h):
+    """Construct→parse roundtrip for every header parser."""
+    from sec_edgar_spark.operators.multimodal import (
+        gif_dimensions,
+        jpeg_dimensions,
+        png_dimensions,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    )
+    assert png_dimensions(png) == (w, h)
+
+    gif = b"GIF87a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    assert gif_dimensions(gif) == (w, h)
+
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xe1\x00\x04\x00\x00"
+        + b"\xff\xc0\x00\x11\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    )
+    assert jpeg_dimensions(jpeg) == (w, h)
+
+
+@given(
+    channels=st.integers(min_value=1, max_value=8),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    n_samples=st.integers(min_value=0, max_value=10**6),
+    bits=st.sampled_from([8, 16, 24, 32]),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_meta_roundtrip(channels, rate, n_samples, bits):
+    from sec_edgar_spark.operators.multimodal import wav_meta
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    block = channels * bits // 8
+    fmt = (
+        b"fmt " + le(16, 4) + le(1, 2) + le(channels, 2) + le(rate, 4)
+        + le(rate * block, 4) + le(block, 2) + le(bits, 2)
+    )
+    data = b"data" + le(n_samples * block, 4)
+    wav = b"RIFF" + le(4 + len(fmt) + len(data), 4) + b"WAVE" + fmt + data
+    assert wav_meta(wav) == (channels, rate, n_samples)

@@ -135,3 +135,18 @@ def test_wav_meta_golden():
     assert wav_meta(wav2) == (2, 44100, 100)
     assert wav_meta(b"RIFF\x00\x00\x00\x00AVI ") == (None, None, None)
     assert wav_meta(None) == (None, None, None)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sec_edgar_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", f"k{i % 7}")],
+        ["key", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3)], ["key", "d"]
+    )
+    got = salted_join(fact, dim, "key").groupBy("key").count().collect()
+    want = fact.join(dim, "key").groupBy("key").count().collect()
+    assert {(r.key, r["count"]) for r in got} == {(r.key, r["count"]) for r in want}
