@@ -16,6 +16,7 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import parsing_q  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 
 def queries():

@@ -1,0 +1,113 @@
+"""Dataset-curation queries (operators/sampling.py on the oracle gate).
+
+The md5-based hash is engine-portable, so sampling/split/packing
+decisions — not just aggregates of them — are value-checked against
+DuckDB row by row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import query
+
+# DuckDB twin of functions/text.md5_hash64 (60-bit md5 prefix).
+_H = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "curation_split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+      CAST({_H} % 100 AS BIGINT) AS bucket,
+      CASE WHEN {_H} % 100 >= 90 THEN 'test'
+           WHEN {_H} % 100 >= 80 THEN 'val'
+           ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def curation_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by doc-key hash — stable across
+    re-runs/partitionings (never rand()); the split decision itself is
+    on the value gate."""
+    from ..operators.sampling import hash_bucket, split_assign
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_bucket("doc_id").alias("bucket"),
+        split_assign("doc_id", val_pct=10, test_pct=10).alias("split"),
+    )
+
+
+@query(
+    "curation_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+      CAST(floor((SUM(n_tokens) OVER (
+          PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing into ~512-token training sequences,
+    sharded per language (one window per shard — packing parallelizes
+    across partitions; a doc straddling a boundary joins the pack
+    where it starts)."""
+    from ..functions import text as T
+    from ..operators.sampling import pack_sequences
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, order_col="doc_id", token_count_col="n_tokens",
+        budget=512, partition_col="lang",
+    )
+
+
+@query(
+    "curation_decontaminate",
+    oracle="""
+    WITH tokd AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(toks) - 7, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+               toks[i+6] || ' ' || toks[i+7])) AS sh
+      FROM tokd
+    ), train_sh AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shingled WHERE doc_id % 13 <> 0
+    ), eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM shingled WHERE doc_id % 13 = 0
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlapping_shingles
+    FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: train docs (doc_id % 13 != 0)
+    sharing any 8-gram with the held-out eval slice (doc_id % 13 = 0).
+    Inverted-index semi-join on the shingle — never all-pairs."""
+    from ..operators.sampling import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    return decontaminate(train, eval_df, "doc_id", "text", n=8)
