@@ -129,3 +129,57 @@ def ivf_bucketed_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def l2_normalize(vec_col, eps: float = 1e-12):
+    """Unit-normalize an array<float|double> embedding column (pure
+    zip_with/aggregate expression — codegen, no UDF).  Zero vectors
+    pass through as zeros (eps guard) rather than NaN."""
+    nrm = F.greatest(V.norm(vec_col), F.lit(eps))
+    return F.transform(V.as_double(vec_col), lambda x: x / nrm)
+
+
+def mean_pool(df: DataFrame, key_col: str, vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean of all vectors per key (sentence→document
+    pooling).  posexplode → (key, pos) partial sums → collect back in
+    position order: map-side combinable, never holds a group's vectors
+    in one row until the final (dim-sized) assembly."""
+    exploded = df.select(
+        F.col(key_col), F.posexplode(V.as_double(vec_col)).alias("pos", "x")
+    )
+    per_pos = exploded.groupBy(key_col, "pos").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        per_pos.groupBy(key_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+                ),
+                lambda st: st["m"],
+            ).alias("embedding")
+        )
+    )
+
+
+def norm_outliers(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    lo: float = 0.5, hi: float = 2.0,
+) -> DataFrame:
+    """Embedding-quality gate: flag vectors whose L2 norm falls outside
+    [lo·median, hi·median] — degenerate (near-zero) or exploded
+    embeddings that poison cosine retrieval.  Median via
+    approx_percentile (mergeable; exact at gate scale)."""
+    normed = df.select(F.col(id_col), V.norm(vec_col).alias("nrm"))
+    med = normed.agg(
+        F.percentile_approx("nrm", 0.5, 1000000).alias("med")
+    )
+    return normed.crossJoin(F.broadcast(med)).select(
+        id_col,
+        "nrm",
+        "med",
+        ((F.col("nrm") < lo * F.col("med")) | (F.col("nrm") > hi * F.col("med"))).alias(
+            "is_outlier"
+        ),
+    )

@@ -310,3 +310,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_bucketed_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), IVF_CENTROIDS, k=TOP_K
     ).select("query_id", "neighbor_id", "cosine", "rk")
+
+
+@query(
+    "emb_normalize_pool",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT vec_id, label, embedding,
+        greatest(sqrt({_dot_sql('embedding', 'embedding')}), 1e-12) AS n
+      FROM embeddings
+    ), unit AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS u
+      FROM nrm
+    ), exploded AS (
+      SELECT label, ui.i AS pos, u[ui.i] AS x
+      FROM unit, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) ui(i)
+    ), pooled AS (
+      SELECT label, pos, SUM(x) / COUNT(*) AS m
+      FROM exploded GROUP BY label, pos
+    )
+    SELECT label,
+      round(CAST(SUM(m * m) AS DOUBLE), 9) AS pooled_sq_norm,
+      CAST(COUNT(*) AS BIGINT) AS dim
+    FROM pooled GROUP BY label
+    """,
+)
+def emb_normalize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene pipeline on the gate: L2-normalize every
+    vector (codegen'd transform), mean-pool per label (posexplode →
+    per-position partial sums — map-combinable, no group's vectors
+    ever colocated in one row), report the pooled vector's squared
+    norm per label.  Float-stable cross-engine because the per-position
+    sums add in deterministic groups."""
+    from ..operators.similarity import l2_normalize, mean_pool
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", l2_normalize("embedding").alias("embedding")
+    )
+    pooled = mean_pool(e, "label")
+    sq = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    # Rounded to 9 decimals: the per-position partial sums add in
+    # shuffle order, so the two engines drift at ~1e-17 — rounding
+    # makes the float column hash-stable without hiding real error.
+    return pooled.select(
+        "label",
+        F.round(sq, 9).alias("pooled_sq_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )

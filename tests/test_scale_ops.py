@@ -150,3 +150,26 @@ def test_salted_join_matches_plain_join(spark):
     got = salted_join(fact, dim, "key").groupBy("key").count().collect()
     want = fact.join(dim, "key").groupBy("key").count().collect()
     assert {(r.key, r["count"]) for r in got} == {(r.key, r["count"]) for r in want}
+
+
+def test_norm_outliers_flags_degenerate(spark):
+    from sec_edgar_spark.operators.similarity import norm_outliers
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(100, [0.001, 0.0, 0.0]), (101, [50.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.is_outlier for r in norm_outliers(df).collect()}
+    assert got[100] is True and got[101] is True
+    assert not any(got[i] for i in range(20))
+
+
+def test_l2_normalize_zero_vector_safe(spark):
+    from pyspark.sql import functions as F
+    from sec_edgar_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, embedding array<double>"
+    )
+    got = {r.id: r.u for r in df.select("id", l2_normalize("embedding").alias("u")).collect()}
+    assert abs(got[1][0] - 0.6) < 1e-12 and abs(got[1][1] - 0.8) < 1e-12
+    assert got[2] == [0.0, 0.0]
