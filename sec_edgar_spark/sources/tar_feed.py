@@ -71,34 +71,39 @@ def read_tar_feed(spark: SparkSession, path_glob: str) -> DataFrame:
     """
 
     bins = spark.read.format("binaryFile").load(path_glob)
+    return bins.select("path", "content").mapInPandas(extract_members, TAR_MEMBER)
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import tarfile
 
-        for pdf in batches:
-            for path, data in zip(pdf["path"], pdf["content"]):
-                members, sizes, contents = [], [], []
-                with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
-                    for info in tf:
-                        if not info.isfile():
-                            continue
-                        fh = tf.extractfile(info)
-                        if fh is None:
-                            continue
-                        members.append(info.name)
-                        sizes.append(info.size)
-                        contents.append(fh.read())
-                yield pd.DataFrame(
-                    {
-                        "archive": [path] * len(members),
-                        "member": members,
-                        "size": sizes,
-                        "content": contents,
-                    }
-                )
+def extract_members(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body shared verbatim by the batch scan and the
+    streaming twin (streaming/tar_stream.py) — batch/stream parity by
+    construction."""
+    import io
+    import tarfile
 
-    return bins.select("path", "content").mapInPandas(extract, TAR_MEMBER)
+    for pdf in batches:
+        for path, data in zip(pdf["path"], pdf["content"]):
+            members, sizes, contents = [], [], []
+            with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
+                for info in tf:
+                    if not info.isfile():
+                        continue
+                    fh = tf.extractfile(info)
+                    if fh is None:
+                        continue
+                    members.append(info.name)
+                    sizes.append(info.size)
+                    contents.append(fh.read())
+            yield pd.DataFrame(
+                {
+                    "archive": [path] * len(members),
+                    "member": members,
+                    "size": sizes,
+                    "content": contents,
+                }
+            )
 
 
 def members_with_accession(members: DataFrame) -> DataFrame:

@@ -75,3 +75,42 @@ def test_members_accession_join(spark, tmp_path):
     )
     joined = members.join(filings, "accession_number").collect()
     assert len(joined) == 1 and joined[0].cik == 320193
+
+
+def test_tar_feed_stream_matches_batch(spark, tmp_path):
+    """Streaming twin: two archive drops, same rows as the batch scan."""
+    feed = tmp_path / "feed_stream"
+    feed.mkdir()
+    make_tar(feed / "20200128.nc.tar.gz", {"0000320193-20-000010.nc": b"one"})
+
+    from sec_edgar_spark.streaming.tar_stream import read_tar_feed_stream
+
+    q = (
+        read_tar_feed_stream(spark, str(feed))
+        .writeStream.format("memory")
+        .queryName("t_tar_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        make_tar(
+            feed / "20200129.nc.tar.gz",
+            {"0000789019-20-000123.nc": b"two", "junk/readme": b"x"},
+        )
+        q.processAllAvailable()
+        stream_rows = {
+            (r.member, r.accession_number, bytes(r.content))
+            for r in spark.sql("SELECT * FROM t_tar_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_rows = {
+        (r.member, r.accession_number, bytes(r.content))
+        for r in members_with_accession(
+            read_tar_feed(spark, str(feed / "*.tar.gz"))
+        ).collect()
+    }
+    assert stream_rows == batch_rows
+    assert ("0000789019-20-000123.nc", "0000789019-20-000123", b"two") in stream_rows
