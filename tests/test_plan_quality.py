@@ -48,3 +48,34 @@ def test_lsh_candidates_no_cartesian(plans):
     p = plans("dedup_minhash_lsh_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_jaccard_hot_filter_broadcasts(plans):
+    p = plans("dedup_ngram_jaccard_pairs")
+    # df-cap anti-join against the hot-shingle set must broadcast,
+    # and no stage may be a cartesian product.
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagination_truncation_uses_window_group_limit(plans):
+    p = plans("edgar_company_pagination")
+    assert "WindowGroupLimit" in p
+
+
+def test_ivf_topk_broadcasts_queries_no_cartesian(plans):
+    p = plans("ann_ivf_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_percentile_approx_partial_aggregates(plans):
+    p = plans("agg_percentiles_approx")
+    # mergeable sketch -> map-side partial + final hash aggregate
+    assert p.count("HashAggregate") >= 2
+
+
+def test_curation_split_is_scan_plus_project_only(plans):
+    p = plans("curation_split_train_val_test")
+    # stateless projection: no shuffle at all
+    assert "Exchange" not in p
