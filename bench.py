@@ -90,6 +90,10 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # Isolate queries from each other: drop any cached frames the
+        # previous query left behind so timings don't depend on
+        # HEADLINE ordering.
+        spark.catalog.clearCache()
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
