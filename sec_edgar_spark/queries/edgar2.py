@@ -258,3 +258,60 @@ def edgar_company_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return parse_paged_listing(pages, filing_type="10-Q", count=12)
+
+
+@query(
+    "edgar_submissions_roundtrip",
+    oracle="""
+    SELECT
+      o_custkey AS cik,
+      'Company ' || o_custkey AS entity_name,
+      lpad(CAST(o_custkey AS VARCHAR), 10, '0') || '-20-' ||
+        lpad(CAST(o_orderkey AS VARCHAR), 6, '0') AS accession_number,
+      CASE WHEN o_orderkey % 2 = 0 THEN '10-K' ELSE '8-K' END AS form,
+      o_orderdate AS filing_date,
+      'doc' || o_orderkey || '.htm' AS primary_document
+    FROM orders WHERE o_custkey <= 50
+    """,
+)
+def edgar_submissions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 REST submissions on the gate: build the data.sec.gov
+    submissions payload shape (per-company row, ``filings.recent``
+    PARALLEL ARRAYS — EDGAR's columnar JSON) from ``orders`` with
+    sorted collect_lists, then rebuild filing rows through the
+    PRODUCTION arrays_zip+explode path (sources/rest.submissions_rows;
+    reference rest.py:51-88)."""
+    from ..sources.rest import submissions_rows
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    per_filing = o.select(
+        F.col("o_custkey").alias("cik"),
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.concat(
+                F.lpad(F.col("o_custkey").cast("string"), 10, "0"),
+                F.lit("-20-"),
+                F.lpad(F.col("o_orderkey").cast("string"), 6, "0"),
+            ).alias("accession"),
+            F.when(F.col("o_orderkey") % 2 == 0, "10-K").otherwise("8-K").alias("form"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("fdate"),
+            F.concat(F.lit("doc"), F.col("o_orderkey").cast("string"), F.lit(".htm")).alias("doc"),
+        ).alias("s"),
+    )
+    raw = (
+        per_filing.groupBy("cik")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "cik",
+            F.concat(F.lit("Company "), F.col("cik").cast("string")).alias("name"),
+            F.struct(
+                F.struct(
+                    F.transform("ss", lambda s: s["accession"]).alias("accessionNumber"),
+                    F.transform("ss", lambda s: s["form"]).alias("form"),
+                    F.transform("ss", lambda s: s["fdate"]).alias("filingDate"),
+                    F.transform("ss", lambda s: s["doc"]).alias("primaryDocument"),
+                ).alias("recent")
+            ).alias("filings"),
+        )
+    )
+    return submissions_rows(raw)

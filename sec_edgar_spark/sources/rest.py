@@ -85,6 +85,13 @@ def read_submissions(spark: SparkSession, path_glob: str) -> DataFrame:
     (rest.py:74-86) is a ``unionByName`` over multiple files.
     """
     raw = spark.read.option("multiLine", "true").json(path_glob)
+    return submissions_rows(raw)
+
+
+def submissions_rows(raw: DataFrame) -> DataFrame:
+    """The columnar→row rebuild, usable on any frame with the
+    submissions shape (``cik``, ``name``, ``filings.recent.*``
+    parallel arrays) however it was loaded."""
     zipped = raw.select(
         F.col("cik").cast("long").alias("cik"),
         F.col("name").alias("entity_name"),
