@@ -315,3 +315,56 @@ def edgar_submissions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return submissions_rows(raw)
+
+
+@query(
+    "edgar_frames_roundtrip",
+    oracle="""
+    SELECT
+      'us-gaap' AS taxonomy,
+      'Assets' AS tag,
+      'USD' AS unit,
+      'CY2020Q' || ((c_custkey % 4) + 1) || 'I' AS frame,
+      c_custkey AS cik,
+      c_name AS entity_name,
+      CAST(c_acctbal AS DECIMAL(24,4)) AS val,
+      '2020-0' || ((c_custkey % 4) * 3 + 1) || '-01' AS period_end
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def edgar_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 XBRL frames on the gate: build the data.sec.gov frames
+    payload shape (one row per (tag, unit, frame) with a ``data``
+    array of per-company facts) from ``customer``, then explode
+    through the PRODUCTION frames path (sources/rest.frames_rows;
+    reference rest.py:159-205)."""
+    from ..sources.rest import frames_rows
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    frame_key = F.concat(
+        F.lit("CY2020Q"), ((F.col("c_custkey") % 4) + 1).cast("string"), F.lit("I")
+    )
+    datum = F.struct(
+        F.col("c_custkey").alias("cik"),
+        F.col("c_name").alias("entityName"),
+        F.col("c_acctbal").cast("double").alias("val"),
+        F.concat(
+            F.lit("2020-0"),
+            ((F.col("c_custkey") % 4) * 3 + 1).cast("string"),
+            F.lit("-01"),
+        ).alias("end"),
+        F.col("c_custkey").alias("k"),
+    )
+    raw = (
+        c.select(frame_key.alias("ccp"), datum.alias("d"))
+        .groupBy("ccp")
+        .agg(F.array_sort(F.collect_list("d")).alias("data"))
+        .select(
+            F.lit("us-gaap").alias("taxonomy"),
+            F.lit("Assets").alias("tag"),
+            F.lit("USD").alias("uom"),
+            "ccp",
+            "data",
+        )
+    )
+    return frames_rows(raw)

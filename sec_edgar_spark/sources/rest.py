@@ -117,6 +117,12 @@ def submissions_rows(raw: DataFrame) -> DataFrame:
 def read_frames(spark: SparkSession, path_glob: str) -> DataFrame:
     """frames JSON (rest.py:159-205) → (tag, unit, frame, cik, val …)."""
     raw = spark.read.option("multiLine", "true").json(path_glob)
+    return frames_rows(raw)
+
+
+def frames_rows(raw: DataFrame) -> DataFrame:
+    """The frame-payload explode, usable on any frame with the frames
+    shape (taxonomy/tag/uom/ccp + ``data`` array)."""
     return raw.select(
         F.col("taxonomy"),
         F.col("tag"),
