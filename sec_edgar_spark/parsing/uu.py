@@ -12,7 +12,7 @@ from __future__ import annotations
 import binascii
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import BinaryType, StringType
 
 
 def uudecode_text(text: str) -> bytes | None:
@@ -41,3 +41,24 @@ def uudecode_text(text: str) -> bytes | None:
 
 
 uudecode_udf = F.udf(uudecode_text, BinaryType())
+
+
+def uuencode_bytes(data: bytes, name: str = "file") -> str | None:
+    """Encode bytes as a ``begin 644 name`` … ``end`` block
+    (b2a_uu 45-byte lines) — the inverse of ``uudecode_text``, used by
+    the roundtrip gate query and for writing reference-style uu blocks.
+    """
+    if data is None:
+        return None
+    lines = [f"begin 644 {name}"]
+    for i in range(0, len(data), 45):
+        lines.append(binascii.b2a_uu(data[i : i + 45]).decode("ascii").rstrip("\n"))
+    lines.append("`")
+    lines.append("end")
+    return "\n".join(lines)
+
+
+# Wrapped in a plain lambda (F.udf can't infer an eval type from the
+# `bytes | None` hint + default-arg signature); returnType as a
+# DataType object so the UDF constructs without an active session.
+uuencode_udf = F.udf(lambda data, name: uuencode_bytes(data, name), StringType())

@@ -211,3 +211,29 @@ def edgar_sgml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc.filename").alias("doc_filename"),
         F.length("doc.text").alias("text_len"),
     )
+
+
+@query(
+    "edgar_uu_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS recovered
+    FROM documents
+    """,
+)
+def edgar_uu_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 uudecode on the value gate: uuencode every document's text
+    (45-byte b2a_uu lines, the format the reference shells out to the
+    stdlib ``uu`` module for, parser.py:117-125), then decode through
+    the production UDF and recover the original text byte-for-byte —
+    the oracle is simply the source column."""
+    from ..parsing.uu import uudecode_udf, uuencode_udf
+
+    d = table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    encoded = d.select(
+        "doc_id", uuencode_udf(blob, F.lit("doc.txt")).alias("uu")
+    )
+    return encoded.select(
+        "doc_id",
+        F.decode(uudecode_udf("uu"), "UTF-8").alias("recovered"),
+    )

@@ -135,3 +135,11 @@ def test_wav_meta_roundtrip(channels, rate, n_samples, bits):
     data = b"data" + le(n_samples * block, 4)
     wav = b"RIFF" + le(4 + len(fmt) + len(data), 4) + b"WAVE" + fmt + data
     assert wav_meta(wav) == (channels, rate, n_samples)
+
+
+@given(data=st.binary(min_size=0, max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_uu_encode_decode_roundtrip(data):
+    from sec_edgar_spark.parsing.uu import uudecode_text, uuencode_bytes
+
+    assert uudecode_text(uuencode_bytes(data, "f.bin")) == data
