@@ -196,11 +196,16 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, bytes_per_frame: int = 1000
+) -> DataFrame:
     """Video frame-sampling *plan* stub: emits (media_id, frame_index)
     rows for frames a decoder would materialize — demonstrates the
-    explode shape without a codec."""
-    n_frames = (F.coalesce(F.length(F.col("blob")), F.lit(0)) / 1000).cast("int")
+    explode shape without a codec.  ``bytes_per_frame`` stands in for
+    the container's frame count until a real demuxer is injected."""
+    n_frames = (
+        F.coalesce(F.length(F.col("blob")), F.lit(0)) / bytes_per_frame
+    ).cast("int")
     return df.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames, F.lit(1)) - 1, F.lit(every_n))).alias(

@@ -188,3 +188,31 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_samples").cast("double") / F.col("sample_rate"), 6
         ).alias("duration_s"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    )
+    SELECT media_id, CAST(unnest(range(0, greatest(CAST(floor(n / 100) AS BIGINT), 1), 2)) AS INT) AS frame_index
+    FROM m
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan shape on the gate: every-Nth-frame
+    explode per media row (operators/multimodal.frame_sample_plan).
+    The frame count is derived from blob length (1 frame per 100 bytes stand-in —
+    a real decoder reads the container header; the explode shape,
+    which is what matters at scale, is identical)."""
+    from ..operators.multimodal import frame_sample_plan
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    return frame_sample_plan(d, every_n=2, bytes_per_frame=100).select(
+        "media_id", F.col("frame_index").cast("int").alias("frame_index")
+    )
