@@ -280,3 +280,55 @@ def decode_audio_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    kernel: Callable | None = None,
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Image-resize stage: blob → resized blob + recorded target dims.
+
+    ``kernel(bytes, w, h) -> bytes`` supplies the actual decoder/
+    resampler (PIL/opencv — absent in this container, so without one
+    this raises, mirroring ``extract_features``).  The Spark side —
+    Arrow batching, null passthrough, output schema with the recorded
+    target dimensions — is real and tested with an injected kernel.
+    """
+    if kernel is None:
+        raise NotImplementedError(
+            "image resize needs a kernel; codec libraries are not "
+            "available in this environment — inject kernel=..."
+        )
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [
+            StructField("resized", BinaryType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [
+                (kernel(bytes(b), width, height) if b is not None else None)
+                for b in pdf[blob_col]
+            ]
+            pdf = pdf.copy()
+            pdf["resized"] = resized
+            pdf["out_width"] = pd.array(
+                [width if b is not None else None for b in resized],
+                dtype="Int32",
+            )
+            pdf["out_height"] = pd.array(
+                [height if b is not None else None for b in resized],
+                dtype="Int32",
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -111,3 +111,70 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 13 != 0)
     eval_df = d.filter(F.col("doc_id") % 13 == 0)
     return decontaminate(train, eval_df, "doc_id", "text", n=8)
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, text, lang,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+          AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+          / greatest(length(text), 1) AS alpha_ratio
+      FROM documents
+    ), quality AS (
+      SELECT * FROM stats WHERE n_tokens >= 10 AND alpha_ratio > 0.5
+    ), deduped AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+      CASE WHEN {_H} % 100 >= 90 THEN 'test'
+           WHEN {_H} % 100 >= 80 THEN 'val'
+           ELSE 'train' END AS split,
+      CAST(floor((SUM(n_tokens) OVER (
+          PARTITION BY (CASE WHEN {_H} % 100 >= 90 THEN 'test'
+                        WHEN {_H} % 100 >= 80 THEN 'val'
+                        ELSE 'train' END)
+          ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM deduped
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data intake pipeline on one gate row:
+    quality gate (token count + alpha ratio) → exact dedup (first doc
+    per content hash) → deterministic split assignment → per-split
+    sequence packing.  Each stage is the production operator; the
+    oracle recomputes the whole chain in SQL, so stage COMPOSITION is
+    value-checked, not just the stages."""
+    from ..functions import text as T
+    from ..operators.sampling import pack_sequences, split_assign
+
+    d = table(spark, sf_dir, "documents")
+    n_tokens = T.token_count("text")
+    alpha_ratio = T.alpha_chars("text").cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    quality = d.select(
+        "doc_id", "text", "lang", n_tokens.alias("n_tokens")
+    ).filter((F.col("n_tokens") >= 10) & (alpha_ratio > 0.5))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    split = deduped.withColumn("split", split_assign("doc_id"))
+    return pack_sequences(
+        split, order_col="doc_id", token_count_col="n_tokens",
+        budget=512, partition_col="split",
+    ).select("doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"), "split", "pack_id")

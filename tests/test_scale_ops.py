@@ -173,3 +173,26 @@ def test_l2_normalize_zero_vector_safe(spark):
     got = {r.id: r.u for r in df.select("id", l2_normalize("embedding").alias("u")).collect()}
     assert abs(got[1][0] - 0.6) < 1e-12 and abs(got[1][1] - 0.8) < 1e-12
     assert got[2] == [0.0, 0.0]
+
+
+def test_resize_images_plumbing(spark):
+    from pyspark.sql import functions as F
+    from sec_edgar_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes"), (2, None)], "media_id long, blob binary"
+    )
+    got = {
+        r.media_id: r
+        for r in resize_images(
+            df, 64, 64, kernel=lambda b, w, h: b[: w // 8]
+        ).collect()
+    }
+    assert got[1].resized == b"imagebyt"
+    assert got[1].out_width == 64 and got[1].out_height == 64
+    assert got[2].resized is None and got[2].out_width is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_images(df, 64, 64)
