@@ -87,20 +87,29 @@ def fetch_urls(
         except EDGARQueryError as exc:
             return Row(url=u, status=None, content=None, error=str(exc))
 
+    def fetch_batch(batch: list[str]) -> list[Row]:
+        # Fire the whole 1-second budget CONCURRENTLY (the reference's
+        # aiohttp batch, client.py:266-277): a serial loop would cap
+        # throughput at 1/latency req/s, not rate_limit req/s, the
+        # moment EDGAR responses are slower than 1/rate_limit seconds.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(batch)) as pool:
+            return list(pool.map(fetch_one, batch))
+
     def run(rows: Iterator[Row]) -> Iterator[Row]:
         batch: list[str] = []
         for row in rows:
             batch.append(row.url)
             if len(batch) == rate_limit:
                 start = time.monotonic()
-                for u in batch:
-                    yield fetch_one(u)
+                yield from fetch_batch(batch)
                 elapsed = time.monotonic() - start
                 if elapsed < 1.0:
                     time.sleep(1.0 - elapsed)
                 batch = []
-        for u in batch:
-            yield fetch_one(u)
+        if batch:
+            yield from fetch_batch(batch)
 
     return urls.select("url").coalesce(1).rdd.mapPartitions(run).toDF(FETCH_RESULT)
 

@@ -160,3 +160,23 @@ def test_fetch_urls_records_errors_not_abort(spark):
     assert got["ok"].status == 200 and got["ok"].error is None
     assert got["bad"].content is None and "503" in got["bad"].error
     assert got["invalid"].content is None and "not valid" in got["invalid"].error
+
+
+def test_fetch_urls_batch_is_concurrent(spark):
+    """10 slow (0.2s) responses per batch must complete in ~one
+    latency, not 10 serial latencies (reference's aiohttp batch)."""
+    import time as _time
+
+    from sec_edgar_spark.sources.filings import fetch_urls
+
+    def slow_get(u):
+        _time.sleep(0.2)
+        return 200, u.encode()
+
+    urls = spark.createDataFrame([(f"u{i}",) for i in range(10)], ["url"])
+    t0 = _time.time()
+    got = fetch_urls(urls, slow_get, rate_limit=10, retry_count=0).collect()
+    wall = _time.time() - t0
+    assert len(got) == 10 and all(r.status == 200 for r in got)
+    # serial would need >= 2.0s of request time; concurrent ~0.2s + overhead
+    assert wall < 1.9, f"batch not concurrent: {wall:.2f}s"
