@@ -89,3 +89,35 @@ def test_vector_math(spark):
     assert abs(one(spark, V.cosine(a, a)) - 1.0) < 1e-12
     assert one(spark, V.norm(a)) == math.sqrt(14.0)
     assert one(spark, V.quantize(a, 10)) == [10, 20, 30]
+
+
+def test_utils_parity():
+    """Driver-side utils mirror reference utils.py behaviors."""
+    import datetime
+
+    import pytest as _pytest
+
+    from sec_edgar_spark.utils import (
+        add_quarter,
+        get_month,
+        get_quarter,
+        sanitize_date,
+    )
+
+    assert sanitize_date(datetime.date(2020, 1, 28)) == "20200128"
+    assert sanitize_date("20200128") == "20200128"
+    assert sanitize_date(20200128) == 20200128
+    with _pytest.raises(TypeError):
+        sanitize_date("2020-01-28")
+    with _pytest.raises(TypeError):
+        sanitize_date(123)
+
+    assert get_quarter(datetime.date(2020, 3, 31)) == 1
+    assert get_quarter(datetime.date(2020, 4, 1)) == 2
+    assert get_month(1) == 1 and get_month(4) == 10
+    with _pytest.raises(TypeError):
+        get_month(5)
+    assert add_quarter(2020, 4) == (2021, 1)
+    assert add_quarter(2020, 2) == (2020, 3)
+    with _pytest.raises(TypeError):
+        add_quarter(2020, 0)
