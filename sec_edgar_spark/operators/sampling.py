@@ -103,3 +103,60 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlapping_shingles"))
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    partition_col: str,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing per shard — the
+    higher-quality (less padding) packer the contiguous window variant
+    trades away for SQL-expressibility.
+
+    Runs as ``applyInPandas`` per ``partition_col`` shard: sort the
+    shard's docs by token count descending, place each into the first
+    pack with room (docs above budget get singleton packs).  Shards
+    pack in parallel; within a shard the result is deterministic
+    (stable sort, id tiebreak).  Output: (id, partition, n_tokens,
+    pack_id, pack_fill).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, {partition_col} string, "
+        f"{token_count_col} long, pack_id long, pack_fill long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_count_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assignment = []
+        for tok in pdf[token_count_col]:
+            placed = None
+            for i, fill in enumerate(fills):
+                if fill + tok <= budget:
+                    placed = i
+                    break
+            if placed is None:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += tok
+            assignment.append(placed)
+        pdf = pdf.assign(
+            pack_id=pd.Series(assignment, dtype="int64"),
+            pack_fill=pd.Series(
+                [fills[a] for a in assignment], dtype="int64"
+            ),
+        )
+        return pdf[[id_col, partition_col, token_count_col, "pack_id", "pack_fill"]]
+
+    return (
+        df.select(id_col, partition_col, token_count_col)
+        .groupBy(partition_col)
+        .applyInPandas(pack, out_schema)
+    )

@@ -178,3 +178,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         split, order_col="doc_id", token_count_col="n_tokens",
         budget=512, partition_col="split",
     ).select("doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"), "split", "pack_id")
+
+
+@query("curation_pack_ffd")  # no SQL oracle: FFD is order-dependent
+def curation_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing per language shard (applyInPandas).
+    Genuinely non-SQL-expressible (the pack assignment depends on the
+    running bin state), so this rides the driver's rows-only check;
+    the invariants (fill ≤ budget, all docs packed) are pytest-asserted
+    in tests/test_sampling.py."""
+    from ..functions import text as T
+    from ..operators.sampling import pack_sequences_ffd
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences_ffd(
+        d, "doc_id", "n_tokens", budget=512, partition_col="lang"
+    )

@@ -55,3 +55,22 @@ def test_decontaminate_exact_overlap(spark):
     )
     got = decontaminate(train, eval_df, "doc_id", "text", n=8).collect()
     assert {(r.doc_id, r.n_overlapping_shingles) for r in got} == {(1, 1)}
+
+
+def test_pack_ffd_invariants(spark):
+    from sec_edgar_spark.operators.sampling import pack_sequences_ffd
+
+    rows = [(i, "en", t) for i, t in enumerate([300, 300, 200, 200, 100, 600])]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    got = pack_sequences_ffd(df, "doc_id", "n_tokens", budget=512, partition_col="lang").collect()
+    assert len(got) == 6  # every doc packed exactly once
+    fills = {}
+    for r in got:
+        fills.setdefault(r.pack_id, 0)
+        fills[r.pack_id] += r.n_tokens
+    # no pack over budget except oversized singletons
+    for pid, fill in fills.items():
+        members = [r for r in got if r.pack_id == pid]
+        assert fill <= 512 or len(members) == 1
+    # FFD packs 300+200, 300+200, 100, 600 -> 4 packs (vs 5 contiguous)
+    assert len(fills) == 4
