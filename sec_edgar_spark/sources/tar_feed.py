@@ -79,23 +79,40 @@ def extract_members(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body shared verbatim by the batch scan and the
     streaming twin (streaming/tar_stream.py) — batch/stream parity by
-    construction."""
+    construction.
+
+    A corrupt archive (truncated gzip, bad tar header) must not abort
+    a fleet-wide scan: it yields one sentinel row (member NULL, the
+    error text in ``content``) so the failure is visible and joinable,
+    and every other archive still extracts.
+    """
     import io
     import tarfile
 
     for pdf in batches:
         for path, data in zip(pdf["path"], pdf["content"]):
             members, sizes, contents = [], [], []
-            with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
-                for info in tf:
-                    if not info.isfile():
-                        continue
-                    fh = tf.extractfile(info)
-                    if fh is None:
-                        continue
-                    members.append(info.name)
-                    sizes.append(info.size)
-                    contents.append(fh.read())
+            try:
+                with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
+                    for info in tf:
+                        if not info.isfile():
+                            continue
+                        fh = tf.extractfile(info)
+                        if fh is None:
+                            continue
+                        members.append(info.name)
+                        sizes.append(info.size)
+                        contents.append(fh.read())
+            except (tarfile.TarError, EOFError, OSError) as exc:
+                yield pd.DataFrame(
+                    {
+                        "archive": [path],
+                        "member": [None],
+                        "size": [None],
+                        "content": [f"EXTRACT_ERROR: {exc!r}".encode()],
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "archive": [path] * len(members),

@@ -114,3 +114,19 @@ def test_tar_feed_stream_matches_batch(spark, tmp_path):
     }
     assert stream_rows == batch_rows
     assert ("0000789019-20-000123.nc", "0000789019-20-000123", b"two") in stream_rows
+
+
+def test_corrupt_archive_does_not_abort_scan(spark, tmp_path):
+    feed = tmp_path / "feed_corrupt"
+    feed.mkdir()
+    make_tar(feed / "good.tar.gz", {"0000320193-20-000010.nc": b"fine"})
+    with open(feed / "bad.tar.gz", "wb") as f:
+        f.write(b"\x1f\x8b" + b"this is not a gzip stream at all")
+
+    rows = read_tar_feed(spark, str(feed / "*.tar.gz")).collect()
+    good = [r for r in rows if r.member is not None]
+    bad = [r for r in rows if r.member is None]
+    assert len(good) == 1 and good[0].content == b"fine"
+    assert len(bad) == 1
+    assert bad[0].archive.endswith("bad.tar.gz")
+    assert b"EXTRACT_ERROR" in bytes(bad[0].content)
