@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cik-map", help="company_tickers.json path (required with --lookup)")
     p.add_argument("--out", help="write matching rows as parquet here")
     p.add_argument("--show", type=int, default=20, help="print first N rows (no --out)")
+    p.add_argument(
+        "--to-mirror",
+        help="write the scanned index as a (year, quarter)-partitioned "
+        "parquet mirror here (the layout every date filter "
+        "partition-prunes against), then exit",
+    )
     return p
 
 
@@ -51,6 +57,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         index = read_master_idx(spark, args.index)
     else:
         index = spark.read.parquet(args.index)
+
+    if args.to_mirror:
+        from .sources.index import to_parquet_mirror
+
+        to_parquet_mirror(index, args.to_mirror)
+        print(f"mirrored {args.to_mirror}")
+        return 0
 
     cik_lookup = cik_map = None
     if args.lookup:

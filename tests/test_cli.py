@@ -33,3 +33,23 @@ def test_cli_lookup_show(spark, data_dir, capsys):
     assert rc == 0
     printed = capsys.readouterr().out
     assert "320193" in printed and "789019" not in printed
+
+
+def test_cli_mirror_build_and_pruned_query(spark, tmp_path):
+    """--to-mirror writes the partitioned mirror; a follow-up query
+    against the mirror partition-prunes."""
+    from sec_edgar_spark.cli import main
+
+    dest = str(tmp_path / "mirror")
+    rc = main(
+        ["--index", "tests/data/full-index/1996/QTR4/master.idx", "--to-mirror", dest],
+        spark=spark,
+    )
+    assert rc == 0
+    mirrored = spark.read.parquet(dest)
+    assert mirrored.count() > 0
+    assert set(mirrored.select("year").distinct().toPandas()["year"]) == {1996}
+    rc = main(
+        ["--index", dest, "--filing-type", "10-K", "--show", "1"], spark=spark
+    )
+    assert rc == 0
