@@ -91,16 +91,43 @@ def read_master_idx(
     )
 
 
-def to_parquet_mirror(index_df: DataFrame, dest: str) -> None:
+def to_parquet_mirror(index_df: DataFrame, dest: str, sort_by_cik: bool = True) -> None:
     """Write the index as a (year, quarter)-partitioned parquet mirror —
-    the layout every downstream date filter partition-prunes against."""
-    (
-        index_df.withColumn("year", F.year("date_filed"))
-        .withColumn("quarter", F.quarter("date_filed"))
-        .write.mode("overwrite")
-        .partitionBy("year", "quarter")
-        .parquet(dest)
+    the layout every downstream date filter partition-prunes against.
+
+    ``sort_by_cik`` clusters rows by cik inside each file so parquet
+    row-group min/max statistics skip data for cik-filtered queries
+    (the J1-resolved company scans) on top of partition pruning.
+    """
+    df = index_df.withColumn("year", F.year("date_filed")).withColumn(
+        "quarter", F.quarter("date_filed")
     )
+    if sort_by_cik:
+        df = df.sortWithinPartitions("year", "quarter", "cik")
+    df.write.mode("overwrite").partitionBy("year", "quarter").parquet(dest)
+
+
+def upsert_parquet_mirror(index_df: DataFrame, dest: str) -> None:
+    """Incremental mirror top-up: REPLACE exactly the (year, quarter)
+    partitions present in ``index_df``, leave every other partition
+    untouched (dynamic partition overwrite) — the idempotent daily/
+    quarterly refresh; re-running the same input converges instead of
+    duplicating.
+    """
+    spark = index_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            index_df.withColumn("year", F.year("date_filed"))
+            .withColumn("quarter", F.quarter("date_filed"))
+            .sortWithinPartitions("year", "quarter", "cik")
+            .write.mode("overwrite")
+            .partitionBy("year", "quarter")
+            .parquet(dest)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def quarterly_idx_path(base: str, year: int, quarter: int) -> str:

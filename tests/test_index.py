@@ -76,3 +76,31 @@ def test_era_dependent_daily_paths():
         == "mirror/daily-index/2024/QTR1/master.20240115.idx"
     )
     assert quarterly_idx_path(base, 1996, 4) == "mirror/full-index/1996/QTR4/master.idx"
+
+
+def test_upsert_mirror_is_idempotent_and_partition_scoped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sec_edgar_spark.sources.index import (
+        read_master_idx,
+        to_parquet_mirror,
+        upsert_parquet_mirror,
+    )
+
+    idx = read_master_idx(spark, "tests/data/full-index/1996/QTR4/master.idx")
+    dest = str(tmp_path / "mirror")
+    to_parquet_mirror(idx, dest)
+    base = spark.read.parquet(dest).count()
+
+    # Re-upserting the SAME quarter must converge, not duplicate.
+    upsert_parquet_mirror(idx, dest)
+    assert spark.read.parquet(dest).count() == base
+
+    # Upserting a shifted copy (different year) adds that partition
+    # without touching 1996.
+    shifted = idx.withColumn("date_filed", F.add_months("date_filed", 12))
+    upsert_parquet_mirror(shifted, dest)
+    after = spark.read.parquet(dest)
+    assert after.count() == base * 2
+    assert set(after.select("year").distinct().toPandas()["year"]) == {1996, 1997}
+    assert after.filter(F.col("year") == 1996).count() == base
