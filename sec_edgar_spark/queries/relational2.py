@@ -416,3 +416,89 @@ def q2_max_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "p_retailprice")
         .orderBy("p_brand", "p_partkey")
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) + grouping()
+    markers — one aggregation pass emitting three grouping shapes."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("t_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+          COUNT(*) AS n,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+        FROM t_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd
+    FROM orders
+    WHERE o_custkey <= 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) with a total-order tiebreak so both engines rank
+    identically."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+      CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
+      CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high,
+      CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS medium
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) via groupBy().pivot() with an explicit
+    value list — Catalyst plans it as ONE aggregation with conditional
+    partials, exactly the CASE-sum formulation the oracle writes out
+    (an unlisted-values pivot would need an extra distinct pass; always
+    list values at scale)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        )
+    )
