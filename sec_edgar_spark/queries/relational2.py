@@ -502,3 +502,50 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
         )
     )
+
+
+@query(
+    "scalar_array_battery",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, range(1, (o_orderkey % 10) + 2) AS xs
+      FROM orders WHERE o_custkey <= 30
+    )
+    SELECT o_orderkey,
+      array_to_string(list_transform(xs, x -> x * 2), ',') AS doubled,
+      coalesce(array_to_string(list_filter(xs, x -> x % 2 = 0), ','), '') AS evens,
+      CAST(len(list_filter(xs, x -> x > 5)) > 0 AS BOOLEAN) AS has_gt5,
+      CAST(len(list_filter(xs, x -> x <= 10)) = len(xs) AS BOOLEAN) AS all_le10,
+      CAST(list_sum(xs) AS BIGINT) AS total,
+      array_to_string(list_reverse_sort(xs), ',') AS sorted_desc,
+      coalesce(array_to_string(list_sort(list_distinct(list_concat(xs, xs))), ','), '') AS dedup_concat,
+      coalesce(array_to_string(xs[2:3], ','), '') AS middle_slice,
+      CAST(list_position(xs, 3) AS INT) AS pos_of_3
+    FROM t
+    """,
+)
+def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array surface in one row-parallel pass: transform,
+    filter, exists, forall, aggregate(fold), reverse sort, distinct,
+    slice, position — all codegen'd lambdas, the array vocabulary the
+    XBRL/embedding pipelines compose from.  DuckDB's list_* functions
+    mirror each (1-based slicing aligned on both sides)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    xs = F.sequence(F.lit(1).cast("long"), (F.col("o_orderkey") % 10) + 1)
+    t = o.select("o_orderkey", xs.alias("xs"))
+    # Array outputs serialize with array_join on BOTH sides: the
+    # comparator stringifies cells, and numpy vs list reprs differ.
+    return t.select(
+        "o_orderkey",
+        F.array_join(F.transform("xs", lambda x: x * 2), ",").alias("doubled"),
+        F.array_join(F.filter("xs", lambda x: x % 2 == 0), ",").alias("evens"),
+        F.exists("xs", lambda x: x > 5).alias("has_gt5"),
+        F.forall("xs", lambda x: x <= 10).alias("all_le10"),
+        F.aggregate(
+            "xs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+        F.array_join(F.reverse(F.array_sort("xs")), ",").alias("sorted_desc"),
+        F.array_join(F.array_sort(F.array_distinct(F.concat("xs", "xs"))), ",").alias("dedup_concat"),
+        F.array_join(F.slice("xs", 2, 2), ",").alias("middle_slice"),
+        F.array_position("xs", 3).cast("int").alias("pos_of_3"),
+    )
