@@ -549,3 +549,46 @@ def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("xs", 2, 2), ",").alias("middle_slice"),
         F.array_position("xs", 3).cast("int").alias("pos_of_3"),
     )
+
+
+@query(
+    "scalar_map_battery",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+        map(['pri', 'status'], [o_orderpriority, o_orderstatus]) AS m
+      FROM orders WHERE o_custkey <= 20
+    )
+    SELECT o_orderkey,
+      array_to_string(map_keys(m), ',') AS keys_joined,
+      array_to_string(map_values(m), ',') AS vals_joined,
+      m['pri'][1] AS pri_lookup,
+      CAST(cardinality(m) AS INT) AS n_entries,
+      array_to_string(
+        map_values(map_concat(m, map(['extra'], ['x']))), ','
+      ) AS merged_vals
+    FROM t
+    """,
+)
+def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface in one pass: construct (map_from_arrays), keys/
+    values (insertion-ordered in both engines), key lookup, size,
+    map_concat — the vocabulary the SGML-metadata and XBRL map-of-maps
+    pipelines build on."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    m = F.map_from_arrays(
+        F.array(F.lit("pri"), F.lit("status")),
+        F.array(F.col("o_orderpriority"), F.col("o_orderstatus")),
+    )
+    t = o.select("o_orderkey", m.alias("m"))
+    merged = F.map_concat(
+        F.col("m"), F.map_from_arrays(F.array(F.lit("extra")), F.array(F.lit("x")))
+    )
+    return t.select(
+        "o_orderkey",
+        F.array_join(F.map_keys("m"), ",").alias("keys_joined"),
+        F.array_join(F.map_values("m"), ",").alias("vals_joined"),
+        F.element_at("m", "pri").alias("pri_lookup"),
+        F.size("m").cast("int").alias("n_entries"),
+        F.array_join(F.map_values(merged), ",").alias("merged_vals"),
+    )
