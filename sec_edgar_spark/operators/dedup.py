@@ -15,7 +15,7 @@ All hashes are md5-based (functions/text.py) → engine-portable values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -46,21 +46,28 @@ MINHASH_COEFFS = _minhash_coeffs(64)  # enough for any K ≤ 64
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows: distinct word n-grams via posexplode + lead.
+    """(id, shingle) rows: distinct word n-grams, zero shuffles.
 
-    One window shuffle on the (high-cardinality) id; the token split
-    evaluates once per document row.
+    Shingles are assembled per document row with ``transform`` over the
+    token array and deduped with ``array_distinct`` BEFORE the explode,
+    so the whole thing fuses into the scan stage — no window shuffle, no
+    post-explode ``distinct`` shuffle.  The token split is materialized
+    in its own projection (``_toks``); referencing it more than once
+    keeps CollapseProject from inlining the split into the lambda (which
+    would re-split per array element — the higher-order recompute trap
+    documented in SCALE.md).
     """
-    tok = df.select(
-        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "tok")
+    d = df.select(F.col(id_col), T.tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    return (
-        tok.select(F.col(id_col), *[l.alias(f"t{k}") for k, l in enumerate(leads)])
-        .filter(F.col(f"t{n-1}").isNotNull())
-        .select(F.col(id_col), F.concat_ws(" ", *[f"t{k}" for k in range(n)]).alias("shingle"))
-        .distinct()
+    sh_arr = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_toks", (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return d.select(
+        F.col(id_col), F.explode(F.array_distinct(sh_arr)).alias("shingle")
     )
 
 
@@ -259,10 +266,16 @@ def ngram_jaccard_pairs(
     Jaccard itself is then computed on the FULL shingle sets (the cap
     only prunes candidate generation, never the similarity value).
 
-    Scale shape: one shingle explode (cached, used by the index and
-    the verify sets), a broadcast anti-join against the tiny hot-
-    shingle set, a shuffle-on-shingle self-join, then colocated
-    array_intersect/array_union per pair.  When even the capped index
+    Scale shape (count-based, no array materialization): the shingle
+    self-join emits one row per (pair, shared discriminative shingle)
+    and ``groupBy(pair).count()`` IS the capped intersection size — one
+    shuffle with map-side partials replaces both the old
+    ``pairs.distinct()`` and the array-based verify that carried every
+    document's full shingle array onto ~N·df candidate rows.  Full-set
+    Jaccard is then exact arithmetic: |A∩B| = capped count + the
+    hot-shingle overlap (per-doc hot arrays are bounded by the number
+    of hot shingles, so that frame broadcasts), |A∪B| = |A|+|B|−|A∩B|
+    from a broadcast per-doc size frame.  When even the capped index
     is too dense, MinHash-LSH (``minhash_lsh_dedup``) is the
     sub-linear fallback; this operator is the exact tier.
     """
@@ -280,20 +293,51 @@ def ngram_jaccard_pairs(
     capped = sh.join(broadcast(hot), "shingle", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
-    pairs = (
+    # One row per shared discriminative shingle → count = |A∩B| over the
+    # capped index; candidate membership (≥1 shared discriminative
+    # shingle) falls out of the same aggregation.
+    pair_counts = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
+        .agg(F.count("*").alias("inter_capped"))
     )
-    sets = shingle_sets_from_rows(sh, id_col)
-    return jaccard_verify(pairs, sets, id_col, threshold)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    hot_sets = (
+        sh.join(broadcast(hot), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("hot_sh"))
+    )
+    empty = F.array().cast("array<string>")
+    per_doc = sizes.join(hot_sets, id_col, "left").select(
+        F.col(id_col),
+        F.col("sz"),
+        F.coalesce("hot_sh", empty).alias("hot_sh"),
+    )
+    pa = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("hot_sh").alias("hot_a"),
+    )
+    pb = per_doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("hot_sh").alias("hot_b"),
+    )
+    inter = F.col("inter_capped") + F.size(F.array_intersect("hot_a", "hot_b"))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        pair_counts.join(broadcast(pa), "id_a")
+        .join(broadcast(pb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_fingerprints(
