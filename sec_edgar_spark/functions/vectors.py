@@ -47,16 +47,21 @@ def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> C
     upstream), so the bucket id is a pure expression: bit b = 1 iff
     dot(a, plane_b) >= 0.
     """
-    acc = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        parr = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(as_double(a), parr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, p: s + p,
-        )
-        acc = acc + F.when(d >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return acc
+    emb = as_double(a)
+    parr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    weights = F.array(*[F.lit(2**b).cast("long") for b in range(len(planes))])
+    dots = F.transform(
+        parr,
+        lambda p: F.aggregate(
+            F.zip_with(emb, p, lambda x, y: x * y), F.lit(0.0), lambda s, q: s + q
+        ),
+    )
+    bits = F.zip_with(
+        dots,
+        weights,
+        lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda s, b: s + b)
 
 
 def dot_literal(a: Column | str, vec: list[float]) -> Column:
@@ -78,5 +83,12 @@ def nearest_centroid(a: Column | str, centroids: list[list[float]]) -> Column:
     constants and fold order, so the equality probe inside
     array_position is exact.
     """
-    arr = F.array(*[dot_literal(a, c) for c in centroids])
-    return F.array_position(arr, F.array_max(arr)).cast("long")
+    emb = as_double(a)
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dots = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(emb, c, lambda x, y: x * y), F.lit(0.0), lambda s, q: s + q
+        ),
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("long")
