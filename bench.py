@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "ann_ivf_topk",
     "edgar_company_pagination",
+    "events_asof_join",
 ]
 
 

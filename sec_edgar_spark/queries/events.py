@@ -132,3 +132,41 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT c.event_id, c.ts, c.user_id, c.value,
+           e.event_id AS event_id_err, e.value AS value_err, e.ts AS ts_err
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every click event annotated with the
+    most recent error event at-or-before it for the same user — the
+    feature-attachment shape of a training-data pipeline.  The operator
+    (operators/asof.py) is the union+window formulation: one shuffle of
+    |L|+|R| rows, no range-join candidate blowup; the oracle is DuckDB's
+    native ASOF LEFT JOIN, an independent implementation of the same
+    semantics."""
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value", "ts"],
+        suffix="_err",
+    )
