@@ -170,3 +170,36 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["event_id", "value", "ts"],
         suffix="_err",
     )
+
+
+@query(
+    "events_range_join",
+    oracle="""
+    SELECT c.event_id, c.ts, c.user_id,
+           e.event_id AS event_id_err, e.value AS value_err, e.ts AS ts_err
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+             - CAST(floor(epoch(e.ts)) AS BIGINT)) <= 1800
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: every (click, error) pair for the same user
+    within 30 minutes.  The operator (operators/interval.py) buckets
+    both sides into tolerance-width bins and equi-joins on (key, bin)
+    with a 3-bin probe — never an all-pairs theta join; the oracle IS
+    the theta join, which DuckDB can afford at gate scale."""
+    from ..operators.interval import range_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    return range_join(
+        clicks, errors, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance_s=1800, suffix="_err",
+    )
