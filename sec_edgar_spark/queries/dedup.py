@@ -97,9 +97,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(d, "doc_id", "text", num_hashes=4)
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
+# Shared by dedup_minhash_lsh_pairs and dedup_connected_components
+# (the latter wraps it in a recursive-closure CTE).
+_LSH_PAIRS_SQL = f"""
     WITH tokd AS (
       SELECT doc_id, {_TOKENS} AS toks FROM documents
     ), shingled AS (
@@ -128,8 +128,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sigs sb ON c.doc_b = sb.doc_id
     WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
         / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.2
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_LSH_PAIRS_SQL)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -315,4 +317,43 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=50
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS component,
+           (a = CAST(least(a, MIN(b)) AS BIGINT)) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → cluster assignment: connected components by
+    min-label propagation (operators/graph.py), then keep the minimum
+    doc_id of each component as canonical.  The oracle computes the
+    same closure with a recursive CTE — an independent algorithm
+    (transitive closure) for the same semantics, affordable at gate
+    scale where the pair graph is tiny."""
+    from ..operators import dedup as D
+    from ..operators.graph import canonical_assignment
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        d, "doc_id", "text",
+        num_hashes=NUM_MINHASHES, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        threshold=0.2,
+    )
+    return canonical_assignment(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component", "is_canonical"
     )

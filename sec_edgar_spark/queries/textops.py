@@ -180,3 +180,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return rolling_fingerprints(d, "doc_id", "text")
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-20 tokens by occurrence count
+    (vocabulary head — the stoplist/boilerplate-detection primitive).
+    Scale shape: explode → hash groupBy with map-side partials (the
+    per-partition combine collapses the Zipf head before the shuffle,
+    so shuffled bytes ≈ distinct tokens per partition, not token
+    occurrences) → global top-k via TakeOrderedAndProject (no full
+    sort).  Tie-broken on the token for determinism."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(20)
+    )

@@ -1,0 +1,50 @@
+"""connected_components: chains, multiple components, canonical picks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_edgar_spark.operators.graph import canonical_assignment, connected_components
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2, 2-3, 3-4: one component labelled 1 (needs >1 propagation round)
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(5, 6), (10, 11), (11, 12)])
+    assert got == {5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges(spark):
+    n = 20
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+
+
+def test_max_iter_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=1)
+
+
+def test_canonical_assignment(spark):
+    edges = spark.createDataFrame([(7, 3), (3, 9)], "src long, dst long")
+    rows = {r["id"]: r for r in canonical_assignment(edges).collect()}
+    assert rows[3]["is_canonical"] is True
+    assert rows[7]["is_canonical"] is False
+    assert rows[9]["component"] == 3
