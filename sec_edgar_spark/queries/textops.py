@@ -69,31 +69,38 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, alpha ratio, stopword ratio, and a
     pass/fail gate — the standard pretraining-corpus filter shape.
 
-    Zero-shuffle pure map stage: the token array is materialized ONCE in
-    its own projection (multiple references keep CollapseProject from
-    inlining the split into the lambdas — the higher-order recompute
-    trap), then every stat is per-row arithmetic over it.  The previous
-    explode → groupBy → join-back formulation shuffled every token row
-    for what is ultimately document-level math; A/B at 10× sf0.1 shows
-    the map-stage form is the same speed warm with two fewer stages.
+    Token-level stats come from ONE explode + conditional-sum aggregate
+    (operators/text_analysis.token_aggregates — linear at scale);
+    character-level stats stay doc-level codegen'd regex.  Ratios divide
+    exact ints in double → bit-identical across engines.
+
+    Measured note (sf0.1, noop sink): a zero-shuffle per-row variant
+    using ``size(filter(_toks, isin))`` looks tempting but runs ~4×
+    slower — higher-order lambdas evaluate interpreted per element,
+    while the explode feeds a codegen'd IN-list conditional sum.  Keep
+    the explode.  (And never A/B with ``count()`` — Catalyst prunes the
+    very columns under test; use the noop sink.)
     """
+    from ..operators.text_analysis import token_aggregates
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    tok_agg = token_aggregates(d, "doc_id", "text", {"en": T.STOPWORDS["en"]})
+    doc = d.select(
         "doc_id",
         "lang",
         "source",
-        T.tokens("text").alias("_toks"),
         T.alpha_chars("text").alias("n_alpha"),
         F.length("text").alias("n_chars"),
     )
-    stop = T.STOPWORDS["en"]
-    n_tokens = F.size("_toks")
-    hits = F.size(F.filter("_toks", lambda t: F.lower(t).isin(*stop)))
+    j = doc.join(tok_agg, "doc_id", "left")
+    n_tokens = F.coalesce("n_tokens", F.lit(0))
     alpha_ratio = F.col("n_alpha").cast("double") / F.greatest(
         F.col("n_chars"), F.lit(1)
     )
-    stop_ratio = hits.cast("double") / F.greatest(n_tokens, F.lit(1))
-    return toks.select(
+    stop_ratio = F.coalesce("hits_en", F.lit(0)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    return j.select(
         "doc_id",
         "lang",
         "source",
