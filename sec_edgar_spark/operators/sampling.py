@@ -32,6 +32,30 @@ def hash_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:
     return df.filter(hash_bucket(key) < rate_pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~rates_pct[stratum]% of
+    each stratum's rows, decided by the key hash (never ``rand()``).
+    Strata absent from the map fall back to ``default_pct``.
+
+    The rate map compiles to a literal map lookup — a stateless
+    projection + filter, no shuffle, and Catalyst can push the bucket
+    predicate into the scan alongside any other filters.
+    """
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates_pct.items() for x in kv]
+    )
+    rate = F.coalesce(
+        rate_map.getItem(F.col(strata_col)), F.lit(int(default_pct))
+    )
+    return df.filter(hash_bucket(key) < rate)
+
+
 def split_assign(
     key: Column | str,
     val_pct: int = 10,

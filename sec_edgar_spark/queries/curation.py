@@ -196,3 +196,30 @@ def curation_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_ffd(
         d, "doc_id", "n_tokens", budget=512, partition_col="lang"
     )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+      CAST({_H} % 100 AS BIGINT) AS bucket
+    FROM documents
+    WHERE {_H} % 100 < CASE lang
+      WHEN 'en' THEN 30 WHEN 'fr' THEN 80 WHEN 'de' THEN 80
+      WHEN 'es' THEN 80 WHEN 'zh' THEN 80 ELSE 0 END
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling — the corpus-rebalancing
+    primitive (downweight the dominant language, keep the tail).  The
+    per-stratum rate compiles to a literal map lookup, so the whole
+    thing is a pushable stateless filter; every kept row is on the
+    value gate."""
+    from ..operators.sampling import hash_bucket, stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    rates = {"en": 30, "fr": 80, "de": 80, "es": 80, "zh": 80}
+    kept = stratified_sample(d, "doc_id", "lang", rates)
+    return kept.select(
+        "doc_id", "lang", hash_bucket("doc_id").alias("bucket")
+    )

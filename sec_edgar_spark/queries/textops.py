@@ -219,3 +219,113 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "tok")
         .limit(20)
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (df.df + 1) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the keyword-extraction /
+    relevance primitive.  Rational idf ((N+1)/(df+1), no transcendental
+    functions) keeps every float engine-exact for the oracle while
+    preserving the ranking semantics of log-idf (monotone in df).
+
+    Scale shape: one token explode → (doc, term) hash agg (map-side
+    combined) → term df agg (small: vocabulary-sized) broadcast back →
+    per-doc WindowGroupLimit for the top-5.  The corpus count joins as
+    a broadcast scalar, never a driver-side collect.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs") + 1)
+                / (F.col("df") + 1)
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    h = _HASH64.format(x="(j::VARCHAR || ':' || tok)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ), probes AS (
+      SELECT tok, j, {h} % {width} AS bucket
+      FROM tok CROSS JOIN (SELECT unnest(range({depth})) AS j)
+    ), sketch AS (
+      SELECT j, bucket, COUNT(*) AS cnt FROM probes GROUP BY j, bucket
+    ), top20 AS (
+      SELECT tok, COUNT(*) AS n_occurrences
+      FROM tok GROUP BY tok
+      ORDER BY n_occurrences DESC, tok LIMIT 20
+    ), qprobes AS (
+      SELECT t.tok, t.n_occurrences, {h.replace('tok', 't.tok')} % {width} AS bucket, j
+      FROM top20 t CROSS JOIN (SELECT unnest(range({depth})) AS j)
+    )
+    SELECT q.tok, q.n_occurrences, MIN(s.cnt) AS cms_estimate
+    FROM qprobes q JOIN sketch s ON q.j = s.j AND q.bucket = s.bucket
+    GROUP BY q.tok, q.n_occurrences
+    """
+
+
+@query("text_countmin_estimates", oracle=_cms_oracle())
+def text_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (D=4, W=256, md5 hash family) probed at the
+    exact top-20 tokens: (token, exact count, sketch estimate).  The
+    sketch is a pure function of the input given the fixed hash family,
+    so the DuckDB oracle reproduces it — including collisions —
+    bit-for-bit.  Scale story: the sketch build is a map-side-combined
+    groupBy over D×W bounded cells; estimates broadcast-join the tiny
+    sketch (operators/sketches.py)."""
+    from ..operators.sketches import countmin_build, countmin_estimate
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    sketch = countmin_build(tok, "tok", depth=4, width=256)
+    top20 = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(20)
+    )
+    return countmin_estimate(sketch, top20, "tok", depth=4, width=256)
