@@ -332,9 +332,15 @@ def ngram_jaccard_pairs(
     )
     inter = F.col("inter_capped") + F.size(F.array_intersect("hot_a", "hot_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
+    # pa/pb are one row PER DOCUMENT (corpus cardinality) — never force
+    # a broadcast on them: at 100 TB that broadcast grows with the
+    # corpus and OOMs.  Plain shuffle-hash/sort-merge joins on the pair
+    # ids are key-partitioned and scale; AQE still broadcasts them at
+    # small SFs when they genuinely fit.  Only the bounded ``hot``
+    # frame (≤ #shingles with df > max_doc_freq) is broadcast above.
     return (
-        pair_counts.join(broadcast(pa), "id_a")
-        .join(broadcast(pb), "id_b")
+        pair_counts.join(pa, "id_a")
+        .join(pb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

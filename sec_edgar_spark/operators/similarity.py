@@ -131,6 +131,78 @@ def ivf_bucketed_topk(
     )
 
 
+def cosine_threshold_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine-threshold join as a block-partitioned
+    equi-join — the scalable shape for exhaustive pair scoring.
+
+    Exact threshold joins at moderate thresholds (e.g. 0.45 on
+    near-random high-dim data) admit no guaranteed-recall pruning: on
+    unit vectors cos >= t bounds the pair distance by sqrt(2-2t),
+    which at t=0.45 (~1.05) exceeds the coordinate/projection spread
+    of the data, so every bucketing scheme either loses recall or
+    prunes nothing.  The O(n^2) compute is inherent; what must NOT be
+    inherent is a corpus-sized broadcast or a single cartesian task.
+
+    Block decomposition: each row hashes to one of B blocks; the left
+    side replicates to block-pair keys (g, j>=g), the right side to
+    (i<=g, g), and an equi-join on (bi, bj) gives every unordered pair
+    exactly once across B(B+1)/2 independent tasks (same-block pairs
+    appear twice and are halved by the id ordering filter).  Per-task
+    memory is O(n/B) rows, replication factor ~B/2 per side — the
+    communication-optimal sqrt(2P) for dense all-pairs on P tasks.
+    At 100 TB, pick B so n/B rows fit one executor's hash map.
+
+    The cosine expression is the same dot/(norm*norm) fold as the
+    brute-force baseline, so values are bit-identical to the oracle.
+    When approximate recall is acceptable (true near-dup thresholds
+    >= ~0.9), ``lsh_bucketed_topk``'s candidate shape is the cheaper
+    tier; this operator is the exact tier.
+    """
+    b = F.lit(n_blocks)
+    g = F.pmod(F.hash(F.col(id_col)), b)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        V.norm(vec_col).alias("nrm"),
+        g.alias("g"),
+    )
+    left = base.select(
+        F.col("id").alias("id_l"),
+        F.col("emb").alias("emb_l"),
+        F.col("nrm").alias("nrm_l"),
+        F.col("g").alias("bi"),
+        F.explode(F.sequence(F.col("g"), b - 1)).alias("bj"),
+    )
+    right = base.select(
+        F.col("id").alias("id_r"),
+        F.col("emb").alias("emb_r"),
+        F.col("nrm").alias("nrm_r"),
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("bi"),
+        F.col("g").alias("bj"),
+    )
+    pairs = left.join(right, ["bi", "bj"]).filter(
+        # distinct-block pairs arrive exactly once (keep both id orders,
+        # normalized below); same-block pairs arrive twice (keep one).
+        (F.col("bi") != F.col("bj")) | (F.col("id_l") < F.col("id_r"))
+    )
+    cos = V.dot("emb_l", "emb_r") / (F.col("nrm_l") * F.col("nrm_r"))
+    return (
+        pairs.filter(F.col("id_l") != F.col("id_r"))
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def l2_normalize(vec_col, eps: float = 1e-12):
     """Unit-normalize an array<float|double> embedding column (pure
     zip_with/aggregate expression — codegen, no UDF).  Zero vectors

@@ -327,7 +327,7 @@ def edgar_submissions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       'CY2020Q' || ((c_custkey % 4) + 1) || 'I' AS frame,
       c_custkey AS cik,
       c_name AS entity_name,
-      CAST(c_acctbal AS DECIMAL(24,4)) AS val,
+      CAST(c_acctbal AS DOUBLE) AS val,
       '2020-0' || ((c_custkey % 4) * 3 + 1) || '-01' AS period_end
     FROM customer WHERE c_custkey <= 200
     """,

@@ -136,6 +136,6 @@ def frames_rows(raw: DataFrame) -> DataFrame:
         "frame",
         F.col("d.cik").cast("long").alias("cik"),
         F.col("d.entityName").alias("entity_name"),
-        F.col("d.val").cast("decimal(24,4)").alias("val"),
+        F.col("d.val").cast("double").alias("val"),
         F.col("d.end").alias("period_end"),
     )

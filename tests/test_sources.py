@@ -62,4 +62,4 @@ def test_frames_cross_company(spark, data_dir):
     rows = frames.orderBy("cik").collect()
     assert len(rows) == 2
     assert rows[0].cik == 320193 and rows[0].frame == "CY2020Q3I"
-    assert rows[1].val == Decimal("301311000000.0000")
+    assert rows[1].val == 301311000000.0
