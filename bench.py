@@ -89,6 +89,7 @@ def main() -> int:
     )
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         # Isolate queries from each other: drop any cached frames the
@@ -96,21 +97,26 @@ def main() -> int:
         # HEADLINE ordering.
         spark.catalog.clearCache()
         t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        # One broken query must not zero the whole round's signal:
+        # report it under "errors" and keep timing the rest.
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

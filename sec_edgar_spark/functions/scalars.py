@@ -64,6 +64,21 @@ def add_quarter(year: Column, quarter: Column) -> tuple[Column, Column]:
     return next_year, next_quarter
 
 
+def epoch_s(ts: Column | str) -> Column:
+    """Epoch seconds from any timestamp flavor, portably across Spark 4.x.
+
+    Parquet no-tz ``timestamp[us]`` columns infer as TIMESTAMP_NTZ under
+    Spark >= 4.1, and NTZ -> BIGINT is an AnalysisException
+    (DATATYPE_MISMATCH).  NTZ -> TIMESTAMP is legal, and with the session
+    timezone pinned to UTC (session.py) the wall-clock value is unchanged,
+    so ``cast("timestamp").cast("long")`` yields identical epoch seconds
+    on every Spark version.  Use this instead of ``col.cast("long")``
+    anywhere a timestamp becomes arithmetic.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return c.cast("timestamp").cast("long")
+
+
 def fill_days(start: Column, end: Column) -> Column:
     """C7 — inclusive date sequence between two dates (combo.py:12-28).
 

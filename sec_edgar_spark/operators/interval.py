@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_s
+
 
 def range_join(
     left: DataFrame,
@@ -44,8 +46,8 @@ def range_join(
     tol = F.lit(int(tolerance_s)).cast("long")
     # Exact integer bin start (x - x % tol): long arithmetic only, so
     # boundary timestamps never mis-bin the way double division can.
-    l_sec = F.col(left_ts).cast("long")
-    r_sec = F.col(right_ts).cast("long")
+    l_sec = epoch_s(left_ts)
+    r_sec = epoch_s(right_ts)
     l_bin = l_sec - (l_sec % tol)
     r_bin = r_sec - (r_sec % tol)
 
@@ -58,7 +60,7 @@ def range_join(
     )
     joined = l2.join(r2, on=[*on, "_bin"])
     refined = joined.filter(
-        F.abs(F.col(left_ts).cast("long") - F.col(f"_r.{right_ts}").cast("long"))
+        F.abs(epoch_s(left_ts) - epoch_s(F.col(f"_r.{right_ts}")))
         <= tol
     )
     right_payload = [c for c in right.columns if c not in on]

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..catalog import table
+from ..functions.scalars import epoch_s
 from .registry import query
 
 
@@ -87,7 +88,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                epoch_s("ts") - epoch_s(F.lag("ts").over(w))
                 > 30 * 60
             ),
             1,
@@ -103,7 +104,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
         F.count("*").alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        (F.max(epoch_s("ts")) - F.min(epoch_s("ts")))
         .cast("bigint")
         .alias("duration_s"),
     )

@@ -170,13 +170,18 @@ def test_fetch_urls_batch_is_concurrent(spark):
     from sec_edgar_spark.sources.filings import fetch_urls
 
     def slow_get(u):
+        # Stamp the request START into the payload: concurrency is then
+        # provable from the collected rows alone, independent of Spark
+        # scheduling/startup overhead (wall-clock asserts flake).
+        start = _time.monotonic()
         _time.sleep(0.2)
-        return 200, u.encode()
+        return 200, f"{start:.3f}".encode()
 
     urls = spark.createDataFrame([(f"u{i}",) for i in range(10)], ["url"])
-    t0 = _time.time()
     got = fetch_urls(urls, slow_get, rate_limit=10, retry_count=0).collect()
-    wall = _time.time() - t0
     assert len(got) == 10 and all(r.status == 200 for r in got)
-    # serial would need >= 2.0s of request time; concurrent ~0.2s + overhead
-    assert wall < 1.9, f"batch not concurrent: {wall:.2f}s"
+    starts = sorted(float(r.content.decode()) for r in got)
+    spread = starts[-1] - starts[0]
+    # serial requests would spread starts over >= 9 * 0.2 = 1.8s; a
+    # concurrent batch fires them all within one latency
+    assert spread < 1.0, f"batch not concurrent: start spread {spread:.2f}s"
