@@ -164,6 +164,8 @@ def cosine_threshold_pairs(
     >= ~0.9), ``lsh_bucketed_topk``'s candidate shape is the cheaper
     tier; this operator is the exact tier.
     """
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
     b = F.lit(n_blocks)
     g = F.pmod(F.hash(F.col(id_col)), b)
     base = df.select(

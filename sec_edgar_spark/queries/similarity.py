@@ -176,28 +176,24 @@ def ann_quantized_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
 
-    Correctness baseline is the exact all-pairs comparison (fine at
-    oracle scale); at 100 TB the identical scoring expression runs after
-    an LSH/bucket candidate join (ann_lsh_topk's shape) instead of the
-    triangle self-join — the verify stage is shared, only candidate
-    generation changes.
+    Delegates to ``cosine_threshold_pairs``: block-partitioned pair
+    enumeration (B(B+1)/2 bounded equi-join tasks, each holding O(n/B)
+    rows) instead of a corpus-sized broadcast + theta join — the
+    BroadcastNestedLoopJoin the naive formulation produces OOMs at
+    scale.  The O(n^2) scoring is inherent to an exact moderate
+    threshold; the block join makes it shuffle-bounded, not
+    memory-bounded.  Scoring expression is identical to the oracle's.
     """
+    from ..operators.similarity import cosine_threshold_pairs
+
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        V.norm("embedding").alias("nrm_a"),
+    pairs = cosine_threshold_pairs(
+        e, threshold=0.45, id_col="vec_id", vec_col="embedding", n_blocks=8
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        V.norm("embedding").alias("nrm_b"),
-    )
-    cos = V.dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
+    return pairs.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        "cosine",
     )
 
 

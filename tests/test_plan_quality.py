@@ -75,6 +75,33 @@ def test_percentile_approx_partial_aggregates(plans):
     assert p.count("HashAggregate") >= 2
 
 
+def test_embedding_cosine_no_nested_loop(plans):
+    # r3 regression class: the exact cosine-threshold dedup must be the
+    # block-partitioned equi-join, never a corpus-sized broadcast theta
+    # join (BroadcastNestedLoopJoin) or a cartesian.
+    p = plans("dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # must be a hash-based equi-join on the block keys (at tiny SF the
+    # exploded side is broadcastable so BroadcastHashJoin is legal; at
+    # scale the same plan shape shuffles on (bi, bj))
+    assert any(
+        j in p for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_asof_join_no_nested_loop(plans):
+    p = plans("events_asof_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_bucketed_equi_join(plans):
+    p = plans("events_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_curation_split_is_scan_plus_project_only(plans):
     p = plans("curation_split_train_val_test")
     # stateless projection: no shuffle at all

@@ -196,3 +196,51 @@ def test_resize_images_plumbing(spark):
 
     with _pytest.raises(NotImplementedError):
         resize_images(df, 64, 64)
+
+
+def test_cosine_threshold_pairs_matches_bruteforce(spark):
+    """Block-decomposed pair enumeration must produce every unordered
+    pair exactly once — parity against the naive O(n^2) comparison."""
+    import itertools
+    import math
+    import random
+
+    from sec_edgar_spark.operators.similarity import cosine_threshold_pairs
+
+    rng = random.Random(7)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(8)] for i in range(40)}
+    # plant a few near-duplicates so the threshold actually selects
+    for dup, src in ((40, 3), (41, 17)):
+        vecs[dup] = [x + rng.gauss(0, 0.01) for x in vecs[src]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[a], vecs[b]) >= 0.6
+    }
+    assert expected, "test needs at least one qualifying pair"
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    for n_blocks in (1, 3, 8):
+        got = cosine_threshold_pairs(df, 0.6, n_blocks=n_blocks).collect()
+        pairs = [(r.id_a, r.id_b) for r in got]
+        assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+        assert set(pairs) == expected, f"n_blocks={n_blocks}"
+
+
+def test_cosine_threshold_pairs_rejects_bad_blocks(spark):
+    import pytest as _pytest
+
+    from sec_edgar_spark.operators.similarity import cosine_threshold_pairs
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        cosine_threshold_pairs(df, 0.5, n_blocks=0)
