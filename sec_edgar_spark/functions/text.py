@@ -153,7 +153,7 @@ def punct_chars(c: Column | str) -> Column:
 
 def stopword_count(token_col: Column, lang: str = "en") -> Column:
     words = STOPWORDS[lang]
-    arr = F.array(*[F.lit(w) for w in words])
+    arr = F.lit(list(words))  # one Literal node, not len(words) CreateArray children
     return F.size(F.filter(token_col, lambda t: F.array_contains(arr, F.lower(t))))
 
 

@@ -1,9 +1,17 @@
 """Vector math over ``array<float>`` embedding columns.
 
-All ops are zip_with/aggregate folds over the array — JVM-side,
-codegen'd, no UDF.  Sums fold left-to-right in element order, so results
-are bit-identical to a left-associated explicit sum (what the DuckDB
+All ops are zip_with/aggregate folds over the array — JVM-side, no
+UDF.  Sums fold left-to-right in element order, so results are
+bit-identical to a left-associated explicit sum (what the DuckDB
 oracle computes), provided both sides widen elements to double first.
+
+Constant planes/centroids enter the plan as a SINGLE array literal
+(``F.lit(nested_list)`` → one Literal node), never as a
+``CreateArray`` of K×D scalar literals: a 16×64 constant spelled as
+1024 expression nodes made every chained ``select``/``join`` re-run
+analysis over a multi-thousand-node tree and dominated wall time
+driver-side (measured: ann_ivf_topk 4.4s → 26s with fully unrolled
+arithmetic, back under 2s with single-node literals — see SCALE.md).
 """
 
 from __future__ import annotations
@@ -40,16 +48,29 @@ def quantize(a: Column | str, scale: int = 1000) -> Column:
     return F.transform(as_double(a), lambda x: F.round(x * scale).cast("long"))
 
 
+def dot_literal(a: Column | str, vec: list[float]) -> Column:
+    """Left-fold dot of a column vector with literal floats — same
+    fold the oracle SQL writes out explicitly.  The constant vector is
+    one Literal node."""
+    parr = F.lit([float(x) for x in vec])
+    return F.aggregate(
+        F.zip_with(as_double(a), parr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, p: s + p,
+    )
+
+
 def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit LSH bucket id from fixed hyperplanes (list of vectors).
 
     The planes are compile-time constants (deterministic, seeded
     upstream), so the bucket id is a pure expression: bit b = 1 iff
-    dot(a, plane_b) >= 0.
+    dot(a, plane_b) >= 0.  The plane matrix is ONE nested-array
+    literal.
     """
     emb = as_double(a)
-    parr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
-    weights = F.array(*[F.lit(2**b).cast("long") for b in range(len(planes))])
+    parr = F.lit([[float(x) for x in p] for p in planes])
+    weights = F.lit([2**b for b in range(len(planes))]).cast("array<bigint>")
     dots = F.transform(
         parr,
         lambda p: F.aggregate(
@@ -64,27 +85,16 @@ def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> C
     return F.aggregate(bits, F.lit(0).cast("long"), lambda s, b: s + b)
 
 
-def dot_literal(a: Column | str, vec: list[float]) -> Column:
-    """Left-fold dot of a column vector with literal floats — same
-    fold the oracle SQL writes out explicitly."""
-    parr = F.array(*[F.lit(float(x)) for x in vec])
-    return F.aggregate(
-        F.zip_with(as_double(a), parr, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, p: s + p,
-    )
-
-
 def nearest_centroid(a: Column | str, centroids: list[list[float]]) -> Column:
     """1-based argmax over centroid dot products (IVF cell id).
 
     Pure expression: K literal-dot products, array_position of the
     max.  Both engines compute identical doubles from identical
     constants and fold order, so the equality probe inside
-    array_position is exact.
+    array_position is exact.  The centroid matrix is ONE literal node.
     """
     emb = as_double(a)
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    carr = F.lit([[float(x) for x in c] for c in centroids])
     dots = F.transform(
         carr,
         lambda c: F.aggregate(

@@ -327,7 +327,7 @@ def edgar_submissions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       'CY2020Q' || ((c_custkey % 4) + 1) || 'I' AS frame,
       c_custkey AS cik,
       c_name AS entity_name,
-      CAST(c_acctbal AS DOUBLE) AS val,
+      CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(24,4)) AS val,
       '2020-0' || ((c_custkey % 4) * 3 + 1) || '-01' AS period_end
     FROM customer WHERE c_custkey <= 200
     """,
@@ -368,3 +368,58 @@ def edgar_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return frames_rows(raw)
+
+
+@query(
+    "edgar_concept_roundtrip",
+    oracle="""
+    SELECT c_custkey AS cik, c_name AS entity_name,
+      'us-gaap' AS taxonomy, 'AccountsPayableCurrent' AS tag, 'USD' AS unit,
+      CAST(CASE WHEN fy = 2020 THEN CAST(c_acctbal AS DECIMAL(24,4)) * 1000
+           ELSE CAST(c_acctbal AS DECIMAL(24,4)) END AS DECIMAL(24,4)) AS val,
+      fy, 'FY' AS fp, '10-K' AS form,
+      CAST(fy || '-10-30' AS DATE) AS filed,
+      'accn-' || c_custkey || '-' || fy AS accn,
+      CAST(NULL AS VARCHAR) AS frame
+    FROM customer CROSS JOIN (SELECT unnest([2020, 2021]) AS fy)
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def edgar_concept_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 companyconcept on the gate: build the data.sec.gov
+    companyconcept payload shape (single cik/taxonomy/tag, units map of
+    per-period fact arrays — reference get_company_concepts,
+    core/rest.py:91-123) from ``customer``, then explode through the
+    PRODUCTION concept path (sources/rest.concept_rows)."""
+    from ..sources.rest import concept_rows
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    bal = F.col("c_acctbal").cast("decimal(24,4)")
+
+    def period(fy: int, val):
+        return F.struct(
+            val.alias("val"),
+            F.lit(fy).alias("fy"),
+            F.lit("FY").alias("fp"),
+            F.lit("10-K").alias("form"),
+            F.lit(f"{fy}-10-30").alias("filed"),
+            F.concat(
+                F.lit("accn-"),
+                F.col("c_custkey").cast("string"),
+                F.lit(f"-{fy}"),
+            ).alias("accn"),
+        )
+
+    raw = c.select(
+        F.col("c_custkey").alias("cik"),
+        F.lit("us-gaap").alias("taxonomy"),
+        F.lit("AccountsPayableCurrent").alias("tag"),
+        F.col("c_name").alias("entityName"),
+        F.struct(
+            F.array(
+                period(2020, (bal * 1000).cast("decimal(24,4)")),
+                period(2021, bal),
+            ).alias("USD")
+        ).alias("units"),
+    )
+    return concept_rows(raw)

@@ -77,6 +77,68 @@ def read_company_facts(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def read_company_concept(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S8 — companyconcept JSON file(s) → long fact table.
+
+    Input shape (reference ``get_company_concepts``, core/rest.py:91-123;
+    endpoint ``companyconcept/CIK{cik}/{taxonomy}/{tag}.json``): ONE
+    (cik, taxonomy, tag) per payload — ``{cik, taxonomy, tag, label,
+    entityName, units: {unit: [{val, fy, fp, form, filed, accn, frame?,
+    end?, start?}, ...]}}`` — i.e. a single branch of the companyfacts
+    tree with taxonomy/tag hoisted to the top level.  Normalizes to the
+    same long-row surface as ``read_company_facts`` so concept and
+    facts outputs union cleanly.
+    """
+    raw = spark.read.option("multiLine", "true").json(path_glob)
+    return concept_rows(raw)
+
+
+def concept_rows(raw: DataFrame) -> DataFrame:
+    """The units-map explode for the companyconcept shape, usable on any
+    frame with (cik, taxonomy, tag, entityName, units)."""
+    sch = (
+        "map<string,array<struct<"
+        "val:decimal(24,4),fy:int,fp:string,form:string,"
+        "filed:string,accn:string,frame:string,end:string,start:string"
+        ">>>"
+    )
+    base = raw.select(
+        F.col("cik").cast("long").alias("cik"),
+        F.col("entityName").alias("entity_name"),
+        F.col("taxonomy"),
+        F.col("tag"),
+        F.from_json(F.to_json("units"), sch).alias("units"),
+    )
+    units = base.select(
+        "cik",
+        "entity_name",
+        "taxonomy",
+        "tag",
+        F.explode("units").alias("unit", "rows"),
+    )
+    return units.select(
+        "cik",
+        "entity_name",
+        "taxonomy",
+        "tag",
+        "unit",
+        F.explode("rows").alias("r"),
+    ).select(
+        "cik",
+        "entity_name",
+        "taxonomy",
+        "tag",
+        "unit",
+        F.col("r.val").alias("val"),
+        F.col("r.fy").alias("fy"),
+        F.col("r.fp").alias("fp"),
+        F.col("r.form").alias("form"),
+        F.to_date("r.filed").alias("filed"),
+        F.col("r.accn").alias("accn"),
+        F.col("r.frame").alias("frame"),
+    )
+
+
 def read_submissions(spark: SparkSession, path_glob: str) -> DataFrame:
     """submissions JSON (rest.py:51-88) → one row per filing.
 
@@ -136,6 +198,10 @@ def frames_rows(raw: DataFrame) -> DataFrame:
         "frame",
         F.col("d.cik").cast("long").alias("cik"),
         F.col("d.entityName").alias("entity_name"),
-        F.col("d.val").cast("double").alias("val"),
+        # One val type across every XBRL fact surface (facts, concept,
+        # frames): decimal(24,4), exact for integer-cent magnitudes that
+        # exceed double's 2^53 — frames payloads arrive as JSON doubles,
+        # so the cast path is double → decimal(24,4) on both engines.
+        F.col("d.val").cast("decimal(24,4)").alias("val"),
         F.col("d.end").alias("period_end"),
     )

@@ -5,6 +5,7 @@ from decimal import Decimal
 
 from sec_edgar_spark.sources.cik_map import read_cik_map, resolve_ciks
 from sec_edgar_spark.sources.rest import (
+    read_company_concept,
     read_company_facts,
     read_frames,
     read_submissions,
@@ -62,4 +63,30 @@ def test_frames_cross_company(spark, data_dir):
     rows = frames.orderBy("cik").collect()
     assert len(rows) == 2
     assert rows[0].cik == 320193 and rows[0].frame == "CY2020Q3I"
-    assert rows[1].val == 301311000000.0
+    assert rows[1].val == Decimal("301311000000.0000")
+
+
+def test_company_concept_long_table(spark, data_dir):
+    """S8 golden: companyconcept payload (single cik/taxonomy/tag with
+    units map) normalizes to the same long-row surface as companyfacts
+    (reference get_company_concepts, core/rest.py:91-123)."""
+    concept = read_company_concept(
+        spark, f"{data_dir}/companyconcept_sample.json"
+    )
+    rows = concept.orderBy("fy").collect()
+    assert len(rows) == 2
+    r0 = rows[0]
+    assert r0.cik == 320193
+    assert r0.entity_name == "Apple Inc."
+    assert r0.taxonomy == "us-gaap"
+    assert r0.tag == "AccountsPayableCurrent"
+    assert r0.unit == "USD"
+    assert r0.val == Decimal("42296000000.0000")
+    assert r0.fy == 2020 and r0.fp == "FY" and r0.form == "10-K"
+    assert r0.filed == datetime.date(2020, 10, 30)
+    assert r0.frame == "CY2020Q3I"
+    assert rows[1].frame is None  # frame is optional per-row
+    # concept rows union cleanly with the facts surface (same columns)
+    facts = read_company_facts(spark, f"{data_dir}/companyfacts_sample.json")
+    assert concept.columns == facts.columns
+    assert facts.unionByName(concept).count() == 6
