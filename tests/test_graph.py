@@ -36,6 +36,35 @@ def test_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
+def test_chain_converges_in_log_rounds(spark):
+    """Pointer jumping must give O(log diameter) convergence: a
+    4096-node chain converges well within 16 rounds (min-label
+    propagation alone would need ~4096)."""
+    n = 4096
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iter=16).collect()
+    }
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
+
+
+@pytest.mark.slow
+def test_100k_chain_probe(spark):
+    """Scale probe (marker: slow): 100k-edge chain — the shape that
+    defeats diameter-bounded propagation — converges in ~20 rounds."""
+    n = 100_000
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comp = connected_components(edges, max_iter=25)
+    assert comp.filter(F.col("component") != 0).count() == 0
+    assert comp.count() == n + 1
+
+
 def test_max_iter_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
     with pytest.raises(RuntimeError):
