@@ -44,6 +44,11 @@ HEADLINE = [
     "ann_ivf_topk",
     "edgar_company_pagination",
     "events_asof_join",
+    # round 4 additions
+    "events_range_join",
+    "edgar_concept_roundtrip",
+    "text_repetition_filter",
+    "curation_domain_mix",
 ]
 
 

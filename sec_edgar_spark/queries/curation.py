@@ -223,3 +223,76 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", "lang", hash_bucket("doc_id").alias("bucket")
     )
+
+
+@query(
+    "curation_domain_mix",
+    oracle="""
+    WITH t(lang, w) AS (VALUES
+      ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)
+    ), counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), total AS (
+      SELECT MIN(CAST(floor(n / w) AS BIGINT)) AS n_total
+      FROM counts JOIN t USING (lang)
+    ), quota AS (
+      SELECT t.lang, CAST(floor(w * n_total) AS BIGINT) AS k
+      FROM t CROSS JOIN total
+    ), ranked AS (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      ) AS sample_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.sample_rank
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.sample_rank <= q.k
+    """,
+)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota domain mixing: downsample each stratum (language
+    here; source/domain identically) so the kept corpus matches a
+    target mix — the data-recipe primitive behind "40% en / 15% each
+    of de-es-fr-zh" training mixes.
+
+    The largest achievable corpus is N' = min_s floor(n_s / w_s)
+    (binding stratum kept whole-ish, everything else downsampled);
+    per-stratum quota k_s = floor(w_s * N'); membership is the k_s
+    lowest md5(doc_id) ranks — fully deterministic, no rand().
+
+    Scale shape: stratum counts are a tiny hash agg; N' and quotas
+    derive on that dimension table (broadcast both ways, never a
+    collect).  Exact quotas need a per-stratum rank (one shuffle on
+    lang).  At 100 TB swap the rank for the rate-based hash-threshold
+    gate of curation_stratified_sample (stateless filter, no shuffle)
+    and accept ±epsilon quota error — same semantics, documented
+    trade.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = table(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(
+        [("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)],
+        "lang string, w double",
+    )
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    n_total = (
+        counts.join(broadcast(targets), "lang")
+        .select(F.floor(F.col("n") / F.col("w")).cast("bigint").alias("cap"))
+        .agg(F.min("cap").alias("n_total"))
+    )
+    quota = targets.crossJoin(broadcast(n_total)).select(
+        "lang", F.floor(F.col("w") * F.col("n_total")).cast("bigint").alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("sample_rank")
+    )
+    return (
+        ranked.join(broadcast(quota), "lang")
+        .filter(F.col("sample_rank") <= F.col("k"))
+        .select("doc_id", "lang", "sample_rank")
+    )

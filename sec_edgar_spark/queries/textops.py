@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..catalog import table
 from ..functions import text as T
@@ -329,3 +330,113 @@ def text_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return countmin_estimate(sketch, top20, "tok", depth=4, width=256)
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), uni AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT t) AS n_distinct
+      FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS g
+      FROM toks
+    ), bgc AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY doc_id, g
+    ), top AS (
+      SELECT doc_id, g AS top_bigram, cnt AS top_cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk
+        FROM bgc
+      ) WHERE rk = 1
+    ), dup AS (
+      SELECT doc_id,
+        COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup_bigram_occ
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT u.doc_id, CAST(u.n_tok AS INT) AS n_tokens,
+      1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_tok AS dup_unigram_frac,
+      t.top_bigram,
+      CAST(t.top_cnt AS DOUBLE) / greatest(u.n_tok - 1, 1) AS top_bigram_frac,
+      CAST(d.dup_bigram_occ AS DOUBLE) / greatest(u.n_tok - 1, 1) AS dup_bigram_frac,
+      (1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_tok) < 0.9
+        AND CAST(t.top_cnt AS DOUBLE) / greatest(u.n_tok - 1, 1) < 0.18
+        AS passes_repetition
+    FROM uni u JOIN top t USING (doc_id) JOIN dup d USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021 §A1.1): documents
+    dominated by repeated tokens / a single repeated n-gram are
+    boilerplate or degenerate generations, the standard pretraining
+    exclusion after language ID + quality scoring.
+
+    Metrics (token-based — this corpus has no newlines, so the line-dup
+    variants are degenerate): duplicate-unigram fraction
+    (1 − distinct/total), top-bigram occupancy (occurrences of the most
+    frequent bigram over bigram slots, tie-broken lexicographically),
+    and duplicated-bigram fraction (occurrences of bigrams seen more
+    than once over slots).  All ratios are exact-int divisions in
+    double, so both engines agree bit-for-bit.
+
+    Scale shape: bigrams assemble per row with ``transform`` over the
+    materialized token array (no shuffle, the shingle pattern of
+    operators/dedup.py with n=2 and NO distinct — multiplicity is the
+    signal), then one explode feeds two map-side-combined hash aggs
+    (per-(doc,gram) count, per-doc rollup) and a WindowGroupLimit
+    top-1; the unigram stats are one more explode + hash agg.  Every
+    stage is linear in token count; nothing is quadratic and nothing
+    collects.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", T.tokens("text").alias("_toks")
+    )
+    bigram_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - 2, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("_toks", (i + 1).cast("int")),
+            F.element_at("_toks", (i + 2).cast("int")),
+        ),
+    )
+    bg = toks.filter(F.size("_toks") >= 2).select(
+        "doc_id", F.explode(bigram_arr).alias("g")
+    )
+    bgc = bg.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "g")
+    top = (
+        bgc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("g").alias("top_bigram"), F.col("cnt").alias("top_cnt"))
+    )
+    dup = bgc.groupBy("doc_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+        ).alias("dup_bigram_occ")
+    )
+    tok_rows = toks.select("doc_id", F.explode("_toks").alias("t"))
+    uni = tok_rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"), F.countDistinct("t").alias("n_distinct")
+    )
+    slots = F.greatest(F.col("n_tok") - 1, F.lit(1))
+    dup_uni = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tok")
+    top_frac = F.col("top_cnt").cast("double") / slots
+    return (
+        uni.join(top, "doc_id")
+        .join(dup, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("int").alias("n_tokens"),
+            dup_uni.alias("dup_unigram_frac"),
+            "top_bigram",
+            top_frac.alias("top_bigram_frac"),
+            (F.col("dup_bigram_occ").cast("double") / slots).alias(
+                "dup_bigram_frac"
+            ),
+            ((dup_uni < 0.9) & (top_frac < 0.18)).alias("passes_repetition"),
+        )
+    )
