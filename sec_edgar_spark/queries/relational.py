@@ -61,8 +61,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises partial (map-side) aggregation; the only shuffle carries 6
     tiny groups.  Filter and 7-column projection push to the parquet scan.
+
+    With ``spark.sec_edgar.longcents=true`` the money aggregates run
+    two-phase in integer cents (long partial sums, one scale-down at
+    the end) instead of decimal sums — the hash-agg update loop is
+    64-bit integer adds instead of 128-bit decimal adds.  Doubles out
+    are bit-identical to the decimal path while each group's
+    micro-unit sum stays under 2^53 (~4e7 lineitem rows per group at
+    TPC-H value ranges; sum_charge accumulates ~1.1e11 1e-6-dollar
+    units per row): below that every conversion is exact-then-rounded
+    once; above it the long→double hop can double-round the last ulp
+    (and overflows 2^63 at ~8e7 rows/group).  Keep the decimal path
+    when groups exceed that, or split the sum into hi/lo columns.
     """
     l = table(spark, sf_dir, "lineitem")
+    if spark.conf.get("spark.sec_edgar.longcents", "false") == "true":
+        return _q1_longcents(l)
     qty = _dec(F.col("l_quantity"))
     price = _dec(F.col("l_extendedprice"))
     disc = _dec(F.col("l_discount"), 4, 2)
@@ -82,6 +96,41 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
             (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q1_longcents(l: DataFrame) -> DataFrame:
+    """Two-phase integer-cents formulation of q1 (see the flag note in
+    q1_pricing_summary).  qc/pc/dc/tc are exact cent counts of the
+    decimal(·,2) inputs, so every sum is an exact integer and the final
+    double conversions are the correctly-rounded values the decimal
+    path produces."""
+    qc = F.round(_dec(F.col("l_quantity")) * 100).cast("long")
+    pc = F.round(_dec(F.col("l_extendedprice")) * 100).cast("long")
+    dc = F.round(_dec(F.col("l_discount"), 4, 2) * 100).cast("long")
+    tc = F.round(_dec(F.col("l_tax"), 4, 2) * 100).cast("long")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qc.alias("qc"),
+            pc.alias("pc"),
+            dc.alias("dc"),
+            (pc * (100 - dc)).alias("disc_u"),  # 1e-4 dollars
+            (pc * (100 - dc) * (100 + tc)).alias("charge_u"),  # 1e-6 dollars
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum("qc").cast("double") / 100).alias("sum_qty"),
+            (F.sum("pc").cast("double") / 100).alias("sum_base_price"),
+            (F.sum("disc_u").cast("double") / 10_000).alias("sum_disc_price"),
+            (F.sum("charge_u").cast("double") / 1_000_000).alias("sum_charge"),
+            (F.sum("qc").cast("double") / 100 / F.count("*")).alias("avg_qty"),
+            (F.sum("pc").cast("double") / 100 / F.count("*")).alias("avg_price"),
+            (F.sum("dc").cast("double") / 100 / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -62,3 +62,22 @@ def test_oracle_parity(name, spark, duck):
     duck_pdf = duck.execute(ORACLES[name]).fetchdf()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_q1_longcents_parity(spark):
+    """The long-cents two-phase q1 (spark.sec_edgar.longcents=true) must
+    produce bit-identical rows to the decimal path within its documented
+    exactness bound."""
+    import __spark_entry__ as entrymod
+
+    q1 = entrymod.queries()["q1_pricing_summary"]
+    spark.conf.set("spark.sec_edgar.longcents", "false")
+    dec_rows = {tuple(r[:2]): r for r in q1(spark, SF_DIR).collect()}
+    spark.conf.set("spark.sec_edgar.longcents", "true")
+    try:
+        long_rows = {tuple(r[:2]): r for r in q1(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.set("spark.sec_edgar.longcents", "false")
+    assert dec_rows.keys() == long_rows.keys()
+    for k in dec_rows:
+        assert dec_rows[k] == long_rows[k], k
