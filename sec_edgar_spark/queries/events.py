@@ -204,3 +204,113 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, errors, on="user_id", left_ts="ts", right_ts="ts",
         tolerance_s=1800, suffix="_err",
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+        ) AS next_purchase_ts
+      FROM events
+    )
+    SELECT CAST(ts AS DATE) AS view_date,
+      COUNT(*) AS n_views,
+      CAST(SUM(CASE WHEN next_purchase_ts IS NOT NULL
+        AND date_diff('second', ts, next_purchase_ts) <= 3600
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM ordered
+    WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step conversion: per day, how many 'view' events were
+    followed by a 'purchase' from the same user within one hour — the
+    sequential-pattern primitive of event analytics.
+
+    The "next purchase after this event" lookup is ONE window (min of
+    purchase-ts over the strictly-following frame, per user) on the raw
+    stream — no self-join, no per-view probe; the stream shuffles once
+    on user_id and the daily rollup is a map-combined hash agg.  Same
+    scale shape as sessionize.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    ordered = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        next_purchase.alias("next_purchase_ts"),
+    )
+    converted = (
+        F.col("next_purchase_ts").isNotNull()
+        & (epoch_s("next_purchase_ts") - epoch_s("ts") <= 3600)
+    )
+    return (
+        ordered.filter(F.col("event_type") == "view")
+        .groupBy(F.col("ts").cast("date").alias("view_date"))
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum(F.when(converted, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT s.cohort_date,
+      CAST(date_diff('day', s.cohort_date, a.active_date) AS BIGINT) AS day_offset,
+      CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM signups s JOIN activity a ON s.user_id = a.user_id
+    WHERE a.active_date >= s.cohort_date
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by signup date, counted
+    on each later day they were active — the cohort-retention shape
+    (rows fan out only to distinct (user, day) pairs).
+
+    Scale shape: the signup dimension is a per-user min agg; activity
+    is a distinct projection; both shuffle once on user_id for the
+    join (co-partitioned), and the cohort rollup is map-combined.
+    Nothing is quadratic; the distinct caps fan-out at users x days.
+    """
+    e = table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("cohort_date"))
+    )
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("active_date")
+    ).distinct()
+    return (
+        signups.join(activity, "user_id")
+        .filter(F.col("active_date") >= F.col("cohort_date"))
+        .groupBy(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date")
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
