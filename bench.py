@@ -49,6 +49,7 @@ HEADLINE = [
     "edgar_concept_roundtrip",
     "text_repetition_filter",
     "curation_domain_mix",
+    "dedup_embedding_cosine",
 ]
 
 

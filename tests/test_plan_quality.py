@@ -82,10 +82,10 @@ def test_embedding_cosine_no_nested_loop(plans):
     p = plans("dedup_embedding_cosine")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
-    # must be a hash-based equi-join on the block keys (at tiny SF the
-    # exploded side is broadcastable so BroadcastHashJoin is legal; at
-    # scale the same plan shape shuffles on (bi, bj))
-    assert any(
+    # the arrow backend cogroups the block-pair keys (one Arrow exchange
+    # per side, blocks transferred once — never a materialized pair
+    # table); the expr backend would show a hash equi-join instead
+    assert "FlatMapCoGroupsInPandas" in p or any(
         j in p for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
 

@@ -229,11 +229,19 @@ def test_cosine_threshold_pairs_matches_bruteforce(spark):
     df = spark.createDataFrame(
         [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
     )
-    for n_blocks in (1, 3, 8):
-        got = cosine_threshold_pairs(df, 0.6, n_blocks=n_blocks).collect()
-        pairs = [(r.id_a, r.id_b) for r in got]
-        assert len(pairs) == len(set(pairs)), "pair emitted more than once"
-        assert set(pairs) == expected, f"n_blocks={n_blocks}"
+    for impl in ("arrow", "expr"):
+        for n_blocks in (1, 3, 8):
+            got = cosine_threshold_pairs(df, 0.6, n_blocks=n_blocks, impl=impl).collect()
+            pairs = [(r.id_a, r.id_b) for r in got]
+            assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+            assert set(pairs) == expected, f"impl={impl} n_blocks={n_blocks}"
+
+    # the two backends must agree bit-for-bit on the cosine values
+    ex = {(r.id_a, r.id_b): r.cosine
+          for r in cosine_threshold_pairs(df, 0.6, n_blocks=3, impl="expr").collect()}
+    ar = {(r.id_a, r.id_b): r.cosine
+          for r in cosine_threshold_pairs(df, 0.6, n_blocks=3, impl="arrow").collect()}
+    assert ex == ar
 
 
 def test_cosine_threshold_pairs_rejects_bad_blocks(spark):
