@@ -357,3 +357,92 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_assignment(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), "component", "is_canonical"
     )
+
+
+@query(
+    "dedup_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          range(0, CAST(floor((len(ts) - 1) / 24) AS BIGINT) + 1),
+          k -> md5(array_to_string(
+            ts[k * 24 + 1 : least(k * 24 + 32, len(ts))], ' '))
+        )) AS chunk_md5
+      FROM toks WHERE len(ts) > 0
+    ), posting AS (
+      SELECT chunk_md5, doc_id FROM chunks GROUP BY chunk_md5, doc_id
+    ), rare AS (
+      SELECT chunk_md5 FROM posting GROUP BY chunk_md5
+      HAVING COUNT(*) BETWEEN 2 AND 50
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      COUNT(*) AS n_shared_chunks
+    FROM posting a
+    JOIN rare USING (chunk_md5)
+    JOIN posting b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy detection: pairs of documents sharing at least one
+    identical 32-token window (stride 24) — the containment/overlap
+    modality that whole-document MinHash misses (a paragraph pasted
+    into an otherwise-different document never wins a full-doc Jaccard
+    vote, but its windows hash identically).
+
+    Scale shape: windows assemble per row (transform+slice, zero
+    shuffle) and hash to one md5 each; the (chunk, doc) posting list
+    dedups per doc, drops singleton and hot chunks (df-cap 50 — the
+    boilerplate guard, same rule as the ngram inverted index), and the
+    self-join runs per chunk bucket with bounded fan-out (≤ C(50,2)
+    pairs per chunk).  Never all-pairs; candidates ∝ true shared
+    windows.
+    """
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    n = F.size("_toks")
+    n_chunks = F.floor((n - 1) / 24).cast("bigint") + 1
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda k: F.md5(
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    (k * 24 + 1).cast("int"),
+                    F.least(F.lit(32), n - (k * 24).cast("int")).cast("int"),
+                ),
+                " ",
+            )
+        ),
+    )
+    posting = (
+        toks.select("doc_id", F.explode(chunk_arr).alias("chunk_md5"))
+        .groupBy("chunk_md5", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+        .select("chunk_md5", "doc_id")
+    )
+    rare = (
+        posting.groupBy("chunk_md5")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("chunk_md5")
+    )
+    a = posting.join(rare, "chunk_md5")
+    b = posting.select(
+        F.col("chunk_md5"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, "chunk_md5")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_shared_chunks"))
+    )
