@@ -81,3 +81,28 @@ def test_q1_longcents_parity(spark):
     assert dec_rows.keys() == long_rows.keys()
     for k in dec_rows:
         assert dec_rows[k] == long_rows[k], k
+
+
+@pytest.mark.slow
+def test_oracle_parity_sf001_sweep(spark):
+    """Driver-gate-scale sweep (marker: slow): the full registry against
+    DuckDB at sf0.01 — the exact scale CORRECTNESS_r{N}.json runs at."""
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 testdata not present")
+    from tools.check_oracle import compare, duck_connect
+
+    con = duck_connect(sf_dir)
+    try:
+        failures = []
+        for name in sorted(QUERIES):
+            spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+            if name not in ORACLES:
+                continue
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            problems = compare(name, spark_pdf, duck_pdf)
+            if problems:
+                failures.append((name, problems))
+        assert not failures, failures
+    finally:
+        con.close()
