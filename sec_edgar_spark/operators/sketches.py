@@ -60,3 +60,67 @@ def countmin_estimate(
     hit = probes.join(F.broadcast(sketch), ["row", "bucket"])
     est = hit.groupBy(term_col).agg(F.min("cnt").alias("cms_estimate"))
     return terms.join(F.broadcast(est), term_col, "left")
+
+
+# ---------------------------------------------------------------- HLL
+
+HLL_M = 16  # registers (b = 4 bucket bits)
+HLL_W = 56  # rho window: 60-bit hash minus 4 bucket bits
+HLL_ALPHA_16 = 0.673  # standard bias constant for m=16
+# numerator of the raw estimator, precomputed once so BOTH engines
+# evaluate exactly one double division: alpha * m^2 * 2^(W+1)
+HLL_NUMERATOR = HLL_ALPHA_16 * (HLL_M**2) * float(2 ** (HLL_W + 1))
+HLL_EMPTY_WEIGHT = 2 ** (HLL_W + 1)  # empty register contributes 2^0=1 (scaled)
+
+
+def hll_register_weights(
+    items: DataFrame, group_cols: list[str], item_col
+) -> DataFrame:
+    """(group..., bucket, w) — per-register scaled indicator weights.
+
+    Classic HLL: bucket = low 4 bits of the 60-bit md5 hash; rho = 1 +
+    leading zeros of the remaining 56 bits; register j keeps max(rho).
+    Everything here stays INTEGER-exact: instead of summing 2^-rho
+    doubles (whose addition order would round), each register carries
+    w_j = 2^(W+1-max_rho_j) as a long (min over elements, since the
+    weight is monotone-decreasing in rho), and the final sum of 16
+    longs is exact — so the one double division at the end is the only
+    float op and the estimate is bit-identical on any engine and any
+    partitioning/aggregation order.  rho derives from bit length
+    (string length of bin(rest)) — integer-exact, no log2 doubles.
+    """
+    h = T.md5_hash64(item_col)
+    rest = F.shiftright(h, 4)
+    staged = items.select(
+        *group_cols,
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        F.when(rest == 0, F.lit(0))
+        .otherwise(F.length(F.bin(rest)))
+        .cast("int")
+        .alias("_bits"),
+    )
+    # shiftleft's Python wrapper only takes literal bit counts; the SQL
+    # expression accepts a column.
+    rows = staged.select(
+        *group_cols,
+        "bucket",
+        F.expr("shiftleft(CAST(1 AS BIGINT), _bits)").alias("w"),
+    )
+    return rows.groupBy(*group_cols, "bucket").agg(F.min("w").alias("w"))
+
+
+def hll_estimate(weights: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., hll_estimate) from register weights; absent registers
+    contribute the empty weight (2^(W+1))."""
+    groups = weights.select(*group_cols).distinct()
+    buckets = weights.sparkSession.range(HLL_M).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    dim = groups.crossJoin(F.broadcast(buckets))
+    full = dim.join(weights, [*group_cols, "bucket"], "left").select(
+        *group_cols,
+        F.coalesce("w", F.lit(HLL_EMPTY_WEIGHT).cast("bigint")).alias("w"),
+    )
+    return full.groupBy(*group_cols).agg(
+        (F.lit(HLL_NUMERATOR) / F.sum("w")).alias("hll_estimate")
+    )

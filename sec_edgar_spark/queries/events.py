@@ -314,3 +314,66 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "agg_hll_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+        CAST('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS h
+      FROM events
+    ), wts AS (
+      SELECT event_type, h % 16 AS bucket,
+        CASE WHEN (h >> 4) = 0 THEN CAST(1 AS BIGINT)
+             ELSE (CAST(1 AS BIGINT) << length(bin(h >> 4))) END AS w
+      FROM h
+    ), reg AS (
+      SELECT event_type, bucket, MIN(w) AS w FROM wts GROUP BY 1, 2
+    ), dim AS (
+      SELECT DISTINCT e.event_type, b.bucket
+      FROM events e CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+    ), filled AS (
+      SELECT d.event_type, COALESCE(r.w, 144115188075855872) AS w
+      FROM dim d LEFT JOIN reg r
+        ON d.event_type = r.event_type AND d.bucket = r.bucket
+    ), est AS (
+      SELECT event_type, 2.482931752321306e+19 / SUM(w) AS hll_estimate
+      FROM filled GROUP BY 1
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, x.n_exact, e.hll_estimate
+    FROM est e JOIN ex x USING (event_type)
+    """,
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type, next to the
+    exact count — the bounded-memory cardinality primitive (16
+    registers here so the toy corpus exercises every code path; at
+    100 TB use 2^14 registers and the same code).
+
+    Like the count-min sketch, this is NOT a probabilistic test: the
+    md5 hash family is fixed, every register survives as an
+    integer-exact long (operators/sketches.py — max-rho kept as
+    min-weight 2^(W+1-rho), summed exactly), and the single double
+    division at the end makes the ESTIMATE itself engine-reproducible
+    bit-for-bit, independent of partitioning or aggregation order.
+    Spark's builtin approx_count_distinct is the production shortcut;
+    this operator exists because its estimate is contract-stable
+    across engines, which the builtin's is not.
+    """
+    from ..operators.sketches import hll_estimate, hll_register_weights
+
+    e = table(spark, sf_dir, "events")
+    item = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    weights = hll_register_weights(e, ["event_type"], item)
+    est = hll_estimate(weights, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "hll_estimate"
+    )
