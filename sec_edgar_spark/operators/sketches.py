@@ -112,15 +112,25 @@ def hll_register_weights(
 def hll_estimate(weights: DataFrame, group_cols: list[str]) -> DataFrame:
     """(group..., hll_estimate) from register weights; absent registers
     contribute the empty weight (2^(W+1))."""
-    groups = weights.select(*group_cols).distinct()
     buckets = weights.sparkSession.range(HLL_M).select(
         F.col("id").cast("bigint").alias("bucket")
     )
-    dim = groups.crossJoin(F.broadcast(buckets))
-    full = dim.join(weights, [*group_cols, "bucket"], "left").select(
-        *group_cols,
-        F.coalesce("w", F.lit(HLL_EMPTY_WEIGHT).cast("bigint")).alias("w"),
+    # Fill absent registers by UNIONING one empty-weight filler row per
+    # (group, bucket) and re-taking the min — real registers always win
+    # (w <= empty weight), and a union avoids joining a frame back onto
+    # its own derivative (self-join reference conflicts).
+    filler = (
+        weights.select(*group_cols)
+        .distinct()
+        .crossJoin(F.broadcast(buckets))
+        .select(
+            *group_cols,
+            "bucket",
+            F.lit(HLL_EMPTY_WEIGHT).cast("bigint").alias("w"),
+        )
     )
-    return full.groupBy(*group_cols).agg(
+    full = weights.select(*group_cols, "bucket", "w").unionByName(filler)
+    regs = full.groupBy(*group_cols, "bucket").agg(F.min("w").alias("w"))
+    return regs.groupBy(*group_cols).agg(
         (F.lit(HLL_NUMERATOR) / F.sum("w")).alias("hll_estimate")
     )
