@@ -356,3 +356,77 @@ def emb_normalize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq, 9).alias("pooled_sq_norm"),
         F.size("embedding").cast("bigint").alias("dim"),
     )
+
+
+def _absmax_sql(vec: str) -> str:
+    """Left-associated running max of |vec[i]| (matches F.aggregate
+    greatest fold)."""
+    expr = "0.0"
+    for i in range(1, EMB_DIM + 1):
+        expr = f"greatest({expr}, abs(CAST({vec}[{i}] AS DOUBLE)))"
+    return expr
+
+
+@query(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+        127.0 / greatest({_absmax_sql('embedding')}, 1e-12) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+      CAST(floor(CAST(embedding[1] AS DOUBLE) * scale + 0.5) AS INT) AS q1,
+      CAST(floor(CAST(embedding[2] AS DOUBLE) * scale + 0.5) AS INT) AS q2,
+      CAST(floor(CAST(embedding[3] AS DOUBLE) * scale + 0.5) AS INT) AS q3,
+      (0.0 + {" + ".join(
+        f"(CAST(embedding[{i}] AS DOUBLE) - "
+        f"floor(CAST(embedding[{i}] AS DOUBLE) * scale + 0.5) / scale) "
+        f"* (CAST(embedding[{i}] AS DOUBLE) - "
+        f"floor(CAST(embedding[{i}] AS DOUBLE) * scale + 0.5) / scale)"
+        for i in range(1, 4)
+      )}) AS mse3
+    FROM scaled
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization — the storage format that
+    makes a 100 TB embedding corpus a 25 TB one.  scale = 127/max|x|;
+    q_i = floor(x_i*scale + 0.5) (floor-based half-up: identical on
+    every engine, unlike round()'s tie conventions); reconstruction is
+    q_i/scale.
+
+    The gate row exposes the first 3 quantized lanes plus their
+    reconstruction squared-error sum (left-associated, so DuckDB
+    reproduces every double bit-for-bit); the full quantized array is
+    the same ``transform`` without the projection.  All expressions
+    are per-row codegen'd math over the scan — a pure map stage.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = V.as_double("embedding")
+    absmax = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.lit(127.0) / F.greatest(absmax, F.lit(1e-12))
+    scaled = e.select("vec_id", "embedding", scale.alias("scale"))
+
+    def lane(i: int):
+        x = F.element_at(V.as_double("embedding"), i)
+        return F.floor(x * F.col("scale") + F.lit(0.5)).cast("int")
+
+    def err(i: int):
+        x = F.element_at(V.as_double("embedding"), i)
+        rec = F.floor(x * F.col("scale") + F.lit(0.5)) / F.col("scale")
+        return (x - rec) * (x - rec)
+
+    mse3 = F.lit(0.0)
+    for i in (1, 2, 3):
+        mse3 = mse3 + err(i)
+    return scaled.select(
+        "vec_id",
+        "scale",
+        lane(1).alias("q1"),
+        lane(2).alias("q2"),
+        lane(3).alias("q3"),
+        mse3.alias("mse3"),
+    )
