@@ -50,6 +50,8 @@ HEADLINE = [
     "text_repetition_filter",
     "curation_domain_mix",
     "dedup_embedding_cosine",
+    "agg_hll_distinct",
+    "emb_quantize_int8",
 ]
 
 

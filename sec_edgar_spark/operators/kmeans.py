@@ -1,0 +1,100 @@
+"""Deterministic fixed-point k-means (Lloyd iterations) — the training
+pass behind data-adaptive IVF cells and embedding-space clustering.
+
+Floating-point k-means is not reproducible across engines or even
+across partitionings (mean updates sum doubles in nondeterministic
+order).  This operator quantizes vectors to a 2^20 fixed-point grid and
+runs the ENTIRE loop in 64-bit integers:
+
+- quantize: q_i = floor(x_i * 2^20 + 0.5)  (floor-based half-up, no
+  round() tie ambiguity)
+- init: the k vectors with the smallest md5 of their id (deterministic,
+  shuffle-free top-k)
+- assign: argmin over integer squared distances, ties to the lowest
+  cell id
+- update: per-dim integer mean  sum div count  (exact, order-free)
+
+Every quantity is an exact integer, so assignments and centroids are
+bit-identical on any engine, any partitioning, any aggregation order —
+a DuckDB oracle replays the whole training loop and value-matches.
+
+Scale shape per iteration: centroids are a k-row frame that BROADCASTS
+to the assignment join (the corpus never shuffles for assignment); the
+update is a posexplode → (cell, pos) partial-aggregated groupBy — the
+identical shape as operators/similarity.mean_pool.  Bounds: |x| < 2^10
+keeps q in 2^30; squared diffs * dims stay < 2^63 up to ~8k dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+QSCALE = 1 << 20
+
+
+def quantize_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qv: array<long>) fixed-point vectors."""
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * QSCALE + 0.5).cast("long"),
+    )
+    return df.select(F.col(id_col).alias("id"), qv.alias("qv"))
+
+
+def _sqdist(a, b):
+    prods = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda s, p: s + p)
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """(id, cell) after ``n_iter`` Lloyd iterations from the md5-min
+    init.  Fully deterministic (see module docstring)."""
+    q = quantize_vectors(df, id_col, vec_col)
+    init_key = F.md5(F.concat(F.lit("c:"), F.col("id").cast("string")))
+    seeds = q.select("id", "qv", init_key.alias("ik")).orderBy("ik", "id").limit(k)
+    cents = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("ik", "id")) - 1
+        ).cast("bigint").alias("cell"),
+        F.col("qv").alias("cv"),
+    )
+    for _ in range(n_iter):
+        pairs = q.crossJoin(broadcast(cents))
+        w = Window.partitionBy("id").orderBy(_sqdist(F.col("qv"), F.col("cv")), "cell")
+        assigned = (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("id", "qv", "cell")
+        )
+        per_pos = assigned.select(
+            "cell", F.posexplode("qv").alias("pos", "x")
+        ).groupBy("cell", "pos").agg(
+            F.sum("x").alias("s"), F.count("*").alias("n")
+        )
+        cents = (
+            per_pos.select(
+                "cell", "pos", F.expr("s div n").alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st.getField("m"),
+                ).alias("cv")
+            )
+        )
+    pairs = q.crossJoin(broadcast(cents))
+    w = Window.partitionBy("id").orderBy(_sqdist(F.col("qv"), F.col("cv")), "cell")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "cell")
+    )

@@ -430,3 +430,76 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         lane(3).alias("q3"),
         mse3.alias("mse3"),
     )
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
+    """Generate the DuckDB replay of the fixed-point Lloyd loop —
+    possible only because every quantity is an exact integer (see
+    operators/kmeans.py)."""
+    d = EMB_DIM
+    dist = (
+        "list_sum(list_transform(range(1, {dp1}), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    ).format(dp1=d + 1)
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id AS id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ), seeds AS (
+      SELECT id, qv,
+        ROW_NUMBER() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1
+          AS cell
+      FROM q QUALIFY cell < {k}
+    ), cents0 AS (
+      SELECT CAST(cell AS BIGINT) AS cell, qv AS cv FROM seeds
+    )"""
+    prev = "cents0"
+    for it in range(1, n_iter + 1):
+        sql += f""", a{it} AS (
+      SELECT id, qv, cell FROM (
+        SELECT q.id, q.qv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rk
+        FROM q CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    ), cents{it} AS (
+      SELECT cell, list(m ORDER BY pos) AS cv FROM (
+        SELECT cell, i AS pos,
+          CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m
+        FROM a{it} CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS i)
+        GROUP BY cell, i
+      ) GROUP BY cell
+    )"""
+        prev = f"cents{it}"
+    sql += f"""
+    SELECT id AS vec_id, cell FROM (
+      SELECT q.id, c.cell,
+        ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rk
+      FROM q CROSS JOIN {prev} c
+    ) WHERE rk = 1
+    """
+    return sql
+
+
+@query("ml_kmeans_assign", oracle=_kmeans_oracle())
+def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point k-means (k=4, 2 Lloyd iterations) over
+    the embeddings — the training pass that turns the static IVF cells
+    into data-adaptive ones.
+
+    Iterative algorithms usually only admit a rows-only check; the
+    fixed-point formulation (operators/kmeans.py — quantize to 2^20,
+    integer distances, integer mean updates, md5-min init) makes every
+    intermediate exact, so the DuckDB oracle replays the ENTIRE
+    training loop and the final assignment value-matches bit-for-bit.
+
+    Scale shape: k-row centroid frame broadcasts each iteration (the
+    corpus never shuffles for assignment); mean updates are
+    posexplode + map-combined partial aggs.
+    """
+    from ..operators.kmeans import kmeans_fit_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    out = kmeans_fit_assign(e, "vec_id", "embedding", k=4, n_iter=2)
+    return out.select(F.col("id").alias("vec_id"), "cell")

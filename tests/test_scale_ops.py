@@ -252,3 +252,35 @@ def test_cosine_threshold_pairs_rejects_bad_blocks(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         cosine_threshold_pairs(df, 0.5, n_blocks=0)
+
+
+def test_kmeans_fixedpoint_clusters_blobs(spark):
+    """Planted blobs must land in distinct cells, copies of the same
+    blob in the same cell; assignments are deterministic across runs."""
+    import random
+
+    from sec_edgar_spark.operators.kmeans import kmeans_fit_assign
+
+    rng = random.Random(3)
+    centers = [[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r.id: r.cell
+        for r in kmeans_fit_assign(df, "vec_id", "embedding", k=3, n_iter=3).collect()
+    }
+    # same planted blob -> same cell; different blobs -> different cells
+    for blob in range(3):
+        cells = {got[i] for i in range(60) if i % 3 == blob}
+        assert len(cells) == 1, f"blob {blob} split across {cells}"
+    assert len({got[0], got[1], got[2]}) == 3
+
+    rerun = {
+        r.id: r.cell
+        for r in kmeans_fit_assign(df, "vec_id", "embedding", k=3, n_iter=3).collect()
+    }
+    assert rerun == got
