@@ -377,3 +377,49 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "n_exact", "hll_estimate"
     )
+
+
+@query(
+    "skew_salted_aggregate",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      SUM(event_id) AS sum_event_id,
+      MIN(CAST(value AS DOUBLE)) AS min_value,
+      MAX(CAST(value AS DOUBLE)) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The groupBy-side skew tool on the gate: a 5-hot-key aggregation
+    run as the two-phase salted aggregate (operators/relational.py) —
+    phase 1 spreads each hot key over 16 salt buckets, phase 2 merges
+    partials.  Results are identical to the plain GROUP BY the oracle
+    runs (only order-free aggregates here: counts, integer sums,
+    min/max — double SUMs would round differently under re-ordering
+    and are kept on the decimal/longcents paths instead).
+    """
+    from ..operators.relational import salted_aggregate
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("value")
+    )
+    out = salted_aggregate(
+        e,
+        "event_type",
+        {
+            "n": ("event_id", "count"),
+            "sum_event_id": ("event_id", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_event_id",
+        "min_value",
+        "max_value",
+    )
