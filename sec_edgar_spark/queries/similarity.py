@@ -432,10 +432,10 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
-    """Generate the DuckDB replay of the fixed-point Lloyd loop —
-    possible only because every quantity is an exact integer (see
-    operators/kmeans.py)."""
+def _kmeans_cte(k: int = 4, n_iter: int = 2) -> str:
+    """CTE chain replaying the fixed-point Lloyd loop, ending with
+    ``kassign (id, cell)`` — possible only because every quantity is an
+    exact integer (see operators/kmeans.py)."""
     d = EMB_DIM
     dist = (
         "list_sum(list_transform(range(1, {dp1}), "
@@ -472,17 +472,20 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
       ) GROUP BY cell
     )"""
         prev = f"cents{it}"
-    sql += f"""
-    SELECT id AS vec_id, cell FROM (
-      SELECT q.id, c.cell,
-        ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rk
-      FROM q CROSS JOIN {prev} c
-    ) WHERE rk = 1
-    """
+    sql += f""", kassign AS (
+      SELECT id, cell FROM (
+        SELECT q.id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rk
+        FROM q CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    )"""
     return sql
 
 
-@query("ml_kmeans_assign", oracle=_kmeans_oracle())
+@query(
+    "ml_kmeans_assign",
+    oracle=_kmeans_cte() + "\n    SELECT id AS vec_id, cell FROM kassign",
+)
 def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-point k-means (k=4, 2 Lloyd iterations) over
     the embeddings — the training pass that turns the static IVF cells
@@ -503,3 +506,77 @@ def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     out = kmeans_fit_assign(e, "vec_id", "embedding", k=4, n_iter=2)
     return out.select(F.col("id").alias("vec_id"), "cell")
+
+
+@query(
+    "ann_ivf_trained",
+    oracle=_kmeans_cte(k=8, n_iter=2)
+    + f""", keyed AS (
+      SELECT e.vec_id, e.embedding,
+        sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS nrm, a.cell
+      FROM embeddings e JOIN kassign a ON e.vec_id = a.id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM keyed q JOIN keyed c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-adaptive IVF end-to-end: TRAIN the coarse quantizer on the
+    corpus (deterministic fixed-point k-means, k=8, 2 Lloyd
+    iterations), then exact-cosine-score only within each query's
+    learned cell — the full production ANN path (train → assign →
+    bucketed search), value-checked end-to-end because the training
+    loop is integer-exact and the scoring fold is the shared
+    left-associated double dot.
+
+    Scale shape: training broadcasts the k-row centroid frame per
+    iteration; assignment joins back by id (co-partitioned on vec_id);
+    candidate scoring is the same within-cell equi-join as the static
+    IVF.
+    """
+    from ..operators.kmeans import kmeans_fit_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+    keyed = e.join(
+        assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
+    ).select(
+        "vec_id", "embedding", V.norm("embedding").alias("nrm"), "cell"
+    )
+    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cell",
+    )
+    scored = c.join(
+        broadcast(q),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
