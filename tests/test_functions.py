@@ -121,3 +121,23 @@ def test_utils_parity():
     assert add_quarter(2020, 2) == (2020, 3)
     with _pytest.raises(TypeError):
         add_quarter(2020, 0)
+
+
+def test_epoch_s_ntz_and_ltz_agree(spark):
+    """epoch_s must yield identical epoch seconds for TIMESTAMP and
+    TIMESTAMP_NTZ inputs (parquet no-tz columns infer as NTZ under
+    Spark >= 4.1; NTZ -> BIGINT directly is an AnalysisException — the
+    round-3 regression class)."""
+    from pyspark.sql import functions as F
+
+    from sec_edgar_spark.functions.scalars import epoch_s
+
+    df = spark.createDataFrame([("2024-01-15 12:34:56",)], ["s"]).select(
+        F.to_timestamp("s").alias("ltz"),
+        F.to_timestamp_ntz("s").alias("ntz"),
+    )
+    assert dict(df.dtypes) == {"ltz": "timestamp", "ntz": "timestamp_ntz"}
+    row = df.select(
+        epoch_s("ltz").alias("a"), epoch_s("ntz").alias("b")
+    ).collect()[0]
+    assert row.a == row.b == 1705322096
