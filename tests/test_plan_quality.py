@@ -106,3 +106,30 @@ def test_curation_split_is_scan_plus_project_only(plans):
     p = plans("curation_split_train_val_test")
     # stateless projection: no shuffle at all
     assert "Exchange" not in p
+
+
+def test_funnel_single_window_no_self_join(plans):
+    # next-purchase lookup must be ONE window over the stream, never a
+    # per-view self-join or cartesian
+    p = plans("events_funnel_conversion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 1 and "Join" not in p
+
+
+def test_retention_no_cartesian(plans):
+    p = plans("events_retention_cohorts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_overlap_hash_joins_only(plans):
+    p = plans("dedup_chunk_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_domain_mix_quota_broadcasts(plans):
+    p = plans("curation_domain_mix")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
