@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..catalog import table
 from ..functions import text as T
@@ -445,4 +446,74 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < F.col("doc_b"))
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count("*").alias("n_shared_chunks"))
+    )
+
+
+@query(
+    "curation_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS component
+      FROM reach GROUP BY a
+    ), scored AS (
+      SELECT d.doc_id,
+        COALESCE(c.component, d.doc_id) AS component,
+        CAST(len({_TOKENS}) AS INT) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component, n_tokens, (rn = 1) AS keep FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM scored
+    )
+    """,
+)
+def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: cluster near-duplicates
+    (MinHash-LSH pairs → connected components) and keep the HIGHEST-
+    QUALITY member of each cluster (longest document here; any
+    deterministic score slots in) instead of the lowest-id one — the
+    policy real pipelines want, completing quality → dedup → keep.
+    Singleton documents are their own component and always kept.
+
+    Scale shape: everything reuses existing shapes — LSH candidate
+    generation (banded equi-join), log-round components, one window
+    per component for the argmax.  The window's partition count equals
+    the cluster count, so the keep step is as parallel as the data.
+    """
+    from ..functions import text as T
+    from ..operators import dedup as D
+    from ..operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        d, "doc_id", "text",
+        num_hashes=NUM_MINHASHES, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        threshold=0.2,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    scored = (
+        d.select("doc_id", T.token_count("text").cast("int").alias("n_tokens"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "component", "n_tokens", (F.col("rn") == 1).alias("keep"))
     )
