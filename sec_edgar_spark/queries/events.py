@@ -423,3 +423,101 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "events_resample_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id
+    ), days AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM spans
+    ), actual AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.user_id, d.day, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM days d LEFT JOIN actual a
+      ON d.user_id = a.user_id AND d.day = a.day
+    """,
+)
+def events_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resampling: one row per (user, day) across each
+    user's active span, zero-filled — the regularization step before
+    any time-series modeling (and the C7 fill_days scalar applied to a
+    real pipeline).
+
+    Scale shape: per-user span agg → sequence+explode generates the
+    calendar (fan-out = span days, no cross join with a global
+    calendar) → left join of the daily counts, co-partitioned on
+    user_id.
+    """
+    from ..functions.scalars import fill_days
+
+    e = table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = spans.select(
+        "user_id", F.explode(fill_days(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    actual = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    return (
+        days.join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    )
+    SELECT
+      CAST(least(floor((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19)
+           AS BIGINT) AS bucket,
+      COUNT(*) AS n,
+      CAST(MIN(CAST(value AS DOUBLE)) AS DOUBLE) AS bucket_min,
+      CAST(MAX(CAST(value AS DOUBLE)) AS DOUBLE) AS bucket_max
+    FROM events CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of the value column — the
+    distribution-profiling primitive (data-quality dashboards, outlier
+    screens).  Bounds come from one tiny agg broadcast back over the
+    scan (never a driver collect); bucket arithmetic is identical
+    double math in both engines; the max value clamps into the last
+    bucket.
+    """
+    from pyspark.sql.functions import broadcast
+
+    e = table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v")
+    )
+    bounds = e.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("v") - F.col("lo")) / width), F.lit(19)
+    ).cast("bigint")
+    return (
+        e.crossJoin(broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("bucket_min"),
+            F.max("v").alias("bucket_max"),
+        )
+    )
