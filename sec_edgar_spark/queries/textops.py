@@ -440,3 +440,73 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((dup_uni < 0.9) & (top_frac < 0.18)).alias("passes_repetition"),
         )
     )
+
+
+@query(
+    "text_redact_pii",
+    oracle="""
+    WITH built AS (
+      SELECT c_custkey,
+        c_mktsegment || ' contact: ' ||
+        lower(replace(c_name, '#', '')) || '@example.com' ||
+        ' phone ' || (10 + c_custkey % 90) || '-' ||
+        lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        lpad(CAST((c_nationkey * 37) % 1000 AS VARCHAR), 3, '0') || '-' ||
+        lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') || ' end' AS text
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey,
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
+        '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(text,
+        '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
+    FROM built
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace email addresses and phone numbers with
+    type tokens and count what was removed — the scrubbing pass every
+    training corpus gets before anything else sees it.  (The PII is
+    synthesized from TPC-H customer keys — the testdata schema carries
+    no real contact fields — so the gate exercises true match
+    positions.)  The regexes
+    stay inside the character-class subset that Java regex (Spark) and
+    RE2 (DuckDB) evaluate identically — no backreferences, no
+    lookaround — so the redacted text value-matches across engines.
+
+    Pure per-row codegen'd regex over the scan: a stateless map stage
+    at any scale, pushdown-friendly, zero shuffles.
+    """
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+    phone_re = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    text = F.concat(
+        F.col("c_mktsegment"),
+        F.lit(" contact: "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com phone "),
+        (F.lit(10) + F.col("c_custkey") % 90).cast("string"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_nationkey") * 37) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    built = c.select("c_custkey", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return built.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).cast("int").alias("n_phones"),
+    )
