@@ -592,3 +592,79 @@ def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("int").alias("n_entries"),
         F.array_join(F.map_values(merged), ",").alias("merged_vals"),
     )
+
+
+@query(
+    "q4_late_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema's columns): orders with
+    at least one lineitem shipped 60+ days after the order date —
+    correlated EXISTS as a LEFT SEMI join whose condition mixes the
+    orderkey equi-key with the correlated date range.  The semi join
+    shuffles once on orderkey and short-circuits per order (no
+    count/distinct needed to dedup multiple late lines).
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "q16_never_shipped",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts,
+      CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey
+        AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    )
+    GROUP BY p_brand
+    """,
+)
+def q16_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted): dead-stock report — parts with no
+    shipment in the window (none before 1996 here), per brand with
+    distinct-type counts.  NOT
+    EXISTS is a LEFT ANTI join on partkey; at scale the lineitem side
+    reduces to its distinct partkeys BEFORE the join (explicit
+    distinct keeps the anti join's build side minimal instead of
+    probing the full fact table).
+    """
+    p = table(spark, sf_dir, "part")
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_partkey")
+        .distinct()
+    )
+    dead = p.join(
+        shipped, p["p_partkey"] == shipped["l_partkey"], "left_anti"
+    )
+    return dead.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("p_type").cast("bigint").alias("n_types"),
+    )
