@@ -521,3 +521,37 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("bucket_max"),
         )
     )
+
+
+@query(
+    "events_p99_outliers",
+    oracle="""
+    WITH cut AS (
+      SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.event_id, CAST(e.value AS DOUBLE) AS value, c.p99
+    FROM events e JOIN cut c ON e.event_type = c.event_type
+    WHERE CAST(e.value AS DOUBLE) > c.p99
+    """,
+)
+def events_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-by-aggregate: rows above their group's exact p99 — the
+    outlier-screening shape (two passes over the fact: a tiny per-group
+    percentile agg broadcast back over the scan; never a window sort of
+    the full data).  Exact continuous percentiles interpolate
+    identically in both engines (parity established by
+    agg_percentiles)."""
+    from pyspark.sql.functions import broadcast
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("value")
+    )
+    cut = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("p99")
+    )
+    return (
+        e.join(broadcast(cut), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select("event_type", "event_id", "value", "p99")
+    )

@@ -668,3 +668,61 @@ def q16_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.countDistinct("p_type").cast("bigint").alias("n_types"),
     )
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_orphans FROM (
+      SELECT l_orderkey FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*) FROM (
+      SELECT o_custkey FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    )
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', COUNT(*) FROM (
+      SELECT s_nationkey FROM supplier s
+      WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    )
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK orphan audit — the data-quality gate a pipeline
+    runs before joining anything: one LEFT ANTI join per foreign key,
+    counted, unioned into a single report.  Dimension-side keys
+    broadcast; the fact-side anti joins are the only shuffles and each
+    carries just the FK column (pruned scan).  All-zero counts on
+    healthy data is the assertion; the query stays cheap enough to run
+    per ingest batch at any scale.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def orphans(label, fact, fk, dim, pk, bcast_dim=True):
+        f = table(spark, sf_dir, fact).select(F.col(fk))
+        d = table(spark, sf_dir, dim).select(F.col(pk))
+        if bcast_dim:
+            d = broadcast(d)
+        return (
+            f.join(d, f[fk] == d[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+                "orders", "o_orderkey", bcast_dim=False)
+        .unionByName(orphans("orders.o_custkey->customer", "orders",
+                             "o_custkey", "customer", "c_custkey"))
+        .unionByName(orphans("customer.c_nationkey->nation", "customer",
+                             "c_nationkey", "nation", "n_nationkey"))
+        .unionByName(orphans("supplier.s_nationkey->nation", "supplier",
+                             "s_nationkey", "nation", "n_nationkey"))
+    )
