@@ -133,3 +133,24 @@ def test_domain_mix_quota_broadcasts(plans):
     p = plans("curation_domain_mix")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q4_semi_join_shape(plans):
+    p = plans("q4_late_orders")
+    assert "LeftSemi" in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q16_anti_join_shape(plans):
+    p = plans("q16_never_shipped")
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+
+
+def test_p99_outliers_broadcasts_cutoffs(plans):
+    p = plans("events_p99_outliers")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_ri_audit_no_cartesian(plans):
+    p = plans("audit_referential_integrity")
+    assert "CartesianProduct" not in p
+    assert p.count("LeftAnti") >= 4
