@@ -726,3 +726,66 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans("supplier.s_nationkey->nation", "supplier",
                              "s_nationkey", "nation", "n_nationkey"))
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume through a 6-way
+    join with TWO role-playing copies of the nation dimension
+    (customer's vs supplier's).  The fact side shuffles once per fact
+    key (orderkey, then custkey/suppkey chains); every dimension —
+    customer, supplier, and both nation roles — broadcasts, so the
+    deep join tree is one scan + hash probes.  The asymmetric filter
+    (different nations) lands post-join on broadcast columns.
+    """
+    from pyspark.sql.functions import broadcast
+
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one_minus = (F.lit(1) - disc).cast("decimal(4,2)")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(price * one_minus).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
