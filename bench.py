@@ -52,6 +52,13 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "agg_hll_distinct",
     "emb_quantize_int8",
+    # round 5 additions: the iterative/trained/stateful-heavy paths, so
+    # regressions there are visible round-over-round (VERDICT r4 §next.5)
+    "ml_kmeans_assign",
+    "ann_ivf_trained",
+    "dedup_chunk_overlap",
+    "curation_keep_best",
+    "events_retention_cohorts",
 ]
 
 

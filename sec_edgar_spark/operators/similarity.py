@@ -180,9 +180,13 @@ def cosine_threshold_pairs(
     - ``impl="expr"``: pure Column expressions (zip_with/aggregate
       fold after a (bi, bj) equi-join); no Python workers.
 
-    NaN caveat (zero vectors): Spark orders NaN above all doubles so
-    ``NaN >= t`` keeps the row; numpy drops it.  Both paths assume
-    non-degenerate vectors (gate upstream with ``norm_outliers``).
+    Zero vectors (norm 0) are dropped up front in BOTH backends: their
+    cosine is 0/0 = NaN, and the engines disagree on what NaN means
+    (Spark SQL orders NaN above all doubles so ``NaN >= t`` keeps the
+    pair; numpy's IEEE comparison drops it).  A NaN-cosine "duplicate
+    pair" is semantically meaningless either way, so the operator
+    defines degenerate vectors as matching nothing — making the two
+    backends and the SQL oracle genuinely agree on any input.
     """
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
@@ -193,7 +197,7 @@ def cosine_threshold_pairs(
         F.col(vec_col).alias("emb"),
         V.norm(vec_col).alias("nrm"),
         g.alias("g"),
-    )
+    ).filter(F.col("nrm") > 0)
     left = base.select(
         F.col("id").alias("id_l"),
         F.col("emb").alias("emb_l"),

@@ -327,7 +327,7 @@ def edgar_submissions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       'CY2020Q' || ((c_custkey % 4) + 1) || 'I' AS frame,
       c_custkey AS cik,
       c_name AS entity_name,
-      CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(24,4)) AS val,
+      CAST(c_acctbal AS DOUBLE) AS val,
       '2020-0' || ((c_custkey % 4) * 3 + 1) || '-01' AS period_end
     FROM customer WHERE c_custkey <= 200
     """,
@@ -337,7 +337,13 @@ def edgar_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload shape (one row per (tag, unit, frame) with a ``data``
     array of per-company facts) from ``customer``, then explode
     through the PRODUCTION frames path (sources/rest.frames_rows;
-    reference rest.py:159-205)."""
+    reference rest.py:159-205).
+
+    Gate output casts ``val`` decimal(24,4) -> double: the driver's
+    hash canonicalizes DuckDB decimals through pandas float64 while
+    Spark decimals keep scale-4 trailing zeros, so scale>2 decimal
+    output can never hash-match even when values are identical
+    (CORRECTNESS_r04).  Internal XBRL_FACT storage stays decimal."""
     from ..sources.rest import frames_rows
 
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
@@ -367,7 +373,7 @@ def edgar_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "data",
         )
     )
-    return frames_rows(raw)
+    return frames_rows(raw).withColumn("val", F.col("val").cast("double"))
 
 
 @query(
@@ -375,8 +381,8 @@ def edgar_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey AS cik, c_name AS entity_name,
       'us-gaap' AS taxonomy, 'AccountsPayableCurrent' AS tag, 'USD' AS unit,
-      CAST(CASE WHEN fy = 2020 THEN CAST(c_acctbal AS DECIMAL(24,4)) * 1000
-           ELSE CAST(c_acctbal AS DECIMAL(24,4)) END AS DECIMAL(24,4)) AS val,
+      CAST(CAST(CASE WHEN fy = 2020 THEN CAST(c_acctbal AS DECIMAL(24,4)) * 1000
+           ELSE CAST(c_acctbal AS DECIMAL(24,4)) END AS DECIMAL(24,4)) AS DOUBLE) AS val,
       fy, 'FY' AS fp, '10-K' AS form,
       CAST(fy || '-10-30' AS DATE) AS filed,
       'accn-' || c_custkey || '-' || fy AS accn,
@@ -390,7 +396,11 @@ def edgar_concept_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     companyconcept payload shape (single cik/taxonomy/tag, units map of
     per-period fact arrays — reference get_company_concepts,
     core/rest.py:91-123) from ``customer``, then explode through the
-    PRODUCTION concept path (sources/rest.concept_rows)."""
+    PRODUCTION concept path (sources/rest.concept_rows).
+
+    Gate output casts ``val`` to double — same driver-hash rationale
+    as ``edgar_frames_roundtrip`` (scale-4 Spark decimals vs pandas
+    float64 rendering of DuckDB decimals)."""
     from ..sources.rest import concept_rows
 
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
@@ -422,4 +432,4 @@ def edgar_concept_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("USD")
         ).alias("units"),
     )
-    return concept_rows(raw)
+    return concept_rows(raw).withColumn("val", F.col("val").cast("double"))

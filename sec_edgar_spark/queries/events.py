@@ -384,7 +384,7 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
       COUNT(*) AS n,
-      SUM(event_id) AS sum_event_id,
+      CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
       MIN(CAST(value AS DOUBLE)) AS min_value,
       MAX(CAST(value AS DOUBLE)) AS max_value
     FROM events

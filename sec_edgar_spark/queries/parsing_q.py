@@ -30,13 +30,13 @@ from .registry import query
       '4' AS transaction_form_type,
       o_orderstatus AS transaction_code,
       (o_orderkey % 2 = 1) AS equity_swap_involved,
-      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4))
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
         AS transaction_shares,
-      CAST(CAST(o_custkey AS DECIMAL(12,2)) AS DECIMAL(18,4))
+      CAST(CAST(o_custkey AS DECIMAL(12,2)) AS DOUBLE)
         AS transaction_price_per_share,
       CASE WHEN o_orderkey % 3 = 0 THEN 'A' ELSE 'D' END
         AS acquired_disposed_code,
-      CAST((o_orderkey % 1000) AS DECIMAL(18,4)) AS shares_owned_following,
+      CAST((o_orderkey % 1000) AS DOUBLE) AS shares_owned_following,
       'D' AS direct_or_indirect_ownership
     FROM orders WHERE o_orderkey % 100 = 0
     """,
@@ -44,7 +44,13 @@ from .registry import query
 def edgar_form4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16/C17 on the gate: build an ownershipDocument XML per row from
     orders columns, parse it with the production from_xml plan
-    (parsing/form4.parse_form4), return the typed transaction table."""
+    (parsing/form4.parse_form4), return the typed transaction table.
+
+    Gate output casts the three decimal(18,4) amount columns to double:
+    the driver's hash renders Spark decimals scale-padded
+    ('144449.0400') but DuckDB decimals as pandas float64 ('144449.04'),
+    so scale>2 decimal gate output can never hash-match (the
+    CORRECTNESS_r04 failure class).  parse_form4 itself stays typed."""
     from ..parsing.form4 import parse_form4
 
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -94,16 +100,24 @@ def edgar_form4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     payload = o.select(accession.alias("accession_number"), xml.alias("xml"))
-    return parse_form4(payload)
+    out = parse_form4(payload)
+    for amount_col in (
+        "transaction_shares",
+        "transaction_price_per_share",
+        "shares_owned_following",
+    ):
+        out = out.withColumn(amount_col, F.col(amount_col).cast("double"))
+    return out
 
 
 @query(
     "edgar_xbrl_normalize",
     oracle="""
     SELECT c_custkey AS cik, tag, 'USD' AS unit,
-      CAST(CASE WHEN tag = 'Assets'
+      CAST(CAST(CASE WHEN tag = 'Assets'
            THEN CAST(c_acctbal AS DECIMAL(12,2)) * 1000
-           ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DECIMAL(24,4)) AS val,
+           ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DECIMAL(24,4))
+           AS DOUBLE) AS val,
       2020 AS fy, 'FY' AS fp
     FROM customer
     CROSS JOIN (SELECT unnest(['Assets', 'Revenues']) AS tag)
@@ -115,7 +129,10 @@ def edgar_xbrl_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested payload per company (facts → taxonomy → tag → units → rows),
     run the production map-of-maps explode chain (the same shape
     sources/rest.read_company_facts scans from files), emit the long
-    fact table.  The oracle reconstructs the rows directly."""
+    fact table.  The oracle reconstructs the rows directly.
+
+    Gate output casts ``val`` decimal(24,4) -> double (driver-hash
+    decimal-scale contract; see edgar_form4_roundtrip)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
     bal = F.col("c_acctbal").cast("decimal(12,2)")
     json_payload = F.concat(
@@ -144,7 +161,7 @@ def edgar_xbrl_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cik",
         "tag",
         "unit",
-        F.col("r.val").alias("val"),
+        F.col("r.val").cast("double").alias("val"),
         F.col("r.fy").alias("fy"),
         F.col("r.fp").alias("fp"),
     )

@@ -106,12 +106,24 @@ def _q1_longcents(l: DataFrame) -> DataFrame:
     q1_pricing_summary).  qc/pc/dc/tc are exact cent counts of the
     decimal(·,2) inputs, so every sum is an exact integer and the final
     double conversions are the correctly-rounded values the decimal
-    path produces."""
+    path produces.
+
+    Overflow guard (runtime, in-plan, same single pass): long sums wrap
+    silently at 2^63, which ``charge_u`` (~1.1e11 micro-units/row at
+    TPC-H value ranges) reaches around 8e7 rows per group (SF >= ~25).
+    The aggregate also carries ``count * max(|charge_u|)`` evaluated in
+    double — a conservative upper bound on the true |sum| — and every
+    money output raises a descriptive error when the bound crosses the
+    safe line instead of emitting a silently-wrapped number.  Cost: two
+    extra per-group max/count slots on a 6-group aggregate, no second
+    scan.  On overflow, rerun with spark.sec_edgar.longcents=false (the
+    decimal path has no bound).
+    """
     qc = F.round(_dec(F.col("l_quantity")) * 100).cast("long")
     pc = F.round(_dec(F.col("l_extendedprice")) * 100).cast("long")
     dc = F.round(_dec(F.col("l_discount"), 4, 2) * 100).cast("long")
     tc = F.round(_dec(F.col("l_tax"), 4, 2) * 100).cast("long")
-    return (
+    grouped = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .select(
             "l_returnflag",
@@ -124,15 +136,45 @@ def _q1_longcents(l: DataFrame) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum("qc").cast("double") / 100).alias("sum_qty"),
-            (F.sum("pc").cast("double") / 100).alias("sum_base_price"),
-            (F.sum("disc_u").cast("double") / 10_000).alias("sum_disc_price"),
-            (F.sum("charge_u").cast("double") / 1_000_000).alias("sum_charge"),
-            (F.sum("qc").cast("double") / 100 / F.count("*")).alias("avg_qty"),
-            (F.sum("pc").cast("double") / 100 / F.count("*")).alias("avg_price"),
-            (F.sum("dc").cast("double") / 100 / F.count("*")).alias("avg_disc"),
+            F.sum("qc").alias("_sum_qc"),
+            F.sum("pc").alias("_sum_pc"),
+            F.sum("dc").alias("_sum_dc"),
+            F.sum("disc_u").alias("_sum_disc_u"),
+            F.sum("charge_u").alias("_sum_charge_u"),
+            F.max(F.abs(F.col("charge_u"))).alias("_max_charge_u"),
             F.count("*").alias("count_order"),
         )
+    )
+    # count * max|charge_u| >= |sum(charge_u)|; if even the bound stays
+    # under 2^63 (with headroom) the long sum cannot have wrapped.
+    risk = (
+        F.col("count_order").cast("double") * F.col("_max_charge_u").cast("double")
+        > 9.0e18
+    )
+
+    def guarded(expr):
+        return F.when(
+            risk,
+            F.raise_error(
+                F.lit(
+                    "longcents int64 overflow risk for this group; "
+                    "rerun with spark.sec_edgar.longcents=false"
+                )
+            ).cast("double"),
+        ).otherwise(expr)
+
+    cnt = F.col("count_order")
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        guarded(F.col("_sum_qc").cast("double") / 100).alias("sum_qty"),
+        guarded(F.col("_sum_pc").cast("double") / 100).alias("sum_base_price"),
+        guarded(F.col("_sum_disc_u").cast("double") / 10_000).alias("sum_disc_price"),
+        guarded(F.col("_sum_charge_u").cast("double") / 1_000_000).alias("sum_charge"),
+        guarded(F.col("_sum_qc").cast("double") / 100 / cnt).alias("avg_qty"),
+        guarded(F.col("_sum_pc").cast("double") / 100 / cnt).alias("avg_price"),
+        guarded(F.col("_sum_dc").cast("double") / 100 / cnt).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -170,6 +170,7 @@ def ann_quantized_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
       FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
     ) WHERE cosine >= 0.45
     """,
 )

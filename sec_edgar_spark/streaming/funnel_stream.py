@@ -79,7 +79,12 @@ def funnel_stream(events: DataFrame, horizon_seconds: int = 3600) -> DataFrame:
             pending = [t for t in pending if t + hor_us > wm_ms * 1000]
             if pending:
                 state.update((pending,))
-                state.setTimeoutTimestamp(min(pending) // 1000 + horizon_seconds * 1000)
+                # Clamp: floor-division of a sub-ms view ts can land the
+                # deadline exactly ON the watermark, and EventTimeTimeout
+                # requires timeout > watermark.
+                state.setTimeoutTimestamp(
+                    max(min(pending) // 1000 + horizon_seconds * 1000, wm_ms + 1)
+                )
             else:
                 state.remove()
             if expired:
@@ -100,9 +105,21 @@ def funnel_stream(events: DataFrame, horizon_seconds: int = 3600) -> DataFrame:
                 if hit:
                     pending = [t for t in pending if t not in hit]
                     out.extend((t, True) for t in sorted(hit))
+        # A late view whose whole horizon is already behind the watermark
+        # can never convert (matching purchases would have been dropped):
+        # expire it inline instead of registering a timeout at-or-behind
+        # the watermark, which EventTimeTimeout rejects
+        # (IllegalArgumentException: timeout must exceed watermark).
+        wm_ms = state.getCurrentWatermarkMs()
+        dead = [t for t in pending if t + hor_us <= wm_ms * 1000]
+        if dead:
+            pending = [t for t in pending if t + hor_us > wm_ms * 1000]
+            out.extend((t, False) for t in sorted(dead))
         if pending:
             state.update((pending,))
-            state.setTimeoutTimestamp(min(pending) // 1000 + horizon_seconds * 1000)
+            state.setTimeoutTimestamp(
+                max(min(pending) // 1000 + horizon_seconds * 1000, wm_ms + 1)
+            )
         elif state.exists:
             state.remove()
         if out:

@@ -4,8 +4,10 @@ The batch twin (``events_value_histogram``) derives its bucket bounds
 from the data's global min/max; a stream can't know those, so the
 streaming variant takes FIXED bounds (from a prior batch profile or a
 domain contract) and counts bucket membership incrementally — counts
-are streaming-safe additive aggregates, state is O(n_buckets) in
-complete/update mode, and values outside the bounds clamp into the
+are streaming-safe additive aggregates, state is O(n_buckets) (the
+memory-sink runner below runs in COMPLETE mode so every snapshot is
+the full ≤n_buckets histogram; an update-mode sink sees only changed
+buckets, same state size), and values outside the bounds clamp into the
 edge buckets (they'd silently vanish otherwise, which is exactly the
 drift signal a monitor wants to see).
 
@@ -21,6 +23,10 @@ from pyspark.sql import functions as F
 
 
 def bucket_expr(value: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    if not hi > lo:
+        raise ValueError(f"histogram bounds need hi > lo, got lo={lo} hi={hi}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     width = (hi - lo) / n_buckets
     raw = F.floor((value - F.lit(lo)) / F.lit(width))
     return F.greatest(
