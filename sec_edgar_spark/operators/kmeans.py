@@ -48,16 +48,10 @@ def _sqdist(a, b):
     return F.aggregate(prods, F.lit(0).cast("long"), lambda s, p: s + p)
 
 
-def kmeans_fit_assign(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 4,
-    n_iter: int = 2,
-) -> DataFrame:
-    """(id, cell) after ``n_iter`` Lloyd iterations from the md5-min
-    init.  Fully deterministic (see module docstring)."""
-    q = quantize_vectors(df, id_col, vec_col)
+def lloyd_fit(q: DataFrame, k: int, n_iter: int) -> DataFrame:
+    """Run ``n_iter`` integer Lloyd iterations over a quantized
+    ``(id, qv)`` frame; returns the trained centroids ``(cell, cv)``
+    (k rows — always broadcast-sized)."""
     init_key = F.md5(F.concat(F.lit("c:"), F.col("id").cast("string")))
     seeds = q.select("id", "qv", init_key.alias("ik")).orderBy("ik", "id").limit(k)
     cents = seeds.select(
@@ -67,8 +61,12 @@ def kmeans_fit_assign(
         F.col("qv").alias("cv"),
     )
     for _ in range(n_iter):
+        # Assignment inline (not assign_cells + re-join) so qv rides
+        # along through the argmin window — one shuffle, not two.
         pairs = q.crossJoin(broadcast(cents))
-        w = Window.partitionBy("id").orderBy(_sqdist(F.col("qv"), F.col("cv")), "cell")
+        w = Window.partitionBy("id").orderBy(
+            _sqdist(F.col("qv"), F.col("cv")), "cell"
+        )
         assigned = (
             pairs.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
@@ -91,6 +89,12 @@ def kmeans_fit_assign(
                 ).alias("cv")
             )
         )
+    return cents
+
+
+def assign_cells(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment ``(id, cell)`` — integer argmin,
+    ties to the lowest cell id; centroids broadcast."""
     pairs = q.crossJoin(broadcast(cents))
     w = Window.partitionBy("id").orderBy(_sqdist(F.col("qv"), F.col("cv")), "cell")
     return (
@@ -98,3 +102,16 @@ def kmeans_fit_assign(
         .filter(F.col("rk") == 1)
         .select("id", "cell")
     )
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """(id, cell) after ``n_iter`` Lloyd iterations from the md5-min
+    init.  Fully deterministic (see module docstring)."""
+    q = quantize_vectors(df, id_col, vec_col)
+    return assign_cells(q, lloyd_fit(q, k, n_iter))

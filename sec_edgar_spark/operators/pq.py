@@ -1,0 +1,152 @@
+"""Product quantization (PQ) — compressed-domain ANN for 100 TB corpora.
+
+Extends the embedding toolchain (int8 absmax → IVF → trained IVF) with
+the standard memory-scaling step: split each D-dim vector into M
+subspaces of D/M dims, train an independent k-means codebook per
+subspace (operators/kmeans.py — integer fixed-point, so training is
+engine-reproducible), and store each vector as M small codes.  A
+64-dim float corpus at M=4, k=256 compresses 256 bytes → 4 bytes per
+vector; at 100 TB that is the difference between "codes fit in cluster
+memory" and "they don't".
+
+Query-time scoring is ADC (asymmetric distance computation): the query
+keeps its exact (quantized) subvectors; each candidate contributes the
+distance from the query subvector to the candidate's CODEBOOK ENTRY,
+summed over subspaces.  The classic formulation precomputes a per-query
+(subspace, code) → partial-distance lookup table of M·k entries — a
+tiny frame that BROADCASTS — and the scan over candidates becomes an
+equi-join on (subspace, code) + a per-(query, candidate) sum: no
+per-pair vector math, no corpus shuffle, no cartesian.
+
+Everything stays in the same 2^20 fixed-point integer domain as
+k-means, so codes, LUTs, and total distances are exact integers — a
+DuckDB oracle replays training + encoding + ADC end-to-end and
+value-matches (queries/similarity.py::ann_pq_adc_topk).
+
+Scale shape: training runs M independent k-row Lloyd loops (broadcast
+centroids); encoding is M bounded argmin joins over slices; ADC is
+codes ⋈ broadcast-LUT → map-combined groupBy sum.  Per-query cost is
+O(n·M) integer adds — the standard PQ trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .kmeans import assign_cells, lloyd_fit, quantize_vectors
+
+
+def pq_train_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    n_iter: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train M per-subspace codebooks and encode every vector.
+
+    Returns ``(codes, codebooks)``:
+      codes      — (id, sub, code): M rows per vector,
+      codebooks  — (sub, code, cv: array<long>): M·k rows (broadcast-
+                   sized; ``cv`` is the fixed-point centroid of that
+                   subspace cell).
+
+    The subspace width is ``dim // m`` taken from position ``sub *
+    width`` — the caller guarantees m divides the dimension (asserted
+    on the first row at plan-build time via a length check column is
+    overkill; PQ dims are a design-time constant).
+    """
+    if m < 1 or k < 1:
+        raise ValueError(f"need m >= 1 and k >= 1, got m={m} k={k}")
+    q = quantize_vectors(df, id_col, vec_col)
+    # One quantize pass; subspaces are slices of the shared qv.
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    codes_parts = []
+    books_parts = []
+    for sub in range(m):
+        # slice bounds are data-independent: width = D/M with D fixed
+        # per corpus; expressed via the probe row to stay lazy.
+        sub_q = q.select(
+            "id",
+            F.expr(
+                f"slice(qv, {sub} * (size(qv) div {m}) + 1, size(qv) div {m})"
+            ).alias("qv"),
+        )
+        cents = lloyd_fit(sub_q, k=k, n_iter=n_iter)
+        books_parts.append(
+            cents.select(
+                F.lit(sub).alias("sub"), F.col("cell").alias("code"), "cv"
+            )
+        )
+        codes_parts.append(
+            assign_cells(sub_q, cents).select(
+                "id", F.lit(sub).alias("sub"), F.col("cell").alias("code")
+            )
+        )
+    codes = codes_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    books = books_parts[0]
+    for p in books_parts[1:]:
+        books = books.unionByName(p)
+    _ = dim_probe  # documentation anchor; the slice expr owns the math
+    return codes, books
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    top_k: int,
+) -> DataFrame:
+    """ADC top-k: exact query subvectors vs candidates' codebook cells.
+
+    ``queries`` is a small frame of raw vectors (the probe set); it is
+    quantized with the shared fixed-point transform, sliced per
+    subspace, and crossed with the M·k codebook rows to form the
+    per-query LUT (n_queries · M · k rows — broadcast).  Candidates
+    then join the LUT on (sub, code) and sum their M partial distances
+    per query.  Output: (query_id, neighbor_id, adc_dist, rk).
+    """
+    q = quantize_vectors(queries, id_col, vec_col)
+    sub_w = f"(size(qv) div {m})"
+    q_subs = q.select(
+        F.col("id").alias("query_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> struct(s as sub, slice(qv, s * {sub_w} + 1, {sub_w}) as sq))"
+            )
+        ).alias("e"),
+    ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.sq").alias("sq"))
+    # LUT: per (query, sub, code) the exact integer partial distance.
+    pdist = F.aggregate(
+        F.zip_with("sq", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, p: s + p,
+    )
+    lut = q_subs.join(broadcast(codebooks), "sub").select(
+        "query_id", "sub", "code", pdist.alias("pd")
+    )
+    scored = (
+        codes.join(broadcast(lut), ["sub", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adc_dist"), F.count("*").alias("n_sub"))
+        # A candidate scores against a query only if all M subspaces
+        # joined (always true — codes are total); the count guard keeps
+        # the contract explicit if a partial codes frame is passed.
+        .filter(F.col("n_sub") == m)
+        .drop("n_sub")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+    )

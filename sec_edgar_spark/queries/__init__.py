@@ -8,6 +8,7 @@ package populates the registry.  ``__spark_entry__.py`` re-exports
 from .registry import ORACLES, QUERIES, query  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import relational3  # noqa: E402,F401
 from . import edgar  # noqa: E402,F401
 from . import edgar2  # noqa: E402,F401
 from . import events  # noqa: E402,F401

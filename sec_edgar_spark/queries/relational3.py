@@ -1,0 +1,480 @@
+"""TPC-H-shape widening: the classic decision-support plans not yet in
+the battery, adapted to the testdata's columns (no partsupp table, no
+l_shipmode/l_commitdate — substitutions noted per query).
+
+Determinism: money aggregates in DECIMAL (exact) → DOUBLE at the end;
+ratios divide two exact values in double; l_quantity is an integer
+1..50 stored double, so its sums/avgs are exact in any order.  Every
+top-k carries a total-order tiebreak (registry docstring rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import table
+from .registry import query
+
+
+def _dec(c, prec: int = 12, scale: int = 2):
+    return c.cast(f"decimal({prec},{scale})")
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+)
+
+
+def _rev():
+    price = _dec(F.col("l_extendedprice"))
+    disc = _dec(F.col("l_discount"), 4, 2)
+    return price * _dec(F.lit(1) - disc, 4, 2)
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+      CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        CAST({_REV_SQL} AS DECIMAL(16,4)) AS volume,
+        sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): what fraction of the
+    ASIA-customer order volume, per order year, was supplied by
+    NATION_3.  Six-way join with role-playing nation dims.
+
+    Plan: region/nation/supplier/customer all broadcast (small dims);
+    the one real shuffle is lineitem↔orders on orderkey.  The share is
+    a conditional-sum / sum over the SAME exact decimal column, divided
+    once in double — engine-order-proof.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = table(spark, sf_dir, "supplier")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+    )
+    vol = _rev().cast("decimal(16,4)")
+    zero = F.lit(0).cast("decimal(16,4)")
+    rows = joined.select(
+        F.year("o_orderdate").alias("o_year"),
+        vol.alias("volume"),
+        F.col("sn.n_name").alias("supp_nation"),
+    )
+    return rows.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+      CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+      CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-10-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    lost revenue from returned lineitems in one quarter.
+
+    Plan: the returnflag + date filters push to the scans; customer and
+    nation broadcast; the lineitem↔orders shuffle carries only the
+    filtered quarter.  LIMIT has the (revenue DESC, c_custkey)
+    total-order tiebreak.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): orders per
+    customer INCLUDING zero-order customers (left outer join with the
+    filter inside the join condition — pushing it to WHERE would drop
+    the zeros), then the histogram of those counts.
+
+    Substitution: the reference filter ``o_comment NOT LIKE
+    '%special%requests%'`` becomes ``o_orderpriority <> '1-URGENT'``
+    (no comment column); identical plan shape.
+
+    Plan: outer join shuffles on custkey; COUNT(col) (not COUNT(*))
+    gives 0 for null-extended rows on both engines; second agg is over
+    ~40 distinct counts.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-07-01'
+        AND l_shipdate <  TIMESTAMP '1998-10-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, return the supplier(s) achieving the maximum.
+
+    Plan: one shuffle agg builds revenue0 from a SINGLE lineitem scan;
+    the scalar MAX is a global max window over the aggregated
+    per-supplier frame (supplier-cardinality rows through one
+    partition — at 100 TB that's the supplier dim, not the fact
+    table).  The naive ``revenue0.agg(max)`` + join-back recomputes
+    the whole aggregate in Spark (no CTE materialization, no exchange
+    reuse across the two branches — verified on the final AQE plan),
+    scanning lineitem twice; the window trades that second fact scan
+    for a dim-sized single-partition pass.  Revenue is an exact
+    decimal sum cast to double, so the equality against MAX is
+    representation-safe.
+    """
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-10-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    revenue0 = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).cast("double").alias("total_revenue")
+    )
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    return (
+        revenue0.withColumn("mx", mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH perpart AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN perpart ON perpart.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size <= 5
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average quantity, for one
+    brand/size slice; total extended price / 7.
+
+    Substitution: ``p_container = 'MED BOX'`` becomes ``p_size <= 5``
+    (no container column).  The correlated scalar subquery becomes a
+    pre-aggregated per-part frame joined back on partkey — the
+    decorrelation Catalyst itself would do, written explicitly so the
+    avg is computed ONCE.  l_quantity is an integer-valued double, so
+    AVG is exact on both engines regardless of partial-sum order and
+    the 0.2·avg comparison has no boundary ambiguity.
+
+    Plan: two shuffles on partkey (agg + join, co-partitioned under
+    AQE); part dim filter broadcasts.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+    )
+    perpart = l.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    joined = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(perpart, l.l_partkey == F.col("pp_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return joined.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0)
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE
+      (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): three OR'd
+    (brand, size-range, quantity-range) branches over the part join.
+
+    Plan note: the disjunction mixes columns from both sides, so it
+    cannot fully push below the join — but the common p_partkey
+    equi-key keeps it a broadcast hash join with the residual OR as a
+    post-join filter, and the per-side prefixes (p_size <= 15 ∨ ... ,
+    l_quantity <= 30) are derivable pushdowns.  One exact decimal sum.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finalized orders, suppliers whose lineitem was returned while
+    every OTHER supplier on the same multi-supplier order was not —
+    the classic EXISTS + NOT-EXISTS pair against the same fact table.
+
+    Substitution: ``l_receiptdate > l_commitdate`` (absent columns)
+    becomes ``l_returnflag = 'R'`` as the "at fault" predicate;
+    identical semi/anti plan shape.
+
+    Plan: both subqueries become one shuffle-keyed LEFT SEMI and one
+    LEFT ANTI join on l_orderkey (co-partitioned with the l1 scan
+    under AQE); orders filter pushes down; supplier dim broadcasts.
+    No DISTINCT-rewrite, no self-cartesian.
+    """
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("sk1")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("k1") == F.col("k2")) & (F.col("sk1") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("k1") == F.col("k3")) & (F.col("sk1") != F.col("sk3")),
+            "left_anti",
+        )
+        .join(o, F.col("k1") == o.o_orderkey)
+        .join(broadcast(s), F.col("sk1") == s.s_suppkey)
+    )
+    return waiting.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@query(
+    "q22_idle_balances",
+    oracle="""
+    WITH avgbal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avgbal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-threshold + anti-join): customers with
+    above-average positive balances and no urgent orders, grouped by
+    segment.
+
+    Substitution: phone-country-code grouping becomes c_mktsegment (no
+    phone column); ``no orders in 7 years`` becomes ``no URGENT
+    orders`` (this generator gives every customer at least one order,
+    so a bare anti-join would be vacuously empty at every sf) — same
+    scalar-subquery + NOT EXISTS plan, non-trivial output.
+
+    Plan: the global average is a 1-row frame (exact decimal sum /
+    count, divided once in double — c_acctbal is a double column, so a
+    naive double SUM would be partial-order-dependent and could flip
+    the > boundary between engines) cross-joined broadcast; the NOT
+    EXISTS is a LEFT ANTI shuffle join on custkey.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avgbal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")
+            ).alias("a")
+        )
+    )
+    return (
+        c.crossJoin(broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )

@@ -581,3 +581,126 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+def _pq_cte(m: int = 4, k: int = 8, n_iter: int = 2) -> str:
+    """CTE chain replaying PQ end-to-end: M per-subspace fixed-point
+    k-means loops on vector slices, encoding, the per-query ADC lookup
+    table, and the candidate scoring join — mirrors operators/pq.py
+    step for step (possible because every quantity is an exact
+    integer).  Ends with ``pq_scored (query_id, neighbor_id,
+    adc_dist)``."""
+    w = EMB_DIM // m
+    dist = (
+        "list_sum(list_transform(range(1, {wp1}), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    ).format(wp1=w + 1)
+    sql = """
+    WITH pqq AS (
+      SELECT vec_id AS id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    )"""
+    for s in range(m):
+        lo, hi = s * w + 1, (s + 1) * w
+        sql += f""", s{s} AS (
+      SELECT id, list_slice(qv, {lo}, {hi}) AS qv FROM pqq
+    ), s{s}_seeds AS (
+      SELECT id, qv,
+        ROW_NUMBER() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1
+          AS cell
+      FROM s{s} QUALIFY cell < {k}
+    ), s{s}_cents0 AS (
+      SELECT CAST(cell AS BIGINT) AS cell, qv AS cv FROM s{s}_seeds
+    )"""
+        prev = f"s{s}_cents0"
+        for it in range(1, n_iter + 1):
+            sql += f""", s{s}_a{it} AS (
+      SELECT id, qv, cell FROM (
+        SELECT q.id, q.qv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rk
+        FROM s{s} q CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    ), s{s}_cents{it} AS (
+      SELECT cell, list(mv ORDER BY pos) AS cv FROM (
+        SELECT cell, i AS pos,
+          CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS mv
+        FROM s{s}_a{it} CROSS JOIN (SELECT unnest(range(1, {w + 1})) AS i)
+        GROUP BY cell, i
+      ) GROUP BY cell
+    )"""
+            prev = f"s{s}_cents{it}"
+        sql += f""", s{s}_kassign AS (
+      SELECT id, cell FROM (
+        SELECT q.id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rk
+        FROM s{s} q CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    )"""
+    codes_union = " UNION ALL ".join(
+        f"SELECT id, {s} AS sub, cell AS code FROM s{s}_kassign" for s in range(m)
+    )
+    books_union = " UNION ALL ".join(
+        f"SELECT {s} AS sub, cell AS code, cv FROM s{s}_cents{n_iter}"
+        for s in range(m)
+    )
+    sql += f""", pq_codes AS ({codes_union}
+    ), pq_books AS ({books_union}
+    ), pq_qsubs AS (
+      SELECT id AS query_id, s.sub,
+        list_slice(qv, s.sub * {w} + 1, (s.sub + 1) * {w}) AS sq
+      FROM pqq CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) s
+      WHERE id < {N_QUERIES}
+    ), pq_lut AS (
+      SELECT qs.query_id, b.sub, b.code,
+        list_sum(list_transform(range(1, {w + 1}),
+          i -> (qs.sq[i] - b.cv[i]) * (qs.sq[i] - b.cv[i]))) AS pd
+      FROM pq_qsubs qs JOIN pq_books b ON qs.sub = b.sub
+    ), pq_scored AS (
+      SELECT l.query_id, c.id AS neighbor_id,
+        CAST(SUM(l.pd) AS BIGINT) AS adc_dist
+      FROM pq_codes c JOIN pq_lut l ON c.sub = l.sub AND c.code = l.code
+      WHERE c.id <> l.query_id
+      GROUP BY 1, 2
+    )"""
+    return sql
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=_pq_cte()
+    + f"""
+    SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+      FROM pq_scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end: train M=4 per-subspace
+    codebooks (k=8, 2 integer Lloyd iterations), encode the corpus to
+    4 codes/vector, and answer the probe set's top-10 via ADC — the
+    compressed-domain search that makes 100 TB embedding corpora fit
+    in cluster memory (operators/pq.py).
+
+    The whole pipeline is fixed-point-integer exact, so the DuckDB
+    oracle replays training + encoding + the ADC lookup-table join and
+    the distances value-match bit-for-bit.
+
+    Scale shape: M independent broadcast-centroid training loops; the
+    query LUT (n_queries·M·k rows) broadcasts; candidate scoring is an
+    equi-join on (sub, code) + a map-combined sum — the corpus never
+    shuffles and no pair ever materializes a vector product.
+    """
+    from ..operators.pq import pq_adc_topk, pq_train_encode
+
+    e = table(spark, sf_dir, "embeddings")
+    codes, books = pq_train_encode(
+        e, "vec_id", "embedding", m=4, k=8, n_iter=2
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return pq_adc_topk(
+        queries, codes, books, "vec_id", "embedding", m=4, top_k=TOP_K
+    )

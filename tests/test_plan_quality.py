@@ -154,3 +154,62 @@ def test_ri_audit_no_cartesian(plans):
     p = plans("audit_referential_integrity")
     assert "CartesianProduct" not in p
     assert p.count("LeftAnti") >= 4
+
+
+def test_q8_market_share_broadcasts_all_dims(plans):
+    p = plans("q8_market_share")
+    # customer/nation×2/region/supplier broadcast; the only shuffle
+    # join is lineitem↔orders on orderkey
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_q10_pushes_returnflag_and_dates(plans):
+    p = plans("q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in p.replace(" ", "") or "l_returnflag" in p
+    assert "TakeOrderedAndProject" in p  # top-20 never global-sorts
+
+
+def test_q13_outer_join_keeps_zero_customers(plans):
+    p = plans("q13_customer_distribution")
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q15_single_fact_scan(plans):
+    p = plans("q15_top_supplier")
+    # the MAX comes from a window over the aggregated per-supplier
+    # frame — lineitem must be scanned exactly once (the agg+join-back
+    # alternative recomputes the aggregate: no exchange reuse)
+    assert p.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in p  # supplier dim
+    assert "CartesianProduct" not in p
+
+
+def test_q17_decorrelated_single_avg_pass(plans):
+    p = plans("q17_small_quantity_revenue")
+    # per-part avg computed once and joined — no correlated re-scan per
+    # row: lineitem appears at most twice (fact + avg build)
+    assert p.count("CartesianProduct") == 0
+
+
+def test_q21_semi_and_anti_on_same_fact(plans):
+    p = plans("q21_waiting_supplier")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q22_anti_join_and_broadcast_threshold(plans):
+    p = plans("q22_idle_balances")
+    assert "LeftAnti" in p
+    # the global-average single row arrives via broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_pq_adc_no_corpus_cartesian(plans):
+    p = plans("ann_pq_adc_topk")
+    # training crossJoins are k-row broadcast centroid frames; the ADC
+    # scoring path must be an equi-join on (sub, code) with the LUT
+    # broadcast — the corpus never cartesians
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
