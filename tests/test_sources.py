@@ -86,7 +86,14 @@ def test_company_concept_long_table(spark, data_dir):
     assert r0.filed == datetime.date(2020, 10, 30)
     assert r0.frame == "CY2020Q3I"
     assert rows[1].frame is None  # frame is optional per-row
-    # concept rows union cleanly with the facts surface (same columns)
+    # concept rows union cleanly with the facts surface: FULL schema
+    # identity (names AND types) — name-only equality let round 4's
+    # decimal drift through; the internal fact surfaces must stay
+    # decimal(24,4) for val (the gate queries cast to double at their
+    # own boundary, never here — README driver-hash contract).
     facts = read_company_facts(spark, f"{data_dir}/companyfacts_sample.json")
-    assert concept.columns == facts.columns
+    # (nullability may differ — facts' taxonomy/tag are map keys, hence
+    # non-null; that never breaks a union)
+    assert concept.dtypes == facts.dtypes
+    assert dict(facts.dtypes)["val"] == "decimal(24,4)"
     assert facts.unionByName(concept).count() == 6
