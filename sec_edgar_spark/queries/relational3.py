@@ -478,3 +478,260 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, o_year,
+      CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT sn.n_name, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        CAST({_REV_SQL} AS DECIMAL(18,4))
+          - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(0.6 AS DECIMAL(4,2))
+                 * CAST(l_quantity AS DECIMAL(4,0)) AS DECIMAL(18,4))
+          AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation per
+    order-year profit on parts matching a name pattern.
+
+    Substitution: no partsupp table in this dataset, so
+    ``ps_supplycost`` becomes a cost proxy ``0.6 * p_retailprice``
+    carried on the part dim — the plan keeps Q9's signature (fact scan
+    joined to FOUR dims + orders, LIKE filter on the part name, profit
+    = revenue minus cost*qty, grouped by a dim attribute and a derived
+    year).  Ref: rahulrrixe/sec-edgar has no relational engine; this is
+    battery widening per SURVEY.md §2.6.
+
+    Plan: part (LIKE-filtered), supplier, nation all broadcast; the one
+    big shuffle is lineitem↔orders on orderkey.  Profit is computed
+    per-row in exact DECIMAL(18,4) and summed exactly; the only double
+    cast is the final output — engine-order-proof.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").alias("sn")
+    cost = (
+        _dec(F.col("p_retailprice"))
+        * F.lit(0.6).cast("decimal(4,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    ).cast("decimal(18,4)")
+    amount = _rev().cast("decimal(18,4)") - cost
+    rows = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("sn.n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return rows.groupBy("nation", "o_year").agg(
+        F.sum("amount").cast("double").alias("sum_profit")
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH partval AS (
+      SELECT l_partkey,
+        SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(4,0)) AS DECIMAL(18,2)))
+          AS part_value
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS value
+    FROM partval
+    WHERE CAST(part_value AS DOUBLE) * (SELECT COUNT(*) FROM partval)
+          > (SELECT CAST(SUM(part_value) AS DOUBLE) FROM partval) * 1.5
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part
+    inventory value restricted to one nation group, keeping parts whose
+    value exceeds a fraction of the GLOBAL total — the group-agg +
+    global-scalar-threshold (HAVING with scalar subquery) shape.
+
+    Substitution: no partsupp, so part value = Σ p_retailprice ×
+    l_quantity over the lineitems shipped by suppliers of the chosen
+    nations (an observed-flow inventory proxy), and the original's
+    fixed fraction (which TPC-H itself rescales by 1/SF precisely
+    because it empties out as the part count grows) becomes
+    "value > 1.5 × the average part value" — scale-invariant, so the
+    query stays non-trivial at every sf.
+
+    Plan: ONE aggregation builds partval (shuffle on partkey; supplier/
+    nation/part broadcast); the scalar total AND count are one window
+    over the aggregated frame (part-dim cardinality through one
+    partition — the q15 trade: no second fact scan).  Values are exact
+    DECIMAL(18,2) sums; both engines derive the threshold from the same
+    exact sums/counts with the same double ops (value·n > total·1.5),
+    so the > boundary cannot flip.
+    """
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        _dec(F.col("p_retailprice")) * F.col("l_quantity").cast("decimal(4,0)")
+    ).cast("decimal(18,2)")
+    partval = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("part_value"))
+    )
+    w = Window.partitionBy()
+    return (
+        partval.withColumn("total", F.sum("part_value").over(w))
+        .withColumn("n_parts", F.count("*").over(w))
+        .filter(
+            F.col("part_value").cast("double") * F.col("n_parts")
+            > F.col("total").cast("double") * 1.5
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("value"),
+        )
+    )
+
+
+@query(
+    "q12_late_priority",
+    oracle="""
+    SELECT l_returnflag AS shipgroup,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY shipgroup
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes & order priority): for one
+    year's late-shipped lineitems, count high- vs low-priority orders
+    per group — the two-conditional-sum shape.
+
+    Substitution: no l_shipmode/l_commitdate/l_receiptdate columns, so
+    the group key is l_returnflag and "late" = shipped more than 30
+    days after the order date (a cross-table comparison, like the
+    original's receipt>commit — it cannot push below the join).
+
+    Plan: the year range pushes to the lineitem scan; the lateness
+    predicate filters after the orderkey shuffle join; counts are
+    integer-exact.
+    """
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("shipgroup"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH flows AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1999-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey FROM flows f
+      WHERE 10 * supp_qty > 3 * (
+        SELECT SUM(supp_qty) FROM flows t WHERE t.l_partkey = f.l_partkey
+      )
+    )
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+      AND s_nationkey < 10
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    dominate the flow of some Brand#1 part in 1998 (supplied >30% of
+    that part's total quantity), restricted to a nation set — the
+    nested-IN + correlated-quantity-threshold shape.
+
+    Substitution: no partsupp, so "availqty > ½·Σ qty" becomes
+    "this supplier's shipped qty > 0.3·part total qty" computed from
+    the same fact table; ``p_name like 'forest%'`` becomes p_brand.
+
+    Plan: one agg builds (part, supp) flows — brand + year filters
+    push to the scans, part broadcast; the correlated subquery is a
+    window-sum over partkey on the aggregated frame (no second scan);
+    the threshold is pure integer math (10·q > 3·Σ), no float
+    boundary.  The final IN is a broadcast LEFT SEMI join into the
+    supplier dim.
+    """
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
+    flows = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    )
+    part_total = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        flows.withColumn("part_qty", part_total)
+        .filter(10 * F.col("supp_qty") > 3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
