@@ -21,6 +21,13 @@ Replica transforms and what they keep honest:
   exact all-pairs BY DESIGN: compute grows ~100x at 10x; the probe
   reports that honestly (what matters is the throughput of the Arrow
   scorer and that memory stays bounded by (n/B)^2).
+- relational (lineitem/orders/customer/supplier/part): every key
+  column gets the same per-replica offset, so each replica is a new
+  disjoint slice of the SAME star schema — orders per customer,
+  lineitems per order, parts per brand all keep their density, and
+  the broadcast dims grow 10x too (which is exactly what happens at a
+  bigger SF).  nation/region are fixed-cardinality dims and copy
+  through unchanged.
 
 Usage: python tools/scale_probe.py [query ...]
 """
@@ -117,6 +124,44 @@ def build_replicas(spark) -> None:
     u.coalesce(8).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
 
 
+_KEY_OFFSETS = {
+    # column -> per-replica stride (disjoint across 10 replicas at sf<=1)
+    "l_orderkey": 100_000_000,
+    "l_partkey": 10_000_000,
+    "l_suppkey": 1_000_000,
+    "o_orderkey": 100_000_000,
+    "o_custkey": 10_000_000,
+    "c_custkey": 10_000_000,
+    "s_suppkey": 1_000_000,
+    "p_partkey": 10_000_000,
+}
+
+
+def build_relational_replicas(spark) -> None:
+    from sec_edgar_spark import catalog
+
+    os.makedirs(OUT, exist_ok=True)
+    for t in ("lineitem", "orders", "customer", "supplier", "part"):
+        df = catalog.table(spark, BASE, t)
+        parts = []
+        for k in range(REPLICAS):
+            cols = [
+                (F.col(c) + k * _KEY_OFFSETS[c]).alias(c)
+                if c in _KEY_OFFSETS
+                else F.col(c)
+                for c in df.columns
+            ]
+            parts.append(df.select(*cols))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.coalesce(8).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    for t in ("nation", "region"):
+        catalog.table(spark, BASE, t).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{t}.parquet")
+
+
 def main() -> int:
     from sec_edgar_spark.session import get_spark
     import sec_edgar_spark.queries as Q
@@ -128,6 +173,9 @@ def main() -> int:
     if not os.path.exists(f"{OUT}/embeddings.parquet"):
         print("building 10x replicas...", flush=True)
         build_replicas(spark)
+    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+        print("building 10x relational replicas...", flush=True)
+        build_relational_replicas(spark)
 
     def noop(df):
         df.write.mode("overwrite").format("noop").save()
