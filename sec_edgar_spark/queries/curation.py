@@ -371,3 +371,67 @@ def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_doc_tokens").cast("int").alias("n_doc_tokens"),
         )
     )
+
+
+@query(
+    "curation_temperature_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), nmin AS (
+      SELECT MIN(n) AS n_min FROM counts
+    ), quota AS (
+      SELECT lang,
+        CAST(floor(sqrt(CAST(n * n_min AS DOUBLE))) AS BIGINT) AS k
+      FROM counts CROSS JOIN nmin
+    ), ranked AS (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      ) AS sample_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.sample_rank
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.sample_rank <= q.k
+    """,
+)
+def curation_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened stratum sampling (τ=2): keep
+    k_s = floor(√(n_s·n_min)) documents of each language — the
+    geometric mean of the stratum size and the SMALLEST stratum.  The
+    tail language survives whole, the head shrinks toward it with
+    kept-share ∝ n_s^(1/τ-1) = n_s^(-1/2) — the multilingual-corpus
+    rebalancing rule (temperature sampling, without replacement) that
+    sits between "natural mix" (τ=1) and "uniform" (τ=∞).
+
+    Determinism: n_s·n_min is exact int64 (< 2^53 at any realistic
+    stratum count), IEEE sqrt is correctly rounded so both engines
+    floor the same value, and membership is the md5(doc_id) rank — no
+    rand(), same rule as curation_domain_mix.  No cross-stratum float
+    SUM anywhere (a Σ√n_s normalizer would be partial-order-dependent
+    — why the quota is anchored at n_min instead).
+
+    Scale shape: counts is a stratum-sized agg that broadcasts; ranks
+    are one window partitioned by the stratum key (each partition
+    streams); the filter is rank <= k.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    nmin = counts.agg(F.min("n").alias("n_min"))
+    quota = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        F.floor(F.sqrt((F.col("n") * F.col("n_min")).cast("double")))
+        .cast("bigint")
+        .alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("sample_rank")
+    )
+    return ranked.join(F.broadcast(quota), "lang").filter(
+        F.col("sample_rank") <= F.col("k")
+    ).select("doc_id", "lang", "sample_rank")

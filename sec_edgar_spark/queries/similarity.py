@@ -704,3 +704,157 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         queries, codes, books, "vec_id", "embedding", m=4, top_k=TOP_K
     )
+
+
+@query(
+    "dedup_semantic",
+    oracle=_kmeans_cte(k=8, n_iter=2)
+    + f""", keyed AS (
+      SELECT e.vec_id, e.embedding,
+        sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS nrm, a.cell
+      FROM embeddings e JOIN kassign a ON e.vec_id = a.id
+    )
+    SELECT cell, keep_id, drop_id, cosine FROM (
+      SELECT a.cell AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
+        {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+      FROM keyed a JOIN keyed b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+    ) WHERE cosine >= 0.45
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-style, Abbas et al. 2023): TRAIN a
+    k-means clustering over the embeddings (deterministic fixed-point
+    Lloyd, k=8, 2 iterations — operators/kmeans.py), then score cosine
+    pairs ONLY within each learned cluster and mark the higher vec_id
+    of every >= 0.45 pair as the semantic duplicate to drop.
+
+    vs ``dedup_embedding_cosine`` (exact, O(n²) scoring bounded by the
+    block join): the trained clusters prune the pair space to
+    Σ_c |c|² — with balanced cells that is n²/k, and at 100 TB k grows
+    with the corpus so per-cell candidate sets stay machine-sized.
+    This is the production trade: a near-dup pair that lands in two
+    different clusters is missed by construction, and the oracle
+    replays training + scoring end-to-end so the value check covers
+    exactly what the operator claims.
+
+    Scale shape: training broadcasts the k-row centroid frame per
+    iteration; the pair join is a cell-keyed equi-join (AQE handles
+    skewed cells); zero-norm vectors are filtered on both sides (the
+    round-5 NaN-ordering rule).
+    """
+    from ..operators.kmeans import kmeans_fit_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+    keyed = (
+        e.join(assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id")
+        .select(
+            "vec_id", "embedding", V.norm("embedding").alias("nrm"), "cell"
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    a = keyed.select(
+        F.col("cell").alias("cell"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = keyed.select(
+        F.col("cell").alias("b_cell"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("b_cell"))
+            & (F.col("keep_id") < F.col("drop_id")),
+        )
+        .select(
+            "cell",
+            "keep_id",
+            "drop_id",
+            (V.dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm")))
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+def _rp_signs(k: int = 16) -> list[list[int]]:
+    """±1 projection matrix (EMB_DIM × k) derived from md5 parity —
+    shared verbatim by the Spark expression and the generated oracle
+    (same precedent as LSH_PLANES: fixed public constants, not state)."""
+    import hashlib
+
+    signs = []
+    for i in range(EMB_DIM):
+        row = []
+        for j in range(k):
+            h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+RP_SIGNS = _rp_signs()
+RP_K = 16
+
+
+def _rp_oracle() -> str:
+    qv = (
+        "list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+    )
+    cols = []
+    for j in range(RP_K):
+        terms = " + ".join(
+            f"qv[{i + 1}] * ({RP_SIGNS[i][j]})" for i in range(EMB_DIM)
+        )
+        cols.append(f"({terms})")
+    arr = ", ".join(cols)
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {qv} AS qv FROM embeddings
+    )
+    SELECT vec_id, [{arr}] AS proj FROM q
+    """
+
+
+@query("emb_random_projection", oracle=_rp_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project the
+    64-dim embeddings to 16 dims with a fixed ±1 (Achlioptas) matrix —
+    the cheap pre-step that shrinks ANN/dedup candidate scoring by 4×
+    while preserving pairwise distances within the JL bound.
+
+    Engine-exactness: vectors go through the shared 2^20 fixed-point
+    grid (operators/kmeans.py quantize rule), the ±1 matrix comes from
+    md5 parity (public constant, embedded verbatim in both the Spark
+    fold and the oracle SQL), and every projected coordinate is an
+    exact int64 sum — no float accumulation anywhere, so the oracle
+    value-matches bit-for-bit.  Downstream consumers divide by 2^20
+    once when they need doubles.
+
+    Scale shape: a pure stateless map over the embedding scan (zero
+    shuffles, zero Python); whole-stage-codegen folds per row.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * (1 << 20) + 0.5).cast("long"),
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    cols = []
+    for j in range(RP_K):
+        signs = F.array(*[F.lit(RP_SIGNS[i][j]) for i in range(EMB_DIM)])
+        prods = F.zip_with(
+            F.col("qv"), signs, lambda x, s: x * s.cast("long")
+        )
+        cols.append(
+            F.aggregate(prods, F.lit(0).cast("long"), lambda a, p: a + p)
+        )
+    return q.select("vec_id", F.array(*cols).alias("proj"))

@@ -510,3 +510,64 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("int").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).cast("int").alias("n_phones"),
     )
+
+
+@query(
+    "text_surprisal_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    ), ntot AS (
+      SELECT COUNT(*) AS n FROM tok
+    ), scored AS (
+      SELECT t.doc_id,
+        (length(bin(ntot.n)) - 1) - (length(bin(c.cnt)) - 1) AS s
+      FROM tok t JOIN cnt c USING (tok) CROSS JOIN ntot
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(s) AS BIGINT) AS bits_total,
+      CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_surprisal,
+      CAST(SUM(s) AS DOUBLE) / COUNT(*) > 12.0 AS rare_heavy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (CCNet-style): score each document by
+    the average corpus surprisal of its tokens — junk (random strings,
+    boilerplate-free tails) is rare-token-heavy and scores high,
+    natural prose of common words scores low.
+
+    Engine-exact trick: true surprisal -log2(cnt/N) needs
+    transcendentals whose partial-sum order is nondeterministic; the
+    integer floor-log2 version  s = floor(log2 N) - floor(log2 cnt)
+    = (length(bin(N))-1) - (length(bin(cnt))-1)  is EXACT integer math
+    on both engines (bit-length, no floats), preserves the ranking
+    semantics (monotone in cnt, within 1 bit of -log2(cnt/N)), and the
+    per-doc mean is one double division of two exact integers — the
+    same determinism rule as TF-IDF's rational idf.
+
+    Scale shape: one token explode → vocab-sized count agg → join back
+    on token (AQE broadcasts the vocab when it fits, shuffle-joins
+    otherwise — never a driver collect) → per-doc hash agg.  The
+    corpus total joins as a broadcast scalar.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    ntot = tok.agg(F.count("*").alias("n"))
+    bits = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — floor(log2), exact
+    scored = (
+        tok.join(cnt, "tok")
+        .crossJoin(F.broadcast(ntot))
+        .select("doc_id", (bits(F.col("n")) - bits(F.col("cnt"))).alias("s"))
+    )
+    avg = F.sum("s").cast("double") / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("s").alias("bits_total"),
+        avg.alias("avg_surprisal"),
+        (avg > 12.0).alias("rare_heavy"),
+    )
