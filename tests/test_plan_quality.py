@@ -213,3 +213,40 @@ def test_pq_adc_no_corpus_cartesian(plans):
     # broadcast — the corpus never cartesians
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_semantic_dedup_cell_equi_join(plans):
+    # pair enumeration must ride the cluster-cell equi-join (the whole
+    # point of SemDeDup pruning) — never a cartesian.  The only nested
+    # loops allowed are the k-means centroid broadcasts (k-row frames,
+    # always `BroadcastNestedLoopJoin BuildRight, Cross`); a corpus-
+    # sized theta-join BNLJ would show as Inner with a condition.
+    p = plans("dedup_semantic")
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    assert any(
+        j in p for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_random_projection_stateless_map(plans):
+    # JL projection is a pure per-row fold: no exchange of the corpus,
+    # no join, no aggregate anywhere in the plan.
+    p = plans("emb_random_projection")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+
+
+def test_surprisal_no_python_udf(plans):
+    # bit-length surprisal stays JVM-side end-to-end.
+    p = plans("text_surprisal_score")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_q9_broadcasts_all_dims(plans):
+    p = plans("q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in p
