@@ -858,3 +858,57 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(prods, F.lit(0).cast("long"), lambda a, p: a + p)
         )
     return q.select("vec_id", F.array(*cols).alias("proj"))
+
+
+def _recall_oracle() -> str:
+    from .registry import ORACLES
+
+    bf = ORACLES["ann_bruteforce_topk"]
+    lsh = ORACLES["ann_lsh_topk"]
+    return f"""
+    WITH bf AS ({bf}), lsh AS ({lsh})
+    SELECT bf.query_id,
+      CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@query("ann_recall_eval", oracle=_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@{k} of the LSH-bucketed index
+    against the brute-force ground truth, per query — the metric that
+    decides whether an approximate index is shippable.  Composes the
+    two registered operators (same DataFrames the standalone queries
+    return) and both sides of the oracle are the two REGISTERED oracle
+    strings CTE-composed, so the eval checks exactly what the operators
+    produce.
+
+    recall = hits / K is one double division of exact integers.
+
+    Scale shape: ground truth on the full corpus is only feasible for
+    a sampled query set (here the fixed {n} probe queries — which is
+    also how production recall monitoring works: sample, never
+    all-queries); the join is per-(query, neighbor) on two K-row-per-
+    query frames.
+    """.format(k=TOP_K, n=N_QUERIES)
+    from .registry import QUERIES
+
+    bf = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        QUERIES["ann_lsh_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(broadcast(lsh), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / TOP_K).alias("recall"),
+        )
+    )

@@ -571,3 +571,113 @@ def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_surprisal"),
         (avg > 12.0).alias("rare_heavy"),
     )
+
+
+_BM25_TERMS = ("spark", "vector", "customer")
+# k1=1.2, b=0.75 written as literal factors so both engines compile the
+# identical float-op chain: (tf*2.2) / (tf + 1.2*(0.25 + 0.75*((dl*N)/TT)))
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    score = (
+        "(CAST(tf AS DOUBLE) * 2.2) / "
+        "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+        "(CAST(dl * n_docs AS DOUBLE) / tt))) * "
+        "(CAST(n_docs + 1 AS DOUBLE) / (df + 1))"
+    )
+    parts = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), scal AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok) AS tt
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ({terms}) GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, {score} AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
+    ), agg AS (
+      SELECT doc_id, {parts} AS bm25 FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM agg
+    ) WHERE rk <= 20
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_oracle())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query-term
+    set — the full-text relevance primitive.  idf uses the same
+    rational surrogate as TF-IDF ((N+1)/(df+1), monotone in df, no
+    transcendentals); length normalization writes dl/avgdl as
+    (dl·N)/TT so the only float ops are a fixed chain of single IEEE
+    mul/div/add that both engines evaluate identically, and the 3-term
+    sum is a FIXED-ORDER coalesce chain (never an order-dependent
+    float aggregate).
+
+    Scale shape: the term filter drops the exploded stream to query-
+    term postings before any shuffle; df is a 3-row broadcast; doc
+    lengths are a per-doc hash agg joined on doc_id; top-20 is
+    TakeOrderedAndProject with the (score, doc_id) total order.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # both corpus scalars ride one broadcast 1-row frame — no driver
+    # action at plan-build time
+    scal = d.agg(F.count("*").alias("n_docs")).crossJoin(
+        tok.agg(F.count("*").cast("double").alias("tt"))
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfd = F.col("tf").cast("double")
+    score = (
+        (tfd * 2.2)
+        / (
+            tfd
+            + 1.2
+            * (
+                0.25
+                + 0.75
+                * ((F.col("dl") * F.col("n_docs")).cast("double") / F.col("tt"))
+            )
+        )
+        * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", "term", score.alias("s"))
+    )
+    parts = None
+    for t in _BM25_TERMS:
+        c = F.coalesce(F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0))
+        parts = c if parts is None else parts + c
+    agg = scored.groupBy("doc_id").agg(parts.alias("bm25"))
+    return (
+        agg.orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), "doc_id")
+            ).cast("bigint"),
+        )
+    )
