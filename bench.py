@@ -59,6 +59,12 @@ HEADLINE = [
     "dedup_chunk_overlap",
     "curation_keep_best",
     "events_retention_cohorts",
+    # late round-5 additions: trained semantic dedup, PQ, BM25, and one
+    # new TPC-H join-heavy shape
+    "dedup_semantic",
+    "ann_pq_adc_topk",
+    "text_bm25_search",
+    "q9_product_profit",
 ]
 
 
@@ -112,19 +118,29 @@ def main() -> int:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # Isolate queries from each other: drop any cached frames the
-        # previous query left behind so timings don't depend on
-        # HEADLINE ordering.
-        spark.catalog.clearCache()
-        t0 = time.time()
-        # One broken query must not zero the whole round's signal:
-        # report it under "errors" and keep timing the rest.
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        timings[name] = round(time.time() - t0, 3)
+        # Best-of-2 per query (same policy as tools/scale_probe.py):
+        # single-shot wall times on a shared box swing up to 5x on
+        # whichever query catches a GC pause or a contending process —
+        # round-to-round comparisons were drowning in that noise.  The
+        # min of two runs measures the plan, not the neighbor.
+        best = None
+        for _ in range(2):
+            # Isolate queries from each other: drop any cached frames
+            # the previous run left behind so timings don't depend on
+            # HEADLINE ordering.
+            spark.catalog.clearCache()
+            t0 = time.time()
+            # One broken query must not zero the whole round's signal:
+            # report it under "errors" and keep timing the rest.
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -341,3 +341,78 @@ def norm_outliers(
             "is_outlier"
         ),
     )
+
+
+def group_cosine_pairs(
+    df: DataFrame,
+    group_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-group cosine-threshold pairs (group, id_a < id_b,
+    cosine) — the scoring stage behind cluster-pruned dedup
+    (SemDeDup): candidates are ONLY pairs sharing ``group_col``.
+
+    Same cogrouped-Arrow shape as ``cosine_threshold_pairs``, keyed by
+    the caller's group instead of synthetic blocks: each task receives
+    one group's rows once (never a materialized pair table) and scores
+    all pairs vectorized with the dim-major accumulation loop — the
+    exact same IEEE double ops in the same order as the element-order
+    ``aggregate`` fold, so cosines are BIT-IDENTICAL to the expression
+    path and the SQL oracle.
+
+    Zero-norm vectors are dropped up front (NaN-cosine pairs match
+    nothing — same rule as cosine_threshold_pairs).  At 100 TB the
+    per-task memory is the largest group; if a group outgrows one
+    executor, sub-block it with cosine_threshold_pairs inside the
+    group — the cluster count should grow with the corpus anyway.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        V.norm(vec_col).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+
+    g_type = df.schema[group_col].dataType
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("g", g_type),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"g": [], "id_a": [], "id_b": [], "cosine": []}
+            )
+        a = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+        acc = np.zeros((a.shape[0], a.shape[0]))
+        for d in range(a.shape[1]):
+            acc += np.multiply.outer(a[:, d], a[:, d])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        cosm = acc / np.multiply.outer(nrm, nrm)
+        ids = pdf["id"].to_numpy()
+        keep = (cosm >= thr) & np.less.outer(ids, ids)
+        li, ri = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "g": np.repeat(key[0], len(li)),
+                "id_a": ids[li],
+                "id_b": ids[ri],
+                "cosine": cosm[li, ri],
+            }
+        )
+
+    return base.groupBy("g").applyInPandas(score, out_schema)

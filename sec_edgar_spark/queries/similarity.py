@@ -740,47 +740,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the operator claims.
 
     Scale shape: training broadcasts the k-row centroid frame per
-    iteration; the pair join is a cell-keyed equi-join (AQE handles
-    skewed cells); zero-norm vectors are filtered on both sides (the
-    round-5 NaN-ordering rule).
+    iteration; pair scoring is the cell-keyed cogrouped-Arrow scorer
+    (operators/similarity.group_cosine_pairs) — each task gets one
+    cell's rows once and scores vectorized, with the dim-major loop
+    that is bit-identical to the oracle's element-order fold; zero-
+    norm vectors are dropped up front (the round-5 NaN-ordering rule).
     """
     from ..operators.kmeans import kmeans_fit_assign
+    from ..operators.similarity import group_cosine_pairs
 
     e = table(spark, sf_dir, "embeddings")
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
-    keyed = (
-        e.join(assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id")
-        .select(
-            "vec_id", "embedding", V.norm("embedding").alias("nrm"), "cell"
-        )
-        .filter(F.col("nrm") > 0)
+    keyed = e.join(
+        assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
+    ).select("vec_id", "embedding", "cell")
+    pairs = group_cosine_pairs(
+        keyed, group_col="cell", threshold=0.45,
+        id_col="vec_id", vec_col="embedding",
     )
-    a = keyed.select(
-        F.col("cell").alias("cell"),
-        F.col("vec_id").alias("keep_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = keyed.select(
-        F.col("cell").alias("b_cell"),
-        F.col("vec_id").alias("drop_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("cell") == F.col("b_cell"))
-            & (F.col("keep_id") < F.col("drop_id")),
-        )
-        .select(
-            "cell",
-            "keep_id",
-            "drop_id",
-            (V.dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm")))
-            .alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.45)
+    return pairs.select(
+        F.col("g").alias("cell"),
+        F.col("id_a").alias("keep_id"),
+        F.col("id_b").alias("drop_id"),
+        "cosine",
     )
 
 
