@@ -555,3 +555,56 @@ def events_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("p99"))
         .select("event_type", "event_id", "value", "p99")
     )
+
+
+@query(
+    "events_sliding_daily",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([CAST(date_trunc('day', ts) AS DATE) - 1,
+                     CAST(date_trunc('day', ts) AS DATE)]) AS win_start,
+             event_type, user_id, value
+      FROM events
+    )
+    SELECT win_start, win_start + 2 AS win_end, event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate: 2-day windows advancing by
+    1 day — every event lands in exactly two windows, giving each day
+    a trailing 48h view (the moving-traffic shape; batch twin of
+    streaming/sliding_stream.py, which runs the SAME window spec
+    incrementally with a watermark).
+
+    Spark's built-in ``F.window(ts, '2 days', '1 day')`` expands the
+    event to its member windows JVM-side (WindowExec not needed — it's
+    a generator + hash agg); the oracle replays the expansion as a
+    2-element unnest.  Window origin is the epoch, so starts align to
+    midnight exactly like ``date_trunc('day', ...)``.
+
+    Scale shape: one explode(×2) → one hash agg keyed on
+    (window, event_type); map-side partial aggregation halves the
+    doubled stream before the shuffle.  No per-key state beyond the
+    agg — contrast with a self-join formulation, which would shuffle
+    the fact twice.
+    """
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.window("ts", "2 days", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+    )
+    return agg.select(
+        F.col("w.start").cast("date").alias("win_start"),
+        F.col("w.end").cast("date").alias("win_end"),
+        "event_type",
+        "n_events",
+        "n_users",
+        "total_value",
+    )

@@ -735,3 +735,69 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "profile_lineitem",
+    oracle="""
+    WITH wide AS (
+      SELECT COUNT(*) AS n_rows,
+        COUNT(l_orderkey) AS ok_nn, COUNT(DISTINCT l_orderkey) AS ok_nd,
+        CAST(MIN(l_orderkey) AS VARCHAR) AS ok_min,
+        CAST(MAX(l_orderkey) AS VARCHAR) AS ok_max,
+        COUNT(l_quantity) AS q_nn, COUNT(DISTINCT l_quantity) AS q_nd,
+        CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS q_min,
+        CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS q_max,
+        COUNT(l_extendedprice) AS p_nn, COUNT(DISTINCT l_extendedprice) AS p_nd,
+        CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_min,
+        CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_max,
+        COUNT(l_returnflag) AS rf_nn, COUNT(DISTINCT l_returnflag) AS rf_nd,
+        MIN(l_returnflag) AS rf_min, MAX(l_returnflag) AS rf_max,
+        COUNT(l_linestatus) AS ls_nn, COUNT(DISTINCT l_linestatus) AS ls_nd,
+        MIN(l_linestatus) AS ls_min, MAX(l_linestatus) AS ls_max,
+        COUNT(l_shipdate) AS sd_nn, COUNT(DISTINCT l_shipdate) AS sd_nd,
+        strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS sd_min,
+        strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS sd_max
+      FROM lineitem
+    ), melted AS (
+      SELECT 'l_orderkey' AS "column", 'int' AS kind, n_rows,
+             ok_nn AS n_nonnull, ok_nd AS n_distinct,
+             ok_min AS min_repr, ok_max AS max_repr FROM wide
+      UNION ALL SELECT 'l_quantity', 'num', n_rows, q_nn, q_nd,
+             q_min, q_max FROM wide
+      UNION ALL SELECT 'l_extendedprice', 'num', n_rows, p_nn, p_nd,
+             p_min, p_max FROM wide
+      UNION ALL SELECT 'l_returnflag', 'str', n_rows, rf_nn, rf_nd,
+             rf_min, rf_max FROM wide
+      UNION ALL SELECT 'l_linestatus', 'str', n_rows, ls_nn, ls_nd,
+             ls_min, ls_max FROM wide
+      UNION ALL SELECT 'l_shipdate', 'ts', n_rows, sd_nn, sd_nd,
+             sd_min, sd_max FROM wide
+    )
+    SELECT "column", kind, n_rows, n_nonnull, n_distinct,
+      min_repr, max_repr,
+      CAST(n_nonnull AS DOUBLE) / n_rows AS completeness
+    FROM melted
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality profile of the fact table: per-column
+    completeness, exact distinct counts, canonical-string min/max — the
+    "analyze table" surface — in ONE pass (operators/profile.py; the
+    six distinct-aggs compile to a single Expand + HashAggregate, and
+    the melt to long form touches a 1-row frame).  Canonical strings +
+    a single double division keep the output driver-hash stable."""
+    from ..operators.profile import ColumnSpec, profile_columns
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        [
+            ColumnSpec("l_orderkey", "int"),
+            ColumnSpec("l_quantity", "num"),
+            ColumnSpec("l_extendedprice", "num"),
+            ColumnSpec("l_returnflag", "str"),
+            ColumnSpec("l_linestatus", "str"),
+            ColumnSpec("l_shipdate", "ts"),
+        ],
+    )

@@ -681,3 +681,196 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS} AS a FROM documents
+    ), tok AS (
+      SELECT unnest(a) AS tok FROM t
+    ), uni AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), ntot AS (
+      SELECT COUNT(*) AS n FROM tok
+    ), big AS (
+      SELECT unnest(list_slice(a, 1, len(a) - 1)) AS w1,
+             unnest(list_slice(a, 2, len(a))) AS w2
+      FROM t WHERE len(a) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY w1, w2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT bc.w1 || ' ' || bc.w2 AS bigram,
+      bc.n_pair, u1.c AS c_w1, u2.c AS c_w2,
+      CAST(bc.n_pair * ntot.n AS DOUBLE) / (u1.c * u2.c) AS lift
+    FROM bc JOIN uni u1 ON bc.w1 = u1.tok
+            JOIN uni u2 ON bc.w2 = u2.tok
+            CROSS JOIN ntot
+    ORDER BY lift DESC, bigram LIMIT 100
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 adjacent token pairs by PMI-style
+    lift — observed bigram count over its expectation under unigram
+    independence, lift = n_pair * N / (c_w1 * c_w2).  The standard
+    first step of phrase/compound-term induction over a pretraining
+    corpus (word2vec-style phrase merging).
+
+    Engine-exact: the score is ONE double division of two exact int64
+    products (n_pair*N ≤ ~2e17 at SF100, c_w1*c_w2 ≤ ~1e16 — both in
+    range), the same determinism rule as TF-IDF's rational idf; no
+    transcendental log whose partial sums could differ between
+    engines.  The min-count-5 support filter and the (lift, bigram)
+    total order make the top-100 set unique.
+
+    Scale shape: bigrams assemble per row (two slices + zip_with, zero
+    shuffle) and explode into ONE (w1,w2) hash agg; the support filter
+    prunes the pair space before the two vocab joins (AQE broadcasts
+    the unigram side when it fits); top-100 is a TakeOrdered, never a
+    global sort materialization.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("a"))
+    tok = toks.select(F.explode("a").alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    ntot = tok.agg(F.count("*").alias("n"))
+    n = F.size("a")
+    big = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("a", 1, n - 1),
+                    F.slice("a", 2, n - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_w2"))
+    lift = (F.col("n_pair") * F.col("n")).cast("double") / (
+        F.col("c_w1") * F.col("c_w2")
+    )
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "n_pair",
+            "c_w1",
+            "c_w2",
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(100)
+    )
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ), maxid AS (
+      SELECT MAX(doc_id) AS maxid FROM documents
+    ), occ AS (
+      SELECT (t.doc_id * 10) // (maxid + 1) + 1 AS bucket
+      FROM t CROSS JOIN maxid
+    ), firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok
+    ), nv AS (
+      SELECT (first_doc * 10) // (maxid + 1) + 1 AS bucket,
+             COUNT(*) AS new_vocab
+      FROM firsts CROSS JOIN maxid GROUP BY 1
+    ), nt AS (
+      SELECT bucket, COUNT(*) AS n_tokens FROM occ GROUP BY bucket
+    ), spine AS (
+      SELECT unnest(generate_series(1, 10)) AS bucket
+    ), joined AS (
+      SELECT s.bucket,
+        COALESCE(nt.n_tokens, 0) AS n_tokens,
+        COALESCE(nv.new_vocab, 0) AS new_vocab
+      FROM spine s LEFT JOIN nt USING (bucket) LEFT JOIN nv USING (bucket)
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n_tokens, new_vocab,
+      CAST(SUM(n_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) AS cum_tokens,
+      CAST(SUM(new_vocab) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) AS cum_vocab,
+      CAST(SUM(new_vocab) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+           AS DOUBLE)
+        / SUM(n_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        AS type_token_ratio
+    FROM joined
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: split the corpus into 10
+    equal doc-id slices and report, per cumulative prefix, total token
+    volume, newly-seen vocabulary (tokens whose FIRST occurrence falls
+    in the slice) and the running type/token ratio.  The standard
+    diagnostic for corpus diversity / dedup effectiveness — a
+    boilerplate-heavy crawl flattens the curve early.
+
+    Engine-exact: bucket assignment is pure integer math
+    ((id*10) div (maxid+1) + 1 — Spark ``div`` == DuckDB ``//``), the
+    ratio is one double division of exact int64 running sums.
+
+    Scale shape: one token explode feeding TWO hash aggs — per-bucket
+    occurrence counts, and a vocab-sized min(doc_id) agg (map-side
+    partial mins make this a combiner-friendly shuffle) — then all
+    window work happens on a 10-row spine.  Nothing downstream of the
+    aggs scales with the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    maxid = d.agg(F.max("doc_id").alias("maxid"))
+
+    def bucket(col: str):
+        return F.expr(f"({col} * 10) div (maxid + 1) + 1").alias("bucket")
+
+    nt = (
+        tok.crossJoin(F.broadcast(maxid))
+        .select(bucket("doc_id"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    nv = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(maxid))
+        .select(bucket("first_doc"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("bucket"))
+    joined = (
+        spine.join(nt, "bucket", "left")
+        .join(nv, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum_t = F.sum("n_tokens").over(w)
+    cum_v = F.sum("new_vocab").over(w)
+    return joined.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_tokens",
+        "new_vocab",
+        cum_t.alias("cum_tokens"),
+        cum_v.alias("cum_vocab"),
+        (cum_v.cast("double") / cum_t).alias("type_token_ratio"),
+    )

@@ -250,3 +250,32 @@ def test_q9_broadcasts_all_dims(plans):
     p = plans("q9_product_profit")
     assert p.count("BroadcastHashJoin") >= 3  # part, supplier, nation
     assert "CartesianProduct" not in p
+
+
+def test_bigram_pmi_no_cartesian_take_ordered(plans):
+    # bigrams assemble per row (slices + zip_with — no join); the two
+    # vocab joins are equi-joins and top-100 is a TakeOrdered, never a
+    # global sort materialization of the pair table
+    p = plans("text_bigram_pmi")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_vocab_growth_two_aggs_tiny_window(plans):
+    # the corpus feeds exactly two hash aggs (per-bucket occurrence
+    # counts + vocab min(doc_id)); the window runs on the 10-row spine
+    p = plans("text_vocab_growth")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # maxid joins in as a broadcast scalar, never a shuffle
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_sliding_daily_single_agg_no_self_join(plans):
+    # the 2-day/1-day hop expands via the window generator into ONE
+    # hash agg — a self-join formulation would scan events twice
+    p = plans("events_sliding_daily")
+    assert p.count("events.parquet") == 1
+    assert "Join" not in p
+    assert "HashAggregate" in p
