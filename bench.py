@@ -65,6 +65,11 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "text_bm25_search",
     "q9_product_profit",
+    "text_bigram_pmi",
+    "text_vocab_growth",
+    "events_sliding_daily",
+    "profile_lineitem",
+    "text_ngram_novelty",
 ]
 
 

@@ -68,19 +68,22 @@ def bpe_token_count(c: Column | str) -> Column:
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>, space-joined, distinct).
 
-    Built with sequence+transform over the token array — stays in
-    codegen, no explode/shuffle needed to *form* shingles.
+    Built with sequence+transform over the token array — no
+    explode/shuffle needed to *form* shingles.  The lambda body is ONE
+    slice + ONE array_join per shingle: higher-order lambdas evaluate
+    interpreted (not codegen), so the earlier n-way
+    ``concat_ws(element_at × n)`` body cost n interpreted calls per
+    shingle and measured 6× slower at n=8 on sf0.1 (17.9s → 2.9s for
+    the form+agg stage).  A posexplode + window-lead formation is ~3×
+    faster still locally but shuffles the whole token stream by doc —
+    the wrong trade at 100 TB; this stays zero-shuffle.
     """
     toks = tokens(c)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(1), count)
-
-    def make(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
-        )
-
-    return F.array_distinct(F.transform(idx, make))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
 
 
 def minhash_values(shingle_col: Column, num_hashes: int) -> list[Column]:

@@ -874,3 +874,70 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_v.alias("cum_vocab"),
         (cum_v.cast("double") / cum_t).alias("type_token_ratio"),
     )
+
+
+_SHINGLE8 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 7, 0) + 1), i -> "
+    + " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
+    + "))"
+)
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLE8}) AS sh
+      FROM tokd WHERE len(toks) >= 8
+    ), firsts AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+      COUNT(*) AS n_shingles,
+      CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel,
+      CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh s JOIN firsts f USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 8-gram shingles whose FIRST corpus occurrence (by doc_id
+    order) is this document — the doc-granularity memorization /
+    freshness signal (a near-copy of earlier material scores ~0, novel
+    text ~1).  The deduplicating-training-data diagnostic at document
+    grain, complementing the corpus-level vocab-growth curve.
+
+    Engine-exact: novelty is one double division of two exact longs;
+    "first occurrence" is an integer min over doc_id — no floats
+    anywhere upstream.
+
+    Scale shape: shingles assemble per row in codegen (sequence +
+    transform + array_distinct — zero shuffle), explode into a
+    shingle-keyed min(doc_id) agg (map-side partial mins), then join
+    back and re-agg per doc.  Two shuffles total, both on natural
+    keys; the shingle dictionary never broadcasts and nothing is
+    quadratic.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.filter(T.token_count("text") >= 8).select(
+        "doc_id", F.explode(T.shingles("text", 8)).alias("sh")
+    )
+    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

@@ -279,3 +279,13 @@ def test_sliding_daily_single_agg_no_self_join(plans):
     assert p.count("events.parquet") == 1
     assert "Join" not in p
     assert "HashAggregate" in p
+
+
+def test_ngram_novelty_no_python_no_cartesian(plans):
+    # shingles form per row in a single higher-order transform (the
+    # slice+array_join body — see functions/text.shingles); identity
+    # resolution is a shingle-keyed min agg + equi-join back
+    p = plans("text_ngram_novelty")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
