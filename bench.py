@@ -70,6 +70,7 @@ HEADLINE = [
     "events_sliding_daily",
     "profile_lineitem",
     "text_ngram_novelty",
+    "ml_cluster_quality",
 ]
 
 

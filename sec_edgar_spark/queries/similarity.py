@@ -894,3 +894,124 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+@query(
+    "ml_cluster_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))
+          AS qv
+      FROM embeddings
+    ), per_pos AS (
+      SELECT label, i.i AS pos, SUM(qv[i.i]) AS s, COUNT(*) AS n
+      FROM q, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) i(i)
+      GROUP BY label, i.i
+    ), cent AS (
+      SELECT label, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+      FROM per_pos GROUP BY label
+    ), intra AS (
+      SELECT q.label, COUNT(*) AS n_vectors,
+        SUM(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+            j -> (qv[j] - cv[j]) * (qv[j] - cv[j])))) AS sum_sq
+      FROM q JOIN cent USING (label) GROUP BY q.label
+    ), inter AS (
+      SELECT a.label,
+        MIN(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+            j -> (a.cv[j] - b.cv[j]) * (a.cv[j] - b.cv[j]))))
+          AS min_inter_sq
+      FROM cent a JOIN cent b ON a.label <> b.label GROUP BY a.label
+    )
+    SELECT i.label, i.n_vectors,
+      CAST(i.sum_sq AS DOUBLE) / i.n_vectors AS intra_mean_sq,
+      CAST(e.min_inter_sq AS BIGINT) AS min_inter_sq,
+      CASE WHEN i.sum_sq > 0 THEN
+        CAST(e.min_inter_sq AS DOUBLE)
+          / (CAST(i.sum_sq AS DOUBLE) / i.n_vectors)
+      END AS separation
+    FROM intra i JOIN inter e USING (label)
+    """,
+)
+def ml_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation over the labeled embeddings: per
+    label, the mean squared distance to the label's own centroid
+    (cohesion) and the squared distance to the nearest OTHER centroid
+    (separation) — a Dunn-index-style diagnostic for embedding spaces
+    and k-means fits, computed WITHOUT any pairwise vector join.
+
+    Engine-exact (operators/kmeans.py conventions): vectors quantize
+    to the 2^20 integer grid, centroids are per-dim integer means
+    (``s div n`` == DuckDB ``//``), squared distances are exact int64
+    (≤ ~2.8e14 per vector at |x|<1, dim 64); the per-label distance
+    sum accumulates in DECIMAL(38,0) (order-free, and immune to the
+    int64 overflow a raw long SUM would hit past ~30k vectors/label at
+    worst-case spread — DuckDB's HUGEINT sum matches exactly).  Only
+    the final mean/ratio convert to double, one division each.
+
+    Scale shape: one posexplode → (label, pos) partial-agg builds the
+    centroids (map-combinable); the corpus then joins the k-row
+    centroid frame by BROADCAST for the cohesion pass (never
+    shuffles); inter-centroid distances are a k×k broadcast self-join
+    of the tiny centroid frame.  Nothing is quadratic in vectors.
+    """
+    from ..operators.kmeans import quantize_vectors
+
+    e = table(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").join(
+        e.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    per_pos = (
+        q.select("label", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    cent = (
+        per_pos.select("label", "pos", F.expr("s div n").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st.getField("m"),
+            ).alias("cv")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    intra = (
+        q.join(broadcast(cent), "label")
+        .select("label", d2.cast("decimal(38,0)").alias("d2"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), F.sum("d2").alias("sum_sq"))
+    )
+    a = cent.select(F.col("label").alias("la"), F.col("cv").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), F.col("cv").alias("cb"))
+    cd2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    inter = (
+        a.join(broadcast(b), F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("label"), cd2.alias("cd2"))
+        .groupBy("label")
+        .agg(F.min("cd2").alias("min_inter_sq"))
+    )
+    mean_sq = F.col("sum_sq").cast("double") / F.col("n_vectors")
+    return (
+        intra.join(inter, "label")
+        .select(
+            "label",
+            "n_vectors",
+            mean_sq.alias("intra_mean_sq"),
+            "min_inter_sq",
+            F.when(
+                F.col("sum_sq") > 0,
+                F.col("min_inter_sq").cast("double") / mean_sq,
+            ).alias("separation"),
+        )
+    )

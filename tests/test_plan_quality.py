@@ -289,3 +289,12 @@ def test_ngram_novelty_no_python_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_cluster_quality_broadcast_no_pairwise(plans):
+    # cohesion pass joins the k-row centroid frame by broadcast; the
+    # only theta join is the k×k centroid self-join — the corpus never
+    # pairs with itself
+    p = plans("ml_cluster_quality")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
