@@ -517,3 +517,72 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .select("doc_id", "component", "n_tokens", (F.col("rn") == 1).alias("keep"))
     )
+
+
+def _triangle_oracle() -> str:
+    from .registry import ORACLES
+
+    lsh = ORACLES["dedup_minhash_lsh_pairs"]
+    return f"""
+    WITH pairs AS ({lsh}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    ), nodes AS (
+      SELECT unnest([a, b, c]) AS doc_id FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY doc_id
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the verified near-duplicate pair
+    graph — the classic distributed-graph operator (cluster-density /
+    community-cohesion signal: a doc in many triangles sits in a tight
+    copy cluster, a bridge doc in none).  Composes the REGISTERED
+    LSH-pairs operator, so the oracle replays the exact same edge set
+    via the registered oracle string CTE-composed (the
+    ``ann_recall_eval`` pattern).
+
+    Algorithm: edges arrive canonically ordered (a < b from the dedup
+    operator), so each triangle {{a<b<c}} is enumerated exactly once:
+    wedge join (a,b)⋈(b,c) on the shared middle vertex, then a
+    LEFT SEMI join closes the (a,c) side.  Per-node counts explode the
+    3 corners into one hash agg.
+
+    Scale shape: both joins are equi-joins on vertex keys; wedge
+    fan-out is bounded by per-node degree, which the dedup candidate
+    generator already caps (df-capped posting lists), so no quadratic
+    blowup.  At true graph scale the standard refinement — orient
+    edges by (degree, id) instead of raw id — bounds fan-out by
+    max OUT-degree; with the dedup graph's capped degrees the id
+    orientation is already within that bound.
+    """
+    from .registry import QUERIES
+
+    e = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = w.join(
+        e.select(F.col("a"), F.col("b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -298,3 +298,11 @@ def test_cluster_quality_broadcast_no_pairwise(plans):
     p = plans("ml_cluster_quality")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_triangle_count_equi_joins_only(plans):
+    # wedge + closure are equi/semi joins on vertex keys — no
+    # cartesian anywhere in the composed LSH + triangle plan
+    p = plans("graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
