@@ -608,3 +608,97 @@ def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "total_value",
     )
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the daily rollup computed as
+    MERGE(state, delta) — a frozen partial-aggregate state (days ≤ 15)
+    unioned with the new arrivals' partial aggregate (days > 15) and
+    re-aggregated with the merge functions (sum-of-counts,
+    sum-of-sums, min-of-mins, max-of-maxes).  The oracle computes the
+    rollup DIRECTLY over all rows, so the gate proves the incremental
+    merge is exactly equivalent to full recomputation — the invariant
+    every incremental pipeline depends on.
+
+    All merged measures are algebraic (count/sum/min/max merge
+    losslessly; the decimal sum keeps money exact through both
+    levels).  AVG-style measures must merge from (sum, count) pairs,
+    never from averages — which is why the state carries sums.
+
+    Scale shape: at 100 TB the state side is a tiny pre-aggregated
+    table (one row per (day, type)) and only the delta scans raw
+    events — the re-agg shuffles |state| + |delta-groups| rows, not
+    the fact.  Here both sides derive from the same scan to keep the
+    query self-contained; Spark plans the two branches as one shuffle
+    each of already-partial rows.
+    """
+    e = table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"))).alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    state = partial(e.filter(F.dayofmonth("ts") <= 15))
+    delta = partial(e.filter(F.dayofmonth("ts") > 15))
+    return (
+        state.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "events_json_variant",
+    oracle="""
+    SELECT event_type,
+      COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4):
+    ``parse_json`` shreds the props payload once into the binary
+    variant encoding, ``variant_get`` then extracts typed paths
+    without re-parsing — the engine-native semi-structured path that
+    replaces per-access ``get_json_object`` string parsing (the
+    events_json_props twin shows the classic route; on a wide
+    multi-access workload variant parses once instead of N times).
+    The oracle reads the same paths with DuckDB's JSON extraction.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
