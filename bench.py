@@ -71,6 +71,8 @@ HEADLINE = [
     "profile_lineitem",
     "text_ngram_novelty",
     "ml_cluster_quality",
+    "text_phrase_merge",
+    "events_incremental_rollup",
 ]
 
 

@@ -941,3 +941,136 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+_PHRASE_ITERS = 3
+
+
+def _phrase_merge_oracle() -> str:
+    toklen = "len(list_filter(string_split(trim({s}), ' '), x -> x <> ''))"
+    parts = [
+        f"d0 AS (SELECT doc_id, ' ' || array_to_string({_TOKENS}, ' ') || ' ' AS s FROM documents)"
+    ]
+    stats = []
+    for i in range(1, _PHRASE_ITERS + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f"""t{i} AS (
+              SELECT list_filter(string_split(trim(s), ' '), x -> x <> '') AS a
+              FROM {prev})"""
+        )
+        parts.append(
+            f"""c{i} AS (
+              SELECT w1, w2, COUNT(*) AS c FROM (
+                SELECT unnest(list_slice(a, 1, len(a) - 1)) AS w1,
+                       unnest(list_slice(a, 2, len(a))) AS w2
+                FROM t{i} WHERE len(a) >= 2)
+              GROUP BY w1, w2)"""
+        )
+        parts.append(
+            f"top{i} AS (SELECT w1, w2, c FROM c{i} ORDER BY c DESC, w1, w2 LIMIT 1)"
+        )
+        parts.append(
+            f"""d{i} AS (
+              SELECT doc_id,
+                replace(s, ' ' || w1 || ' ' || w2 || ' ',
+                           ' ' || w1 || '_' || w2 || ' ') AS s
+              FROM {prev} CROSS JOIN top{i})"""
+        )
+        stats.append(
+            f"""SELECT {i} AS iteration, w1, w2, CAST(c AS BIGINT) AS pair_count,
+              CAST((SELECT SUM({toklen.format(s='s')}) FROM {prev})
+                 - (SELECT SUM({toklen.format(s='s')}) FROM d{i}) AS BIGINT)
+                AS n_merged
+            FROM top{i}"""
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(stats)
+
+
+@query("text_phrase_merge", oracle=_phrase_merge_oracle())
+def text_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative phrase induction (word2phrase / word-level-BPE shape):
+    3 data-dependent rounds of "count adjacent pairs → pick the most
+    frequent (count desc, w1, w2 tie-break) → merge its occurrences
+    corpus-wide into a single token", reporting per round the learned
+    pair, its pre-merge count, and the merges actually performed.
+    THE canonical iterative-training loop a tokenizer pipeline runs —
+    each round's statistics depend on the previous round's rewrite.
+
+    Engine-exact merge trick: docs render once as space-padded strings
+    and each round's rewrite is ONE literal ``replace(' w1 w2 ', '
+    w1_w2 ')`` — Spark's and DuckDB's replace share left-to-right
+    non-overlapping scan semantics EXACTLY, including the quirk that
+    consecutive occurrences share a delimiter space so ``x y x y``
+    merges once (verified both engines char-identical on the overlap
+    cases) — which is why ``n_merged`` can differ from ``pair_count``
+    and is reported separately.  Both engines replay the identical
+    3-round trajectory; every number is an exact integer.
+
+    Scale shape: each round is a bigram hash agg + a 1-row broadcast
+    (the learned pair) + a codegen'd map over the corpus — the same
+    shapes as text_bigram_pmi, run ``k`` times.  Lineage grows
+    linearly with rounds; a production run persists/checkpoints the
+    rewritten corpus between rounds instead of recomputing the chain
+    (documented, not needed at gate scale).
+    """
+    d = table(spark, sf_dir, "documents")
+    cur = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), F.array_join(T.tokens("text"), " "), F.lit(" ")
+        ).alias("s"),
+    )
+
+    def toks_of(c):
+        return F.filter(F.split(F.trim(c), " "), lambda x: x != "")
+
+    stats = []
+    for i in range(1, _PHRASE_ITERS + 1):
+        a = toks_of(F.col("s"))
+        n = F.size(a)
+        pairs = (
+            cur.select(a.alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("a", 1, F.size("a") - 1),
+                        F.slice("a", 2, F.size("a") - 1),
+                        lambda x, y: F.struct(
+                            x.alias("w1"), y.alias("w2")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.w1", "p.w2")
+            .agg(F.count("*").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "w1", "w2").limit(1)
+        nb = cur.agg(F.sum(n).alias("nb"))
+        nxt = cur.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            F.replace(
+                "s",
+                F.concat(F.lit(" "), "w1", F.lit(" "), "w2", F.lit(" ")),
+                F.concat(F.lit(" "), "w1", F.lit("_"), "w2", F.lit(" ")),
+            ).alias("s"),
+        )
+        na = nxt.agg(F.sum(F.size(toks_of(F.col("s")))).alias("na"))
+        stats.append(
+            top.crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(na))
+            .select(
+                F.lit(i).alias("iteration"),
+                "w1",
+                "w2",
+                F.col("c").cast("bigint").alias("pair_count"),
+                (F.col("nb") - F.col("na")).cast("bigint").alias("n_merged"),
+            )
+        )
+        cur = nxt
+
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

@@ -306,3 +306,14 @@ def test_triangle_count_equi_joins_only(plans):
     p = plans("graph_triangle_count")
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
+
+
+def test_phrase_merge_broadcast_pair_no_cartesian_blowup(plans):
+    # each round's learned pair joins as a 1-row broadcast (Cross BNLJ
+    # on a broadcast single row is fine); the corpus never cartesians
+    # with anything its own size
+    p = plans("text_phrase_merge")
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
