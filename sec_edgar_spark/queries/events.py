@@ -702,3 +702,68 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+        abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+      0.6745 * d.adev / m.mad AS modified_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND 0.6745 * d.adev / m.mad > 3.5
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via the modified z-score (Iglewicz-Hoban):
+    0.6745·|x − median| / MAD > 3.5 — unlike the p99 screen, median and
+    MAD are unmoved by the outliers themselves, so a burst of bad
+    values can't mask itself.  A TWO-LEVEL dependent aggregation: the
+    per-group median feeds the deviation column whose own per-group
+    median (the MAD) feeds the final filter.
+
+    Engine-exact: both engines interpolate continuous percentiles
+    identically (parity established by agg_percentiles); the z-score
+    is a fixed-order float expression over those shared values.
+    Groups with MAD = 0 are excluded rather than divided by zero.
+
+    Scale shape: two tiny per-group aggregates, each broadcast back
+    over the events scan — two passes over the fact, zero windows,
+    zero sorts of the full data (the same broadcast-back pattern as
+    events_p99_outliers, applied twice in sequence).  Exact
+    percentiles buffer per group; at 100 TB swap approx_percentile
+    into both levels (mergeable sketch, no cross-engine oracle).
+    """
+    from pyspark.sql.functions import broadcast
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = F.lit(0.6745) * F.col("adev") / F.col("mad")
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (z > 3.5))
+        .select(
+            "event_id", "event_type", "value", "med", "mad",
+            z.alias("modified_z"),
+        )
+    )

@@ -317,3 +317,12 @@ def test_phrase_merge_broadcast_pair_no_cartesian_blowup(plans):
     for line in p.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
+
+
+def test_mad_outliers_broadcast_back_no_window(plans):
+    # both aggregate levels broadcast back over the events scan — no
+    # window sort of the fact, no cartesian
+    p = plans("events_mad_outliers")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
