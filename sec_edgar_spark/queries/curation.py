@@ -435,3 +435,75 @@ def curation_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quota), "lang").filter(
         F.col("sample_rank") <= F.col("k")
     ).select("doc_id", "lang", "sample_rank")
+
+
+@query(
+    "curation_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS h
+      FROM documents WHERE doc_id % 11 <> 0
+    ), curr AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 0
+    ), st AS (
+      SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+        CASE WHEN p.doc_id IS NULL THEN 'added'
+             WHEN c.doc_id IS NULL THEN 'removed'
+             WHEN p.h <> c.h THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM curr c FULL OUTER JOIN prev p USING (doc_id)
+    )
+    SELECT status, COUNT(*) AS n_docs,
+      MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM st GROUP BY status
+    """,
+)
+def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive: compare
+    two corpus versions by content hash and classify every doc as
+    added / removed / changed / unchanged (what an incremental
+    retraining pipeline consumes to reprocess only the delta).  The
+    two snapshots derive deterministically from the same table (prev
+    drops every 11th doc = later additions, curr drops every 13th =
+    deletions, every 7th doc's prev text is perturbed = changes), so
+    both engines replay the identical diff and all four statuses
+    appear.
+
+    Scale shape: one md5 per doc per side, a FULL OUTER equi-join on
+    the id, and a 4-group rollup — content hashing makes the compare
+    O(|docs|) bytes instead of shipping text twice, and the join is
+    the only shuffle.  At 100 TB the hashes live in the snapshot
+    manifests, so the diff never touches raw text at all.
+    """
+    d = table(spark, sf_dir, "documents")
+    curr = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    prev = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v1")),
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    c = curr.alias("c")
+    p = prev.alias("p")
+    st = c.join(p, F.col("c.doc_id") == F.col("p.doc_id"), "full_outer").select(
+        F.coalesce(F.col("c.doc_id"), F.col("p.doc_id")).alias("doc_id"),
+        F.when(F.col("p.doc_id").isNull(), "added")
+        .when(F.col("c.doc_id").isNull(), "removed")
+        .when(F.col("p.h") != F.col("c.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return st.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
