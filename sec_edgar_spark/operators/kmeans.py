@@ -62,15 +62,28 @@ def lloyd_fit(q: DataFrame, k: int, n_iter: int) -> DataFrame:
     )
     for _ in range(n_iter):
         # Assignment inline (not assign_cells + re-join) so qv rides
-        # along through the argmin window — one shuffle, not two.
+        # along through the argmin — one shuffle, not two.  The argmin
+        # is min(struct(d2, cell)): struct ordering is lexicographic,
+        # so this is exactly "nearest, ties to lowest cell id" as a
+        # map-combinable hash agg — no per-id window sort of the
+        # corpus×k pair stream.  Locally the two are comparable (these
+        # trainers are plan-analysis-bound at test scale); at cluster
+        # scale the agg partial-combines map-side while the window
+        # must shuffle AND sort all corpus×k rows.  qv is constant
+        # within an id group, so first(qv) is value-deterministic.
         pairs = q.crossJoin(broadcast(cents))
-        w = Window.partitionBy("id").orderBy(
-            _sqdist(F.col("qv"), F.col("cv")), "cell"
-        )
         assigned = (
-            pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("id", "qv", "cell")
+            pairs.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sqdist(F.col("qv"), F.col("cv")).alias("d"),
+                        F.col("cell").alias("cell"),
+                    )
+                ).alias("m"),
+                F.first("qv").alias("qv"),
+            )
+            .select("id", "qv", F.col("m.cell").alias("cell"))
         )
         per_pos = assigned.select(
             "cell", F.posexplode("qv").alias("pos", "x")
@@ -94,13 +107,22 @@ def lloyd_fit(q: DataFrame, k: int, n_iter: int) -> DataFrame:
 
 def assign_cells(q: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment ``(id, cell)`` — integer argmin,
-    ties to the lowest cell id; centroids broadcast."""
+    ties to the lowest cell id; centroids broadcast.  Argmin via
+    min(struct(d2, cell)) — a hash agg with map-side combine, not a
+    per-id window sort (same lexicographic-struct trick as
+    ``lloyd_fit``; identical results, combiner-friendly at scale)."""
     pairs = q.crossJoin(broadcast(cents))
-    w = Window.partitionBy("id").orderBy(_sqdist(F.col("qv"), F.col("cv")), "cell")
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("id", "cell")
+        pairs.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    _sqdist(F.col("qv"), F.col("cv")).alias("d"),
+                    F.col("cell").alias("cell"),
+                )
+            ).alias("m")
+        )
+        .select("id", F.col("m.cell").alias("cell"))
     )
 
 
