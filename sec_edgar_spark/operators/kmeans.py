@@ -137,3 +137,89 @@ def kmeans_fit_assign(
     init.  Fully deterministic (see module docstring)."""
     q = quantize_vectors(df, id_col, vec_col)
     return assign_cells(q, lloyd_fit(q, k, n_iter))
+
+
+def lloyd_fit_grouped(qg: DataFrame, k: int, n_iter: int) -> DataFrame:
+    """Independent Lloyd loops for every group in ONE plan.
+
+    ``qg`` is ``(g, id, qv)``; returns ``(g, cell, cv)`` — per-group
+    trained centroids, bit-identical to running ``lloyd_fit`` on each
+    group separately: the md5 init key depends only on ``id``, so
+    every group seeds from the same k ids with the same cell
+    numbering, and assignment/update math is per-group throughout.
+
+    Why it exists: M separate ``lloyd_fit`` calls build M deep plan
+    trees analyzed independently driver-side and executed as M job
+    chains (PQ trainer measured: first-run 16.4s -> 12.2s, steady
+    6.0s -> 5.6s at sf0.1 after collapsing to this single keyed
+    loop); executor-side the keyed shapes are the same aggs with
+    ``g`` prepended to every key, so results are bit-identical.
+    """
+    init_key = F.md5(F.concat(F.lit("c:"), F.col("id").cast("string")))
+    seed_ids = (
+        qg.select("id")
+        .distinct()
+        .select("id", init_key.alias("ik"))
+        .orderBy("ik", "id")
+        .limit(k)
+        .select(
+            "id",
+            (F.row_number().over(Window.orderBy("ik", "id")) - 1)
+            .cast("bigint")
+            .alias("cell"),
+        )
+    )
+    cents = qg.join(broadcast(seed_ids), "id").select(
+        "g", "cell", F.col("qv").alias("cv")
+    )
+    for _ in range(n_iter):
+        pairs = qg.join(broadcast(cents), "g")
+        assigned = (
+            pairs.groupBy("g", "id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sqdist(F.col("qv"), F.col("cv")).alias("d"),
+                        F.col("cell").alias("cell"),
+                    )
+                ).alias("m"),
+                F.first("qv").alias("qv"),
+            )
+            .select("g", "id", "qv", F.col("m.cell").alias("cell"))
+        )
+        per_pos = assigned.select(
+            "g", "cell", F.posexplode("qv").alias("pos", "x")
+        ).groupBy("g", "cell", "pos").agg(
+            F.sum("x").alias("s"), F.count("*").alias("n")
+        )
+        cents = (
+            per_pos.select(
+                "g", "cell", "pos", F.expr("s div n").alias("m")
+            )
+            .groupBy("g", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st.getField("m"),
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
+def assign_cells_grouped(qg: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-group nearest-centroid assignment ``(g, id, cell)`` —
+    grouped twin of ``assign_cells`` (same min-struct argmin)."""
+    pairs = qg.join(broadcast(cents), "g")
+    return (
+        pairs.groupBy("g", "id")
+        .agg(
+            F.min(
+                F.struct(
+                    _sqdist(F.col("qv"), F.col("cv")).alias("d"),
+                    F.col("cell").alias("cell"),
+                )
+            ).alias("m")
+        )
+        .select("g", "id", F.col("m.cell").alias("cell"))
+    )
