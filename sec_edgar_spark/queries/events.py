@@ -767,3 +767,61 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("modified_z"),
         )
     )
+
+
+@query(
+    "events_topk_trending",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([CAST(date_trunc('day', ts) AS DATE) - 1,
+                     CAST(date_trunc('day', ts) AS DATE)]) AS win_start,
+             event_type, value
+      FROM events
+    ), agg AS (
+      SELECT win_start, event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM w GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY win_start
+        ORDER BY n_events DESC, event_type) AS rk
+      FROM agg
+    )
+    SELECT win_start, event_type, n_events, total_value,
+      CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def events_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: the top-3 event types of every 2-day
+    sliding window (1-day hop) by event count — the window-generator
+    aggregate COMPOSED with a per-window rank, i.e. the "what's hot in
+    the trailing 48h" dashboard query.
+
+    Deterministic: rank orders by (count desc, event_type), a total
+    order.  Scale shape: the window expansion + hash agg collapse the
+    fact to |windows|×|types| rows BEFORE the rank window runs — the
+    WindowGroupLimit (rk <= 3 pushed into the window sort) operates on
+    the tiny aggregate, never the raw events.
+    """
+    e = table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
