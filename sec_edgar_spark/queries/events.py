@@ -825,3 +825,88 @@ def events_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+def _hll_merge_oracle() -> str:
+    def regs(name: str, where: str) -> str:
+        return f"""{name}_w AS (
+          SELECT event_type,
+            CAST('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS h
+          FROM events {where}
+        ), {name}_r AS (
+          SELECT event_type, h % 16 AS bucket,
+            MIN(CASE WHEN (h >> 4) = 0 THEN CAST(1 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << length(bin(h >> 4))) END) AS w
+          FROM {name}_w GROUP BY 1, 2
+        )"""
+
+    def est(name: str, src: str) -> str:
+        return f"""{name} AS (
+          SELECT d.event_type,
+            2.482931752321306e+19
+              / SUM(COALESCE(r.w, 144115188075855872)) AS e
+          FROM (SELECT DISTINCT e.event_type, b.bucket
+                FROM events e
+                CROSS JOIN (SELECT unnest(range(16)) AS bucket) b) d
+          LEFT JOIN {src} r
+            ON d.event_type = r.event_type AND d.bucket = r.bucket
+          GROUP BY d.event_type
+        )"""
+
+    return f"""
+    WITH {regs('alldata', '')},
+    {regs('ha', "WHERE day(ts) <= 15")},
+    {regs('hb', "WHERE day(ts) > 15")},
+    merged_r AS (
+      SELECT event_type, bucket, MIN(w) AS w
+      FROM (SELECT * FROM ha_r UNION ALL SELECT * FROM hb_r)
+      GROUP BY 1, 2
+    ),
+    {est('direct', 'alldata_r')},
+    {est('merged', 'merged_r')}
+    SELECT d.event_type,
+      d.e AS est_direct, m.e AS est_merged,
+      d.e = m.e AS merge_exact
+    FROM direct d JOIN merged m USING (event_type)
+    """
+
+
+@query("agg_hll_merge", oracle=_hll_merge_oracle())
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY proof — the property that makes HLL a
+    100 TB primitive: registers built independently over two disjoint
+    halves of the data, merged with per-register min-weight (== max
+    rho), yield the IDENTICAL estimate as one pass over everything.
+    The gate value-checks both estimates and the equality flag — the
+    same merge-equivalence pattern as events_incremental_rollup, for
+    the sketch family (what lets per-partition / per-day sketches
+    roll up without ever rescanning history).
+
+    Exactness carries over from agg_hll_distinct: registers are
+    integer min-weights, so merged registers equal direct registers
+    EXACTLY, and the single double division produces bit-identical
+    estimates on both paths and both engines.
+    """
+    from ..operators.sketches import hll_estimate, hll_register_weights
+
+    e = table(spark, sf_dir, "events")
+    item = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    wa = hll_register_weights(
+        e.filter(F.dayofmonth("ts") <= 15), ["event_type"], item
+    )
+    wb = hll_register_weights(
+        e.filter(F.dayofmonth("ts") > 15), ["event_type"], item
+    )
+    merged = hll_estimate(wa.unionByName(wb), ["event_type"]).select(
+        "event_type", F.col("hll_estimate").alias("est_merged")
+    )
+    direct = hll_estimate(
+        hll_register_weights(e, ["event_type"], item), ["event_type"]
+    ).select("event_type", F.col("hll_estimate").alias("est_direct"))
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "est_direct",
+        "est_merged",
+        (F.col("est_direct") == F.col("est_merged")).alias("merge_exact"),
+    )
