@@ -1077,3 +1077,92 @@ def text_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def _cms_merge_oracle(depth: int = 4, width: int = 256) -> str:
+    h = _HASH64.format(x="(j::VARCHAR || ':' || tok)")
+
+    def sketch(name: str, where: str) -> str:
+        return f"""{name} AS (
+          SELECT j AS row, {h} % {width} AS bucket, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents {where})
+          CROSS JOIN (SELECT unnest(range({depth})) AS j)
+          GROUP BY 1, 2
+        )"""
+
+    def est(name: str, src: str) -> str:
+        return f"""{name} AS (
+          SELECT t.tok, MIN(s.cnt) AS e
+          FROM (SELECT tok, {h} % {width} AS bucket, j
+                FROM top10 CROSS JOIN (SELECT unnest(range({depth})) AS j)) t
+          JOIN {src} s ON t.j = s.row AND t.bucket = s.bucket
+          GROUP BY t.tok
+        )"""
+
+    return f"""
+    WITH {sketch('direct_s', '')},
+    {sketch('sa', 'WHERE doc_id % 2 = 0')},
+    {sketch('sb', 'WHERE doc_id % 2 = 1')},
+    merged_s AS (
+      SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+      GROUP BY 1, 2
+    ), top10 AS (
+      SELECT tok, COUNT(*) AS n_occurrences
+      FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+      GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
+    ),
+    {est('ed', 'direct_s')},
+    {est('em', 'merged_s')}
+    SELECT t.tok, t.n_occurrences,
+      ed.e AS cms_direct, em.e AS cms_merged,
+      ed.e = em.e AS merge_exact
+    FROM top10 t JOIN ed USING (tok) JOIN em USING (tok)
+    """
+
+
+@query("text_countmin_merge", oracle=_cms_merge_oracle())
+def text_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min merge-equivalence proof — the OTHER sketch merge
+    algebra: where HLL registers merge by MIN (agg_hll_merge), CMS
+    cells merge by SUM.  Sketches built over the even-doc and odd-doc
+    halves, cell-summed, must estimate every probe token identically
+    to the one-pass sketch — counts are exact integers throughout, so
+    equality is exact, and the same md5 hash family lets DuckDB
+    replay both paths including collisions.
+
+    Scale shape: two D×W bounded sketch aggs + a D×W-row merge —
+    the per-day / per-partition sketch rollup that never rescans
+    history, mirrored for cardinality by agg_hll_merge.
+    """
+    from ..operators.sketches import countmin_build, countmin_estimate
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    sa = countmin_build(tok.filter(F.col("doc_id") % 2 == 0), "tok")
+    sb = countmin_build(tok.filter(F.col("doc_id") % 2 == 1), "tok")
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = countmin_build(tok, "tok")
+    top10 = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(10)
+    )
+    ed = countmin_estimate(direct, top10, "tok").select(
+        "tok", "n_occurrences", F.col("cms_estimate").alias("cms_direct")
+    )
+    em = countmin_estimate(merged, top10, "tok").select(
+        "tok", F.col("cms_estimate").alias("cms_merged")
+    )
+    return ed.join(em, "tok").select(
+        "tok",
+        "n_occurrences",
+        "cms_direct",
+        "cms_merged",
+        (F.col("cms_direct") == F.col("cms_merged")).alias("merge_exact"),
+    )
