@@ -105,6 +105,67 @@ def connected_components(
     )
 
 
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(id, rank) after ``iters`` synchronous PageRank rounds, in
+    integer micro-units (rank mass ``scale`` split over N nodes) so the
+    result is bit-identical across engines and cluster layouts — no
+    floating-point sum-order sensitivity, which is what makes iterative
+    rank scores normally impossible to value-check distributively.
+
+    Arithmetic per round (all non-negative BIGINT, overflow-safe for
+    scale<=1e12 since 85*sum_contrib <= 85*scale ~ 8.5e13 << 2^63):
+        contrib(v)  = rank(v) div out_deg(v)
+        rank'(u)    = (15*scale div 100) div N
+                      + (85 * sum_{v->u} contrib(v)) div 100
+    Dangling nodes never exist here: callers pass symmetrized edges
+    (every node has out-degree >= 1), the standard undirected-PageRank
+    formulation for influence scoring on similarity/co-occurrence
+    graphs.
+
+    Scale shape per round: one shuffle join (ranks onto edge sources,
+    partitioned by node id) + one partial-aggregated groupBy(dst) —
+    identical to :func:`connected_components`'s hook step; lineage cut
+    per round with localCheckpoint.  The driver never sees row data.
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint()
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint()
+    n = nodes.count()
+    teleport = (15 * scale // 100) // n
+    ranks = nodes.select("id", F.lit(scale // n).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks["id"] == deg["s"])
+            .select("id", F.expr("rank div deg").alias("contrib"))
+        )
+        inbound = (
+            sym.join(contrib.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.sum("contrib").alias("s_in"))
+        )
+        ranks = (
+            nodes.join(inbound, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(s_in, 0L) div 100")
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def canonical_assignment(
     edges: DataFrame,
     src: str = "src",
