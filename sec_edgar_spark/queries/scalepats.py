@@ -27,6 +27,7 @@ from pyspark.sql.functions import broadcast
 from ..catalog import table
 from ..operators.bloom import bloom_prefilter
 from ..operators.graph import pagerank_int
+from ..operators.zorder import morton_key, morton_key_sql
 from .registry import query
 
 
@@ -281,4 +282,180 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(broadcast(cut), ["event_type", "dow"])
         .filter(F.col("value") > F.col("threshold"))
         .select("event_type", "dow", "event_id", "value", "threshold")
+    )
+
+
+@query(
+    "events_scd2_build",
+    oracle="""
+    SELECT user_id,
+           event_type AS status,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL) AS is_current
+    FROM events
+    """,
+)
+def events_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: turn a change-event log
+    into [valid_from, valid_to) interval rows with an is_current flag —
+    the standard warehouse dimension-versioning shape, and the natural
+    left side of the battery's as-of join (operators/asof.py) for
+    point-in-time enrichment.
+
+    One window over (user_id, ts, event_id) — the unique tiebreak makes
+    LEAD deterministic under ties; per-user partitioning keeps the sort
+    local to each hash partition (no global sort at 100 TB).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+    FROM cnt c JOIN tot t ON c.prev_type = t.prev_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the user journey:
+    consecutive event-type pairs per user (LAG with a unique tiebreak),
+    counted globally, normalized per source state.  The per-user window
+    is partition-local; the transition counts partial-aggregate before
+    the one small shuffle; probabilities divide two exact BIGINTs in
+    double (bit-identical in both engines).  This is the
+    journey-mining / next-event-prediction feature shape.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return cnt.join(broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
+    )
+
+
+@query(
+    "agg_equidepth_ntile",
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice AS price,
+             NTILE(8) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(MAX(price) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_equidepth_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram via NTILE(8) with a unique
+    total-order tiebreak — deterministic bucket assignment in both
+    engines.  Complements the equi-width events_value_histogram: depth
+    buckets are what optimizers and range-partitioners actually want
+    (each bucket = same row count regardless of skew).
+
+    Scale note: NTILE over an unpartitioned window is a global sort —
+    correct but the 100 TB path computes approx_percentile cutpoints
+    (t-digest, one pass, mergeable) and assigns buckets by comparison,
+    trading exact boundaries for no sort; agg_percentiles_approx in
+    this battery demonstrates that sketch.  This query keeps the exact
+    formulation because its oracle must be value-stable.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = l.select(
+        F.col("l_extendedprice").alias("price"),
+        F.ntile(8).over(w).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("price").cast("double").alias("lo"),
+        F.max("price").cast("double").alias("hi"),
+    )
+
+
+_Z_BITS = 12
+_Z_X_SQL = "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+_Z_Y_SQL = f"o_custkey % {1 << _Z_BITS}"
+
+
+@query(
+    "curation_zorder_locality",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT {morton_key_sql(_Z_X_SQL, _Z_Y_SQL, _Z_BITS)} AS z,
+             {_Z_X_SQL} AS day_x, {_Z_Y_SQL} AS cust_y
+      FROM orders
+    )
+    SELECT CAST(z >> 14 AS BIGINT) AS chunk, COUNT(*) AS n,
+           CAST(MIN(day_x) AS BIGINT) AS day_lo,
+           CAST(MAX(day_x) AS BIGINT) AS day_hi,
+           CAST(MIN(cust_y) AS BIGINT) AS cust_lo,
+           CAST(MAX(cust_y) AS BIGINT) AS cust_hi
+    FROM keyed GROUP BY CAST(z >> 14 AS BIGINT)
+    """,
+)
+def curation_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/zorder.py) over
+    (order date, customer): per 16384-key z-range chunk — a stand-in
+    for one parquet file after ``repartitionByRange(z).sortWithin
+    Partitions(z)`` — report the chunk's bounding box in BOTH
+    dimensions.  Because Morton chunks are spatially local, every
+    chunk's day-range AND customer-range are small fractions of the
+    domain, which is exactly what makes min/max file skipping work for
+    two filter columns at once (tests/test_zorder.py asserts the
+    locality quantitatively; this query pins the key arithmetic to the
+    oracle bit-for-bit).
+    """
+    o = table(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    y = F.col("o_custkey") % (1 << _Z_BITS)
+    keyed = o.select(
+        morton_key(x, y, _Z_BITS).alias("z"),
+        x.cast("bigint").alias("day_x"),
+        y.cast("bigint").alias("cust_y"),
+    )
+    return keyed.groupBy(
+        F.shiftright("z", 14).alias("chunk")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("day_x").alias("day_lo"),
+        F.max("day_x").alias("day_hi"),
+        F.min("cust_y").alias("cust_lo"),
+        F.max("cust_y").alias("cust_hi"),
     )
