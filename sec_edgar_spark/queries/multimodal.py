@@ -216,3 +216,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(d, every_n=2, bytes_per_frame=100).select(
         "media_id", F.col("frame_index").cast("int").alias("frame_index")
     )
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id AS media_id, md5(substr(text, 1, 100)) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash, COUNT(*) AS n_copies,
+           MIN(media_id) AS canonical_id
+    FROM hashed GROUP BY content_hash HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup on the BINARY column: fingerprint each payload (md5
+    of a fixed-size 100-byte slice — the stand-in for hash-of-decoded-
+    thumbnail; a real pipeline swaps the slice for the decode kernel in
+    operators/multimodal.py), group on the 128-bit digest, keep the
+    minimum id as canonical.  At 100 TB this is the first pass of any
+    multimodal ingest — the shuffle moves 16-byte digests, not
+    gigabyte blobs: codegen computes the hash inside the scan stage
+    and the blob column is pruned before anything moves."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.substring("text", 1, 100).cast("binary")).alias("content_hash"),
+    )
+    return (
+        d.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -309,15 +309,9 @@ def events_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEAD deterministic under ties; per-user partitioning keeps the sort
     local to each hash partition (no global sort at 100 TB).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = table(spark, sf_dir, "events")
-    return e.select(
-        "user_id",
-        F.col("event_type").alias("status"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-        F.lead("ts").over(w).isNull().alias("is_current"),
-    )
+    from ..operators.scd import scd2_build
+
+    return scd2_build(table(spark, sf_dir, "events"))
 
 
 @query(
@@ -364,6 +358,78 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
     )
+
+
+@query(
+    "events_session_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts >= LAG(ts) OVER w + INTERVAL 1800 SECOND
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+      COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (streaming/session_native.py
+    session_rollup — same function drives the append-mode stream):
+    all session state JVM-side, no Python workers.  Semantics pin: the
+    window end is last-event + gap, end-EXCLUSIVE, so an event exactly
+    ``gap`` after its predecessor starts a new session — the oracle's
+    lag→flag→cumsum replay uses ``>=`` on that boundary accordingly
+    (the hand-rolled events_sessionize uses ``>``; both conventions
+    exist in the wild, this battery now checks both).
+    """
+    from ..streaming.session_native import session_rollup
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_rollup(e, gap_seconds=1800)
+
+
+@query(
+    "events_scd2_merge",
+    oracle="""
+    SELECT user_id,
+           event_type AS status,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL) AS is_current
+    FROM events
+    """,
+)
+def events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: build the dimension from the first
+    ~half of the log (events before day 16), then MERGE the remainder
+    in (operators/scd.py scd2_merge) — close affected current rows at
+    the first new timestamp, append the new interval rows, pass
+    untouched users through.  The oracle rebuilds from scratch, so the
+    gate proves merge(build(old), new) == build(all): the property that
+    lets a 100 TB dimension absorb a daily delta without re-sorting
+    history (the merge shuffles only |delta| + |affected current
+    rows|, never the closed history)."""
+    from ..operators.scd import scd2_build, scd2_merge
+
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast(e.schema["ts"].dataType)
+    old = e.filter(F.col("ts") < cut)
+    new = e.filter(F.col("ts") >= cut)
+    dim = scd2_build(old)
+    return scd2_merge(dim, new)
 
 
 @query(
