@@ -73,6 +73,12 @@ HEADLINE = [
     "ml_cluster_quality",
     "text_phrase_merge",
     "events_incremental_rollup",
+    # round-5 session-3 additions: the new scale-pattern battery
+    # (iterative pagerank, bloom runtime-filter, incremental SCD2)
+    "graph_pagerank",
+    "j_bloom_prefilter",
+    "events_scd2_merge",
+    "events_session_native",
 ]
 
 

@@ -112,3 +112,66 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def global_rank(df: DataFrame, order_by: list[str]) -> DataFrame:
+    """Exact global 1-based rank over a UNIQUE total order, computed in
+    parallel — the scale-safe replacement for
+    ``row_number().over(Window.orderBy(...))``, whose empty-partition
+    window moves every row to ONE task (the classic global-sort
+    bottleneck; the equi-depth probe measured it superlinear at 10x).
+
+    Two-phase ranking:
+    1. range-repartition + local sort on the order key (the same
+       machinery as a global orderBy — parallel, spills fine);
+    2. per-partition row counts (a P-row aggregate) cumsum into start
+       offsets, broadcast back, added to the partition-local
+       row_number.
+
+    The order key must be unique (callers append tiebreak columns);
+    with a unique key the rank is independent of where the range
+    partitioner happens to cut, so the result is deterministic even
+    though boundary sampling isn't.  Adds column ``rn``.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = df.repartitionByRange(parts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = sorted_df.groupBy("_pid").agg(F.count("*").alias("_n"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        sorted_df.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", F.row_number().over(wloc) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def parallel_ntile(df: DataFrame, order_by: list[str], k: int) -> DataFrame:
+    """Exact NTILE(k) over a unique total order without the single-
+    partition window: bucket sizes follow SQL NTILE exactly (first
+    ``n mod k`` buckets get ``n//k + 1`` rows), derived arithmetically
+    from :func:`global_rank`'s rn and the total count (a 1-row agg
+    broadcast back — never a driver collect).  Adds column ``bucket``.
+    """
+    ranked = global_rank(df, order_by)
+    total = ranked.agg(F.count("*").alias("_total"))
+    base = (F.col("_total") / k).cast("bigint")  # n div k
+    r = F.col("_total") - base * k  # n mod k buckets get base+1 rows
+    cut = r * (base + 1)  # last rn served by the larger buckets
+    bucket = F.when(
+        F.col("rn") <= cut,
+        ((F.col("rn") - 1) / (base + 1)).cast("bigint") + 1,
+    ).otherwise(
+        r + ((F.col("rn") - cut - 1) / base).cast("bigint") + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("_total")
+    )

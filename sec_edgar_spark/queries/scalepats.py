@@ -449,25 +449,29 @@ def events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_equidepth_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-count) histogram via NTILE(8) with a unique
-    total-order tiebreak — deterministic bucket assignment in both
-    engines.  Complements the equi-width events_value_histogram: depth
-    buckets are what optimizers and range-partitioners actually want
-    (each bucket = same row count regardless of skew).
+    """Equi-depth (equal-count) histogram — exact NTILE(8) semantics
+    over a unique total order, computed by the PARALLEL two-phase
+    ranker (operators/relational.py parallel_ntile: range partition +
+    local rank + P-row offset cumsum) instead of
+    ``ntile().over(Window.orderBy(...))``, whose empty-partition
+    window funnels every row through ONE task.  The 10x probe
+    measured the naive form superlinear (11.6x); the two-phase form
+    is a plain parallel sort.  tests/test_parallel_rank.py pins
+    bucket-for-bucket equality to the builtin NTILE; the oracle here
+    is DuckDB's native NTILE — same semantics, third engine.
 
-    Scale note: NTILE over an unpartitioned window is a global sort —
-    correct but the 100 TB path computes approx_percentile cutpoints
-    (t-digest, one pass, mergeable) and assigns buckets by comparison,
-    trading exact boundaries for no sort; agg_percentiles_approx in
-    this battery demonstrates that sketch.  This query keeps the exact
-    formulation because its oracle must be value-stable.
+    Scale note: exact depth buckets still cost a global range shuffle;
+    the sketch path (approx_percentile cutpoints, one pass, mergeable
+    — agg_percentiles_approx) trades exact boundaries for no sort.
     """
-    l = table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    b = l.select(
+    from ..operators.relational import parallel_ntile
+
+    l = table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("price"),
-        F.ntile(8).over(w).alias("bucket"),
+        "l_orderkey",
+        "l_linenumber",
     )
+    b = parallel_ntile(l, ["price", "l_orderkey", "l_linenumber"], 8)
     return b.groupBy("bucket").agg(
         F.count("*").alias("n"),
         F.min("price").cast("double").alias("lo"),

@@ -1,0 +1,98 @@
+"""Streaming SCD2 dimension maintenance — foreachBatch + split layout.
+
+Keeps a Type-2 dimension continuously up to date from a change-event
+stream, with per-batch cost O(|keys| + |delta|), never O(|history|):
+
+- ``<root>/closed/``  — append-only parquet of closed interval rows.
+  History is immutable: once a row has a valid_to it never changes, so
+  it is appended exactly once and never rewritten.
+- ``<root>/current/`` — the open row per key (one row per key, tiny
+  relative to history), rewritten wholesale each batch.  Rewriting the
+  current snapshot is the price of plain parquet having no MERGE; the
+  snapshot is keys-sized, not history-sized, so the rewrite stays
+  cheap forever (a table format with row-level merge — Delta/Iceberg —
+  swaps this overwrite for a MERGE INTO with the same logic).
+
+Each micro-batch runs the same arithmetic as the batch operator
+(operators/scd.py scd2_merge): affected keys' current rows close at
+the key's first delta timestamp, the delta becomes fresh interval
+rows, and only the new current rows land back in ``current/``.
+
+Contract: micro-batches must arrive in event-time order per key (the
+daily-delta contract of scd2_merge); the parity test drives the real
+events parquet through in ordered waves and checks
+closed ∪ current == scd2_build(all events).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scd import COLS, scd2_build, scd2_merge
+
+_EMPTY_SCHEMA = (
+    "user_id long, status string, valid_from timestamp, "
+    "valid_to timestamp, is_current boolean"
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return spark.read.schema(_EMPTY_SCHEMA).parquet(path)
+    return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+
+def read_dim(spark: SparkSession, root: str) -> DataFrame:
+    """The full dimension: immutable history ∪ current snapshot."""
+    return _read_or_empty(spark, f"{root}/closed").unionByName(
+        _read_or_empty(spark, f"{root}/current")
+    )
+
+
+def scd2_upsert_batch(spark: SparkSession, root: str, batch: DataFrame) -> None:
+    """One merge round: read the current snapshot, merge the delta,
+    append newly-closed rows, replace the snapshot.  Idempotence note:
+    replaying a batch re-appends its closed rows — production pairs
+    this with the idempotent loader's batch-id dedup
+    (streaming/parquet_sink.py); the parity test exercises the
+    exactly-once path Structured Streaming provides via checkpointing.
+    """
+    if batch.isEmpty():
+        return
+    current = _read_or_empty(spark, f"{root}/current")
+    merged = scd2_merge(current, batch).select(*COLS)
+    # materialize: merged is consumed twice (closed + current splits)
+    # and must not recompute after current/ is overwritten underneath it
+    merged = merged.localCheckpoint()
+    merged.filter(~F.col("is_current")).write.mode("append").parquet(
+        f"{root}/closed"
+    )
+    merged.filter(F.col("is_current")).write.mode("overwrite").parquet(
+        f"{root}/current"
+    )
+
+
+def run_scd2_maintenance(
+    events: DataFrame,
+    root: str,
+    checkpoint: str,
+    query_name: str = "scd2_maintenance",
+):
+    """Wire a streaming events frame (user_id, event_type, ts,
+    event_id) into the split-layout SCD2 store via foreachBatch."""
+    spark = events.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        scd2_upsert_batch(spark, root, batch_df)
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
