@@ -1166,3 +1166,54 @@ def text_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_merged",
         (F.col("cms_direct") == F.col("cms_merged")).alias("merge_exact"),
     )
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+        CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS BIGINT)
+          AS feature_idx,
+        CASE WHEN CAST('0x' || substr(md5('s:' || tok), 1, 15) AS BIGINT) % 2
+                  = 0
+             THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, feature_idx, CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, feature_idx
+    HAVING SUM(sgn) <> 0
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the 'hashing trick' vectorizer):
+    token → md5-derived dimension in [0, 256) with a ±1 sign from an
+    independent hash bit, summed per (doc, dimension) — the
+    vocabulary-free sparse featurizer (Weinberger et al. 2009) that
+    needs NO fitted dictionary, NO vocabulary broadcast, and therefore
+    no second pass: at 100 TB the whole featurization is one explode +
+    one partial-aggregated groupBy, embarrassingly parallel.  The sign
+    bit makes collisions cancel in expectation (unbiased inner
+    products); zero-sum cells are dropped like any sparse format
+    would.  Doc sample (doc_id % 50) keeps the gate output bounded;
+    the operator is size-agnostic."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    hashed = tok.select(
+        "doc_id",
+        (T.md5_hash64("tok") % 256).alias("feature_idx"),
+        F.when(
+            T.md5_hash64(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
