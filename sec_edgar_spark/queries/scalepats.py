@@ -607,6 +607,61 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM du),
+    wau AS (
+      SELECT s.day, COUNT(DISTINCT du.user_id) AS wau
+      FROM spine s
+      JOIN du ON du.day BETWEEN s.day - 6 AND s.day
+      GROUP BY s.day
+    ),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day)
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the product-
+    analytics engagement ratio.  The WAU side avoids the theta join
+    (day BETWEEN d-6 AND d) the oracle runs: each (day, user) row
+    explodes into the exactly-7 trailing days it contributes to, the
+    join becomes an equi-semi-join against the day spine, and the
+    distinct count partial-aggregates — banded fan-out instead of a
+    range join, the same trick as operators/interval.py.  Ratios
+    divide two exact BIGINTs in double.
+    """
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    spine = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    ).join(broadcast(spine), "day", "semi")
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
 _Z_BITS = 12
 _Z_X_SQL = "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
 _Z_Y_SQL = f"o_custkey % {1 << _Z_BITS}"
