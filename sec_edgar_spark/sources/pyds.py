@@ -1,0 +1,125 @@
+"""EDGAR master.idx as a first-class Spark 4 Python DataSource.
+
+``spark.read.format("edgar_index").load(path_or_glob)`` — the pluggable
+form of sources/index.read_master_idx (SURVEY §2.1 S1/S2; reference
+core/_index.py:117-178 does the same parse as a sequential regex
+loop).  The DataSource API (SPARK-44076, Spark 4.0+) runs ``read`` on
+EXECUTORS, one task per InputPartition: here one partition per idx
+file, so a 30-year × 4-quarter mirror parses 120-way parallel with no
+driver involvement beyond the file listing.
+
+Why keep both forms: the CSV-scan pipeline (sources/index.py) stays
+the throughput path — it is JVM/codegen end to end; this source is the
+*integration* path, where per-file Python logic (auth, retries,
+decompression, odd encodings) would otherwise force a driver loop.
+Both produce identical rows — tests/test_pyds.py asserts row-for-row
+parity on the reference's own fixture files.
+
+Semantics matched to read_master_idx:
+- banner/separator rows dropped by the same validity rule
+  (numeric CIK, 5 pipe-fields, parseable date);
+- quarterly ``yyyy-MM-dd`` and daily ``yyyyMMdd``/``MM-dd-yyyy`` date
+  era formats all normalize to DateType (functions/scalars.py C2);
+- per-file ``line_no`` over VALID rows in file order (the A3/L1
+  order-sensitivity contract).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA = (
+    "cik bigint, company_name string, form_type string, "
+    "date_filed date, file_name string, source_file string, line_no bigint"
+)
+
+
+def _parse_date(tok: str) -> _dt.date | None:
+    tok = tok.strip()
+    for fmt in ("%Y-%m-%d", "%Y%m%d", "%m-%d-%Y"):
+        try:
+            return _dt.datetime.strptime(tok, fmt).date()
+        except ValueError:
+            continue
+    return None
+
+
+def parse_idx_file(path: str):
+    """Yield (cik, company, form, date, file, source_file, line_no)
+    for every valid row of one master.idx file, in file order.
+    ``line_no`` is the PHYSICAL 1-based line number (banner included),
+    matching sources/_lineno.with_line_numbers — the two sources must
+    agree row-for-row."""
+    with open(path, "r", encoding="latin-1") as fh:
+        for line_no, raw in enumerate(fh, start=1):
+            parts = raw.rstrip("\r\n").split("|")
+            if len(parts) != 5 or not parts[0].strip().isdigit():
+                continue
+            d = _parse_date(parts[3])
+            if d is None:
+                continue
+            yield (
+                int(parts[0]),
+                parts[1].strip(),
+                parts[2].strip(),
+                d,
+                parts[4].strip(),
+                path,
+                line_no,
+            )
+
+
+class _IdxPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class EdgarIndexReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("edgar_index requires a path: .load(<file|glob|dir>)")
+
+    def partitions(self):
+        p = self._path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".idx")
+            )
+        else:
+            files = sorted(_glob.glob(p))
+        if not files:
+            raise FileNotFoundError(f"no idx files match {p!r}")
+        return [_IdxPartition(f) for f in files]
+
+    def read(self, partition: _IdxPartition):
+        yield from parse_idx_file(partition.path)
+
+
+class EdgarIndexDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "edgar_index"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> EdgarIndexReader:
+        return EdgarIndexReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with this session."""
+    spark.dataSource.register(EdgarIndexDataSource)

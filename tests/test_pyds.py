@@ -1,0 +1,83 @@
+"""Python DataSource (edgar_index): row parity with the CSV-pipeline
+scan on the reference's own fixture files; partition-per-file."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def _fixture_files():
+    out = []
+    for root, _dirs, files in os.walk(DATA):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".idx")
+        )
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from sec_edgar_spark.sources.pyds import register
+
+    register(spark)
+    return spark
+
+
+def test_reads_fixture_with_expected_schema(registered):
+    files = _fixture_files()
+    assert files, "no .idx fixtures found"
+    df = registered.read.format("edgar_index").load(files[0])
+    assert df.columns == [
+        "cik",
+        "company_name",
+        "form_type",
+        "date_filed",
+        "file_name",
+        "source_file",
+        "line_no",
+    ]
+    rows = df.collect()
+    assert rows and all(r.cik > 0 for r in rows)
+    assert all(r.date_filed is not None for r in rows)
+
+
+def test_row_parity_with_csv_pipeline(registered):
+    """The pluggable source and the JVM CSV pipeline must produce the
+    same logical rows from the same files."""
+    from sec_edgar_spark.sources.index import read_master_idx
+
+    files = _fixture_files()
+    got = {
+        (r.cik, r.company_name, r.form_type, str(r.date_filed), r.file_name, r.line_no)
+        for r in registered.read.format("edgar_index").load(
+            os.path.join(DATA, "full-index")
+        ).collect()
+    }
+    idx_files = [f for f in files if "full-index" in f]
+    want = {
+        (r.cik, r.company_name, r.form_type, str(r.date_filed), r.file_name, r.line_no)
+        for r in read_master_idx(registered, idx_files)
+        .select("cik", "company_name", "form_type", "date_filed", "file_name", "line_no")
+        .collect()
+    }
+    assert got == want
+
+
+def test_partition_per_file(registered):
+    files = _fixture_files()
+    df = registered.read.format("edgar_index").load(
+        os.path.join(DATA, "full-index")
+    )
+    n_parts = df.rdd.getNumPartitions()
+    n_files = len([f for f in files if "full-index" in f])
+    assert n_parts == n_files
+
+
+def test_missing_path_raises(registered):
+    with pytest.raises(Exception):
+        registered.read.format("edgar_index").load(
+            "/nonexistent/nothing-*.idx"
+        ).collect()
