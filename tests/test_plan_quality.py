@@ -326,3 +326,45 @@ def test_mad_outliers_broadcast_back_no_window(plans):
     assert "CartesianProduct" not in p
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_parquet_aggregate_pushdown(spark):
+    """With spark.sql.parquet.aggregatePushdown, MIN/MAX/COUNT over an
+    unfiltered parquet scan answer from row-group STATISTICS — the scan
+    reads footers, not data (at 100 TB: metadata-only).  The engine's
+    profiling entry points rely on this being available."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # aggregate pushdown is a DSv2 feature; route parquet through V2
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("l_orderkey").alias("lo"),
+                F.max("l_orderkey").alias("hi"),
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan and "COUNT(*)" in plan
+        r = df.collect()[0]
+        assert r.n > 0 and r.lo <= r.hi
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old)
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+def test_new_scalepat_queries_plan_shapes(plans):
+    """Session-3 battery: bloom probe broadcasts (never shuffles the
+    fact side first), the salted join has no cartesian, the seasonal
+    screen broadcasts its threshold frame."""
+    p = plans("j_bloom_prefilter")
+    assert "Broadcast" in p and "CartesianProduct" not in p
+    p2 = plans("j_salted_skew_join")
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    p3 = plans("events_seasonal_anomaly")
+    assert "BroadcastHashJoin" in p3
