@@ -50,3 +50,26 @@ def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x}) >> {i}) & 1) * {1 << (2 * i)}")
         terms.append(f"((({y}) >> {i}) & 1) * {1 << (2 * i + 1)}")
     return "(" + " + ".join(terms) + ")"
+
+
+def morton_decode_py(z: int, bits: int = 16) -> tuple[int, int]:
+    """Pure-Python inverse of the interleave — (x, y) from a Morton
+    key.  Used by property tests to prove the key is a bijection on
+    [0, 2**bits)² (a non-injective key would let unrelated rows
+    collide into one z-range and silently break the locality/skipping
+    guarantee)."""
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+def morton_encode_py(x: int, y: int, bits: int = 16) -> int:
+    """Pure-Python twin of :func:`morton_key` (same bit layout), for
+    tests and driver-side tooling."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z

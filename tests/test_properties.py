@@ -143,3 +143,21 @@ def test_uu_encode_decode_roundtrip(data):
     from sec_edgar_spark.parsing.uu import uudecode_text, uuencode_bytes
 
     assert uudecode_text(uuencode_bytes(data, "f.bin")) == data
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    x=st.integers(0, (1 << 16) - 1),
+    y=st.integers(0, (1 << 16) - 1),
+)
+def test_morton_roundtrip_bijection(x, y):
+    """encode→decode is the identity on the full 16-bit grid, and the
+    key stays within 2*bits bits (operators/zorder.py)."""
+    from sec_edgar_spark.operators.zorder import (
+        morton_decode_py,
+        morton_encode_py,
+    )
+
+    z = morton_encode_py(x, y, 16)
+    assert 0 <= z < (1 << 32)
+    assert morton_decode_py(z, 16) == (x, y)
