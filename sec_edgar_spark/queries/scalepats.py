@@ -662,6 +662,60 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN value < 10 THEN NULL
+                  ELSE CAST(FLOOR(value) AS BIGINT) % 5 END AS k
+      FROM events
+    ),
+    r AS (
+      SELECT CASE WHEN n_nationkey >= 20 THEN NULL
+                  ELSE n_nationkey % 5 END AS k,
+             COUNT(*) AS n_dim
+      FROM nation GROUP BY 1
+    )
+    SELECT l.k, COUNT(*) AS n_events,
+           CAST(MIN(r.n_dim) AS BIGINT) AS n_dim
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def j_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics needed
+    when null is a real category (unknown segment, missing locale) and
+    dropping it would silently lose rows.  Catalyst plans ``<=>`` as a
+    hashable equi-join key (no fallback to a nested-loop theta join),
+    so the null bucket shuffles like any other key — at scale a fat
+    null bucket is then a plain skew problem with the plain cure
+    (operators/skew.salted_join)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 10, None)
+        .otherwise(F.floor("value").cast("bigint") % 5)
+        .alias("k"),
+    )
+    r = (
+        table(spark, sf_dir, "nation")
+        .select(
+            F.when(F.col("n_nationkey") >= 20, None)
+            .otherwise(F.col("n_nationkey") % 5)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_dim"))
+    )
+    j = e.join(broadcast(r), e["k"].eqNullSafe(r["k"])).select(
+        e["k"], "n_dim"
+    )
+    return j.groupBy("k").agg(
+        F.count("*").alias("n_events"), F.min("n_dim").alias("n_dim")
+    )
+
+
 _Z_BITS = 12
 _Z_X_SQL = "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
 _Z_Y_SQL = f"o_custkey % {1 << _Z_BITS}"

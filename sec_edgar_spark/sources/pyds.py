@@ -123,3 +123,80 @@ class EdgarIndexDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the format with this session."""
     spark.dataSource.register(EdgarIndexDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write side: the patterned file-tree sink (S13) as a DataSource writer.
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@_dc.dataclass
+class _TreeCommit(WriterCommitMessage):
+    files: list
+
+
+class FilingTreeWriter(DataSourceWriter):
+    """Executor-side writer: each task writes its rows' files under
+    ``<path>/<cik>/<form_type>/<accession_number>.txt`` (the reference's
+    save layout, daily.py:134-166) and reports them in its commit
+    message.  ``commit`` runs once on the driver after EVERY task
+    succeeded and writes a ``_MANIFEST`` of all files — the all-or-
+    nothing marker readers key on; ``abort`` deletes whatever partial
+    tasks reported.  This is the same two-phase contract Spark's file
+    sinks implement in the JVM, expressed through the Python
+    DataSource write API (SPARK-44076)."""
+
+    def __init__(self, options: dict):
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("filing_tree requires a path")
+
+    def write(self, rows) -> _TreeCommit:
+        import os
+
+        written = []
+        for r in rows:
+            d = os.path.join(self._root, str(r.cik), str(r.form_type))
+            os.makedirs(d, exist_ok=True)
+            f = os.path.join(d, f"{r.accession_number}.txt")
+            with open(f, "w", encoding="utf-8") as fh:
+                fh.write(r.content or "")
+            written.append(f)
+        return _TreeCommit(files=written)
+
+    def commit(self, messages) -> None:
+        import os
+
+        with open(os.path.join(self._root, "_MANIFEST"), "w") as fh:
+            for m in messages:
+                for f in sorted(m.files):
+                    fh.write(f + "\n")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
+class FilingTreeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "filing_tree"
+
+    def writer(self, schema: StructType, overwrite: bool) -> FilingTreeWriter:
+        return FilingTreeWriter(self.options)
+
+
+def register_writer(spark) -> None:
+    spark.dataSource.register(FilingTreeDataSource)

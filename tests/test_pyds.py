@@ -81,3 +81,26 @@ def test_missing_path_raises(registered):
         registered.read.format("edgar_index").load(
             "/nonexistent/nothing-*.idx"
         ).collect()
+
+
+def test_filing_tree_writer_two_phase(registered, tmp_path):
+    """DataSource write side: files land in the patterned tree and the
+    driver-side commit writes a complete _MANIFEST."""
+    from sec_edgar_spark.sources.pyds import register_writer
+
+    register_writer(registered)
+    root = str(tmp_path / "tree")
+    os.makedirs(root, exist_ok=True)
+    df = registered.createDataFrame(
+        [
+            (320193, "10-K", "0000320193-96-000023", "apple body"),
+            (789019, "10-Q", "0000789019-96-000040", "msft body"),
+        ],
+        "cik long, form_type string, accession_number string, content string",
+    ).repartition(2)
+    df.write.format("filing_tree").mode("append").save(root)
+
+    apple = os.path.join(root, "320193", "10-K", "0000320193-96-000023.txt")
+    assert open(apple).read() == "apple body"
+    manifest = open(os.path.join(root, "_MANIFEST")).read().splitlines()
+    assert len(manifest) == 2 and apple in manifest
