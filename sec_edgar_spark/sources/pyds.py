@@ -200,3 +200,73 @@ class FilingTreeDataSource(DataSource):
 
 def register_writer(spark) -> None:
     spark.dataSource.register(FilingTreeDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming read side: the daily-index feed as a Python streaming source.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class EdgarIndexStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source over a growing directory of daily idx files.
+
+    EDGAR's daily feed is date-named (``YYYYMMDD.idx``), so the stream
+    offset is simply the lexicographically-largest file name processed:
+    ``read(start)`` picks up every file named above it (the new days),
+    and ``readBetweenOffsets`` replays exactly the files in
+    ``(start, end]`` for recovery — deterministic because names are
+    immutable and totally ordered.  This is the streaming twin of the
+    batch ``edgar_index`` source (streaming/daily_feed.py holds the
+    JVM file-stream form); offsets are tiny JSON dicts regardless of
+    history length.
+    """
+
+    def __init__(self, options: dict):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("edgar_index_stream requires a path")
+
+    def _files(self):
+        if not os.path.isdir(self._dir):
+            return []
+        return sorted(f for f in os.listdir(self._dir) if f.endswith(".idx"))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def read(self, start: dict):
+        new = [f for f in self._files() if f > start.get("last", "")]
+        end = {"last": new[-1]} if new else dict(start)
+        # a concrete list, not a generator: the runner pickles the
+        # prefetched rows alongside the offset
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return self._rows([f for f in self._files() if lo < f <= hi])
+
+    def _rows(self, names):
+        out = []
+        for name in names:
+            out.extend(parse_idx_file(os.path.join(self._dir, name)))
+        # the runner requires a picklable ITERATOR (it caches prefetched
+        # rows next to the offset): a list_iterator is both
+        return iter(out)
+
+
+class EdgarIndexStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "edgar_index_stream"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> EdgarIndexStreamReader:
+        return EdgarIndexStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(EdgarIndexStreamDataSource)

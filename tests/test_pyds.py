@@ -104,3 +104,40 @@ def test_filing_tree_writer_two_phase(registered, tmp_path):
     assert open(apple).read() == "apple body"
     manifest = open(os.path.join(root, "_MANIFEST")).read().splitlines()
     assert len(manifest) == 2 and apple in manifest
+
+
+def test_streaming_source_picks_up_new_days(registered, tmp_path):
+    """edgar_index_stream: each new date-named idx file arrives as a
+    micro-batch exactly once; the offset is the max processed name."""
+    import shutil
+
+    from sec_edgar_spark.sources.pyds import register_stream
+
+    register_stream(registered)
+    feed = tmp_path / "daily"
+    feed.mkdir()
+    src = _fixture_files()[0]
+    shutil.copy(src, feed / "20240101.idx")
+
+    q = (
+        registered.readStream.format("edgar_index_stream")
+        .load(str(feed))
+        .writeStream.format("memory")
+        .queryName("t_idx_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = registered.sql("SELECT COUNT(*) n FROM t_idx_stream").collect()[0].n
+        assert n1 > 0
+        shutil.copy(src, feed / "20240102.idx")
+        q.processAllAvailable()
+        rows = registered.sql(
+            "SELECT source_file, COUNT(*) n FROM t_idx_stream GROUP BY 1"
+        ).collect()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    assert len(rows) == 2  # one batch per file, no re-reads
+    assert {r.n for r in rows} == {n1}
