@@ -97,6 +97,14 @@ def main() -> int:
     # verified identical at sf0.1 by tests/test_oracle_gate.py), ~35%
     # faster q1 hash-agg.
     spark.conf.set("spark.sec_edgar.longcents", "true")
+    # The testdata is one row group per table -> single-task scans; a
+    # real layout is many-files/row-groups.  Spread the scans whose
+    # downstream is per-row CPU-heavy (shingling, hashing, vector
+    # math) so those map stages use the whole box; the relational
+    # tables stay unflagged — their aggregate-only queries lose more
+    # to the extra shuffle than they gain (measured best-of-3 matrix
+    # in SCALE.md; rationale in catalog.py).
+    spark.conf.set("spark.sec_edgar.scan_parallelize", "documents,embeddings")
     qs = Q.queries()
 
     # Warm the JVM (codegen/JIT), parquet footers and the reader path

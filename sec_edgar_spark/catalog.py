@@ -40,7 +40,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if memo is None:
         memo = {}
         setattr(spark, _MEMO_ATTR, memo)
-    key = (sf_dir, name)
+    par = _parallelize_tables(spark)
+    key = (sf_dir, name, name in par)
     if key not in memo:
         path = f"{sf_dir}/{name}.parquet"
         if name == "events":
@@ -59,8 +60,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
             df = spark.read.parquet(path)
+        if name in par:
+            # The driver's testdata is ONE row group per table, so every
+            # scan is a single task and CPU-heavy map stages (shingle
+            # assembly, hashing, vector math) run on one core until the
+            # first shuffle.  A real lakehouse layout has many row
+            # groups/files and never hits this; under the flag (set by
+            # bench.py for the per-row-CPU-heavy tables, never by the
+            # correctness gate) a cheap early round-robin spreads the
+            # scan across the executor before the expensive per-row
+            # work.  Filters still push into the scan — Catalyst moves
+            # deterministic predicates through Repartition.  Cheap
+            # aggregate-only queries are NOT flagged: for them the
+            # extra shuffle costs more than the single-task scan.
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         memo[key] = df
     return memo[key]
+
+
+def _parallelize_tables(spark: SparkSession) -> frozenset[str]:
+    """Tables to round-robin after the scan: comma-separated names, or
+    'true'/'all' for every table, in spark.sec_edgar.scan_parallelize."""
+    raw = spark.conf.get("spark.sec_edgar.scan_parallelize", "")
+    if raw in ("", "false"):
+        return frozenset()
+    if raw in ("true", "all"):
+        return frozenset(TABLES)
+    return frozenset(t.strip() for t in raw.split(",") if t.strip())
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
