@@ -1,0 +1,30 @@
+"""CI twin of tools/plan_audit.py: the HARD plan rules over the whole
+registry — no CartesianProduct anywhere, no row-at-a-time Python UDF
+outside the documented whitelist.  (BroadcastNestedLoopJoin against
+broadcast 1-row bounds frames and tiny-frame global windows are
+report-only — see PLAN_AUDIT.md.)  Marked slow: iterative trainers
+(k-means, PQ) execute their training jobs during plan construction."""
+
+import pytest
+
+
+@pytest.mark.slow
+def test_no_hard_antipatterns_anywhere(spark):
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import PY_UDF_WHITELIST, audit
+
+    rows = audit("/root/testdata/sf0.001")
+    assert len(rows) >= 150
+    errors = []
+    for name, flags in rows:
+        if "PLAN_ERROR" in flags:
+            errors.append(f"{name}: {flags['PLAN_ERROR']}")
+        if flags.get("CartesianProduct"):
+            errors.append(f"{name}: CartesianProduct")
+        if (
+            flags.get("BatchEvalPython") or flags.get("ArrowEvalPython")
+        ) and name not in PY_UDF_WHITELIST:
+            errors.append(f"{name}: python UDF outside whitelist")
+    assert not errors, errors

@@ -1,0 +1,121 @@
+"""Registry-wide physical-plan audit.
+
+Builds (never executes) every query in the registry and scans the
+physical plan for the anti-patterns this engine is designed to avoid:
+
+- ``BatchEvalPython`` / ``ArrowEvalPython`` — row-at-a-time or scalar
+  Python UDFs in a hot path (the battery's contract: JVM expressions
+  or Arrow mapInPandas/cogroup only);
+- ``CartesianProduct`` — an unbounded cross join;
+- ``BroadcastNestedLoopJoin`` — fine against a broadcast 1-row bounds/
+  totals frame (the histogram/zscore/kmeans shape), a scale bug
+  against anything data-sized, so reported for eyeballing;
+- ``Window`` with an empty partition spec over a data-sized input —
+  the all-rows-through-one-task shape (reported; the known-intentional
+  cases are the tiny spine/offset frames).
+
+Usage: python tools/plan_audit.py [sf_dir] — writes PLAN_AUDIT.md.
+The CI twin (tests/test_plan_audit.py) asserts the hard rules:
+no CartesianProduct anywhere, no BatchEvalPython outside the
+documented row-UDF whitelist.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# Queries allowed to show BatchEvalPython/ArrowEvalPython (documented
+# row-UDF escape hatches — parsing layers, not analytics hot paths).
+PY_UDF_WHITELIST: set[str] = {
+    "edgar_uu_roundtrip",  # uudecode is binascii row logic by design
+}
+
+# Queries where an empty-partition window is over a provably tiny
+# frame (day spine, offsets, merge trajectories), not the data.
+TINY_WINDOW_WHITELIST: set[str] = {
+    "a3_running_count",       # reference semantics: single-file order
+    "sort_global_order",      # the global-sort query itself
+    "text_vocab_growth",      # 10-row decile spine
+    "events_incremental_rollup",  # frozen-partial spine
+    "text_phrase_merge",      # 3-row merge trajectory
+    "agg_equidepth_ntile",    # P-row offsets frame
+    "edgar_company_pagination",  # bounded page spine
+}
+
+
+def audit(sf_dir: str = "/root/testdata/sf0.001"):
+    from sec_edgar_spark.session import get_spark
+    import sec_edgar_spark.queries as Q
+
+    spark = get_spark(
+        app_name="plan-audit", master="local[4]", shuffle_partitions=4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name, fn in sorted(Q.queries().items()):
+        try:
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # noqa: BLE001 — audit must see them all
+            rows.append((name, {"PLAN_ERROR": str(e)[:100]}))
+            continue
+        flags = {}
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ):
+            n = plan.count(marker)
+            if n:
+                flags[marker] = n
+        # empty-partition window: windowspecdefinition( starts with an
+        # ordering spec (no partition columns before the first ASC/DESC
+        # spec means global)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            args = m.group(1)
+            first = args.split(",")[0].strip()
+            if " ASC" in first or " DESC" in first:
+                flags["GlobalWindow"] = flags.get("GlobalWindow", 0) + 1
+        rows.append((name, flags))
+    return rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    rows = audit(sf_dir)
+    clean = sum(1 for _, f in rows if not f)
+    lines = [
+        "# PLAN_AUDIT — physical-plan anti-pattern scan",
+        "",
+        f"{len(rows)} queries audited at {sf_dir}; {clean} with zero flags.",
+        "",
+        "| query | flags |",
+        "|---|---|",
+    ]
+    for name, flags in rows:
+        if flags:
+            pretty = ", ".join(f"{k}×{v}" for k, v in sorted(flags.items()))
+            wl = []
+            if name in PY_UDF_WHITELIST:
+                wl.append("py-udf-whitelisted")
+            if name in TINY_WINDOW_WHITELIST:
+                wl.append("tiny-window-whitelisted")
+            lines.append(
+                f"| {name} | {pretty}{(' (' + ', '.join(wl) + ')') if wl else ''} |"
+            )
+    with open("PLAN_AUDIT.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"{len(rows)} audited, {clean} clean -> PLAN_AUDIT.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
