@@ -1217,3 +1217,78 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+_QM_DIMS = 256
+_QM_BIAS = -20  # centi-units
+
+
+def _qm_weight_sql(idx: str) -> str:
+    # frozen "trained" weight table: w[d] = ((d*37) % 101) - 50 centi-units
+    return f"((({idx}) * 37) % 101) - 50"
+
+
+@query(
+    "text_quality_model_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    contrib AS (
+      SELECT doc_id,
+        (CASE WHEN CAST('0x' || substr(md5('s:' || tok), 1, 15) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END)
+        * ({_qm_weight_sql(
+            f"CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_QM_DIMS}"
+        )}) AS c
+      FROM tok
+    ),
+    logits AS (
+      SELECT doc_id, CAST({_QM_BIAS} + SUM(c) AS BIGINT) AS logit_centi
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, logit_centi,
+      ROUND(1.0 / (1.0 + exp(-(CAST(logit_centi AS DOUBLE) / 100.0))), 9)
+        AS score,
+      (logit_centi > 0) AS keep
+    FROM logits
+    """,
+)
+def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen linear quality-classifier INFERENCE as pure codegen — how
+    a trained fastText/logreg-style doc filter actually deploys at
+    100 TB: no model server, no Python UDF, no join.  Because the model
+    is linear over hashed features (the text_feature_hashing space),
+    per-document logits decompose into per-TOKEN contributions
+    sign(tok) * w[h(tok)] summed map-side — one explode + one partial
+    agg, identical shape to a word count.  Weights live in integer
+    centi-units so the accumulation is exact (order-independent); the
+    sigmoid runs once per doc on an exact operand, bit-identical in
+    both engines.  Swapping in real trained weights = replacing the
+    weight expression with a 256-literal array lookup; the plan does
+    not change.
+    """
+    h = T.md5_hash64("tok")
+    sgn = F.when(
+        T.md5_hash64(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, 1
+    ).otherwise(-1)
+    w = ((h % _QM_DIMS) * 37) % 101 - 50
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    logits = tok.select("doc_id", (sgn * w).alias("c")).groupBy("doc_id").agg(
+        (F.lit(_QM_BIAS) + F.sum("c")).cast("bigint").alias("logit_centi")
+    )
+    # exp() is NOT bit-identical across libm implementations (observed
+    # 1-ulp differences vs DuckDB), so the gate-facing probability is
+    # rounded to 9 places and the keep decision comes from the EXACT
+    # integer logit (sigmoid > 0.5 <=> logit > 0).
+    score = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("logit_centi").cast("double") / 100.0))),
+        9,
+    )
+    return logits.select(
+        "doc_id",
+        "logit_centi",
+        score.alias("score"),
+        (F.col("logit_centi") > 0).alias("keep"),
+    )
