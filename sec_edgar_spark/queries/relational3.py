@@ -801,3 +801,82 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ColumnSpec("l_shipdate", "ts"),
         ],
     )
+
+
+@query(
+    "audit_constraints",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(l_orderkey) AS nk,
+             COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+             SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+                      THEN 1 ELSE 0 END) AS n_qty_ok,
+             SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                      THEN 1 ELSE 0 END) AS n_disc_ok,
+             SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS n_flag_ok
+      FROM lineitem
+    )
+    SELECT "constraint", CAST(actual AS BIGINT) AS actual,
+           CAST(expected AS BIGINT) AS expected, passed FROM (
+      SELECT 'completeness(l_orderkey)' AS "constraint", nk AS actual, n
+             AS expected, nk = n AS passed FROM s
+      UNION ALL
+      SELECT 'unique(l_orderkey, l_linenumber)', n_pk, n, n_pk = n FROM s
+      UNION ALL
+      SELECT 'range(l_quantity in [1, 50])', n_qty_ok, n, n_qty_ok = n FROM s
+      UNION ALL
+      SELECT 'range(l_discount in [0, 0.1])', n_disc_ok, n, n_disc_ok = n
+      FROM s
+      UNION ALL
+      SELECT 'domain(l_returnflag in A/N/R)', n_flag_ok, n, n_flag_ok = n
+      FROM s
+    )
+    """,
+)
+def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint CHECK suite as ONE pass: completeness,
+    PK uniqueness, numeric ranges, and a domain check all fold into a
+    single aggregate over the scan (the distinct-PK count rides the
+    same hash agg), then pivot into one (constraint, actual, expected,
+    passed) row each — the CI-gate surface a 100 TB ingest runs before
+    publishing a partition.  Compare operators/observability.py for
+    the zero-extra-pass in-flight variant; this one is the standalone
+    audit with a verdict per rule."""
+    l = table(spark, sf_dir, "lineitem")
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("nk"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("n_pk"),
+        F.sum(F.col("l_quantity").between(1, 50).cast("long")).alias(
+            "n_qty_ok"
+        ),
+        F.sum(
+            ((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)).cast(
+                "long"
+            )
+        ).alias("n_disc_ok"),
+        F.sum(F.col("l_returnflag").isin("A", "N", "R").cast("long")).alias(
+            "n_flag_ok"
+        ),
+    )
+    rules = [
+        ("completeness(l_orderkey)", "nk"),
+        ("unique(l_orderkey, l_linenumber)", "n_pk"),
+        ("range(l_quantity in [1, 50])", "n_qty_ok"),
+        ("range(l_discount in [0, 0.1])", "n_disc_ok"),
+        ("domain(l_returnflag in A/N/R)", "n_flag_ok"),
+    ]
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.col(c).alias("actual"),
+                F.col("n").alias("expected"),
+                (F.col(c) == F.col("n")).alias("passed"),
+            )
+            for name, c in rules
+        ]
+    )
+    return s.select(F.explode(checks).alias("r")).select("r.*")
