@@ -33,7 +33,7 @@ iteration count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -177,3 +177,54 @@ def canonical_assignment(
     return cc.select(
         "id", "component", (F.col("id") == F.col("component")).alias("is_canonical")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """(id, community) after ``iters`` synchronous label-propagation
+    rounds — community detection (dense groups), complementing
+    :func:`connected_components` (reachability) and
+    :func:`pagerank_int` (influence).
+
+    Fully deterministic: each round every node adopts the label that
+    is most frequent among its neighbours, ties broken by the SMALLER
+    label — an integer argmax with a total order, so the trajectory is
+    engine- and partitioning-independent (the oracle unrolls the same
+    rounds as SQL CTEs).  Classic async LPA is run-order dependent and
+    unverifiable; the synchronous total-ordered form trades a little
+    convergence speed for replayability.
+
+    Scale shape per round: one join (labels onto edge destinations) +
+    one (node, label) count agg + one per-node top-1 — all hash
+    partial-aggregated; WindowGroupLimit keeps the top-1 from sorting
+    whole vote lists.  Lineage cut per round with localCheckpoint.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(F.col("id").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("id"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("id", "label")
+            .localCheckpoint()
+        )
+    return labels.select("id", F.col("label").alias("community"))

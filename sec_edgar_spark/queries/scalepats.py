@@ -157,6 +157,68 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank"), "id").limit(20)
 
 
+def _lpa_round(prev: str, out: str) -> str:
+    """One synchronous label-propagation round as SQL (mirrors
+    operators/graph.py label_propagation exactly: most-frequent
+    neighbour label, ties to the smaller label)."""
+    return f"""
+    {out} AS (
+      SELECT id, label FROM (
+        SELECT e.s AS id, l.label, COUNT(*) AS n,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.s ORDER BY COUNT(*) DESC, l.label
+               ) AS rk
+        FROM edges e JOIN {prev} l ON e.d = l.id
+        GROUP BY e.s, l.label
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH raw AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT s, d FROM raw UNION SELECT d AS s, s AS d FROM raw
+    ),
+    l0 AS (SELECT DISTINCT s AS id, s AS label FROM edges),
+    {_lpa_round("l0", "l1")},
+    {_lpa_round("l1", "l2")},
+    {_lpa_round("l2", "l3")}
+    SELECT CAST(label AS BIGINT) AS community, COUNT(*) AS n_members
+    FROM l3 GROUP BY label
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after 3 synchronous label-propagation rounds on
+    the customer<->supplier trade graph (operators/graph.py
+    label_propagation) — community detection alongside components
+    (reachability) and PageRank (influence).  Async LPA is run-order
+    dependent and unverifiable; this form is a total-ordered integer
+    argmax per round (most-frequent neighbour label, ties to the
+    smaller label), so a second engine replays the whole trajectory —
+    the oracle unrolls the same three rounds as CTEs.
+    """
+    from ..operators.graph import label_propagation
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    ).select("l_orderkey", "l_suppkey")
+    raw = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(raw, iters=3)
+    return labels.groupBy(F.col("community")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
 @query(
     "events_max_concurrent",
     oracle="""

@@ -77,3 +77,44 @@ def test_canonical_assignment(spark):
     assert rows[3]["is_canonical"] is True
     assert rows[7]["is_canonical"] is False
     assert rows[9]["component"] == 3
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must settle each
+    clique on its own min label (communities), even though connected
+    components would merge them into one."""
+    from sec_edgar_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(3, 10)], "src long, dst long"
+    )
+    got = {
+        r.id: r.community
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    assert set(got) == set(range(4)) | set(range(10, 14))
+    assert all(got[i] == 0 for i in range(3))      # clique 1 core
+    assert all(got[i] == 10 for i in range(11, 14))  # clique 2 core
+
+
+def test_label_propagation_deterministic_oscillation(spark):
+    """Synchronous LPA on a bare 2-node edge oscillates (labels swap
+    every round — the textbook bipartite behavior).  What the engine
+    GUARANTEES is determinism: the same trajectory every run, which is
+    exactly what the oracle replays.  Odd rounds swap, even rounds
+    restore."""
+    from sec_edgar_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+
+    def run(iters):
+        return {
+            r.id: r.community
+            for r in label_propagation(edges, iters=iters).collect()
+        }
+
+    assert run(1) == {0: 1, 1: 0}   # swap
+    assert run(2) == {0: 0, 1: 1}   # swap back
+    assert run(1) == run(1)          # deterministic across runs
