@@ -1015,3 +1015,58 @@ def ml_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("separation"),
         )
     )
+
+
+@query(
+    "emb_quantile_normalize",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, dim - 1 AS dim, val
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+      WHERE dim - 1 < 4
+    ),
+    ranked AS (
+      SELECT vec_id, dim,
+        ROW_NUMBER() OVER (PARTITION BY dim ORDER BY val, vec_id) AS rk,
+        COUNT(*) OVER (PARTITION BY dim) AS n
+      FROM flat
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+      CAST(rk - 1 AS DOUBLE) / (n - 1) AS q
+    FROM ranked
+    """,
+)
+def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of the embedding
+    matrix — the distribution-flattening prep step before quantization
+    or histogram-bucketed indexing: each dimension's values map to
+    their empirical CDF position (rank-1)/(n-1) in [0, 1].  Ranks use
+    a (value, vec_id) total order so ties are deterministic, and the
+    quantile is one exact-integer division in double — bit-identical
+    in both engines.
+
+    Scale shape: posexplode → ONE window per dimension (the partition
+    count equals the dimensionality, so a 64-dim matrix ranks 64-way
+    parallel; rows per partition = corpus size, the same per-key sort
+    any grouped ranking pays).  The gate samples dims 0-3 to bound
+    output; the operator is dimension-agnostic.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).filter(F.col("dim") < 4)
+    w = Window.partitionBy("dim").orderBy("val", "vec_id")
+    cnt = Window.partitionBy("dim")
+    ranked = flat.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    return ranked.select(
+        "vec_id",
+        "dim",
+        ((F.col("rk") - 1).cast("double") / (F.col("n") - 1)).alias("q"),
+    )
