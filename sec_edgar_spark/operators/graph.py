@@ -124,22 +124,29 @@ def pagerank_int(
         contrib(v)  = rank(v) div out_deg(v)
         rank'(u)    = (15*scale div 100) div N
                       + (85 * sum_{v->u} contrib(v)) div 100
-    Dangling nodes never exist here: callers pass symmetrized edges
-    (every node has out-degree >= 1), the standard undirected-PageRank
+    Dangling nodes never exist because the input is symmetrized (and
+    deduplicated) INTERNALLY — the standard undirected-PageRank
     formulation for influence scoring on similarity/co-occurrence
-    graphs.
+    graphs, and the same caller contract as
+    :func:`connected_components` / :func:`label_propagation` (passing
+    already-symmetric edges is a no-op thanks to the distinct).  A
+    directed formulation would silently leak rank mass at dst-only
+    nodes, so this operator refuses to be one.
 
     Scale shape per round: one shuffle join (ranks onto edge sources,
     partitioned by node id) + one partial-aggregated groupBy(dst) —
     identical to :func:`connected_components`'s hook step; lineage cut
     per round with localCheckpoint.  The driver never sees row data.
     """
-    sym = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint()
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct().localCheckpoint()
     deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
     nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint()
     n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("bigint").alias("rank"))
     teleport = (15 * scale // 100) // n
     ranks = nodes.select("id", F.lit(scale // n).cast("bigint").alias("rank"))
     for _ in range(iters):

@@ -9,8 +9,13 @@ each oversized file-count into few size-targeted files.
 Plain-parquet pattern (Delta/Iceberg ship this as OPTIMIZE /
 rewrite_data_files): read → coalesce to ceil(bytes/target) → write to
 a staging dir → atomic-ish swap.  The rewrite is partition-parallel
-and reads each byte once; `maxRecordsPerFile` guards the upper bound
-while the repartition count sets the lower.
+and reads each byte once.
+
+Scope: FLAT parquet directories only.  A hive-partitioned tree
+(``k=v`` subdirectories, e.g. the streaming parquet_sink layout) must
+be compacted per-partition-directory — a whole-tree rewrite would
+flatten the layout and break partition pruning — so
+:func:`compact_parquet` detects that layout and refuses.
 """
 
 from __future__ import annotations
@@ -42,6 +47,17 @@ def compact_parquet(
     new file count.  Uses write-to-staging + swap so a failed rewrite
     never destroys the source; readers between swap steps see the old
     or the new layout, never a mix."""
+    partition_dirs = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    if partition_dirs:
+        raise ValueError(
+            f"{path} is hive-partitioned ({partition_dirs[0]}/...): "
+            "compact each partition directory individually — a "
+            "whole-tree rewrite would flatten the layout"
+        )
     n_files, total = dir_stats(path)
     n_out = max(1, -(-total // target_bytes))
     if n_files <= n_out:

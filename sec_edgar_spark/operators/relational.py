@@ -90,21 +90,50 @@ def salted_join(
     key: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_source: str | Column | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: salt the fact side, replicate the dim side.
 
-    Each fact row gets a random-but-deterministic salt in
-    [0, salt_buckets); the dim side is exploded ``salt_buckets``× so
-    every (key, salt) pair exists — a hot fact key's rows now land on
-    ``salt_buckets`` reducers instead of one.  Use when the dim side
-    is too big to broadcast AND AQE's skew split (which handles the
-    sorted-merge case automatically) is unavailable or insufficient;
-    dim replication costs salt_buckets× its size, so keep the dim the
-    smaller input.
+    Each fact row gets a deterministic salt in [0, salt_buckets); the
+    dim side is exploded ``salt_buckets``× so every (key, salt) pair
+    exists — a hot fact key's rows now land on ``salt_buckets``
+    reducers instead of one (AQE's skew split can divide the streamed
+    side's partitions but never the matching build side; salting cures
+    the hotspot structurally).  Dim replication costs salt_buckets×
+    its size, so keep the dim the smaller input.
+
+    ``salt_source``: a per-row column (e.g. the fact's primary key)
+    fed through md5 for an engine-portable salt; default is xxhash64
+    over all fact columns — fine when rows are distinct, but pass an
+    explicit unique column when they may not be (identical rows would
+    pile onto one salt) or when the salt must be reproducible outside
+    the JVM.  Never ``rand()``: retries/replays must re-salt
+    identically.
+
+    ``how`` is restricted to inner/left/semi/anti — the shapes where
+    the result is row-identical to the unsalted join.  right/full
+    would emit each UNMATCHED dim row once per replica (salt_buckets
+    copies), silently inflating outer results, so they raise.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in ("inner", "left", "leftouter", "leftsemi", "semi",
+                          "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, got {how!r}: "
+            "right/full outer would duplicate unmatched dim rows "
+            "salt_buckets times"
+        )
+    if salt_source is None:
+        src_hash = F.xxhash64(*[F.col(c) for c in fact.columns])
+    else:
+        from ..functions.text import md5_hash64
+
+        src = (
+            F.col(salt_source) if isinstance(salt_source, str) else salt_source
+        )
+        src_hash = md5_hash64(src)
     salted_fact = fact.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+        "_salt", F.pmod(src_hash, F.lit(salt_buckets))
     )
     replicated_dim = dim.withColumn(
         "_salt",
@@ -134,8 +163,17 @@ def global_rank(df: DataFrame, order_by: list[str]) -> DataFrame:
     though boundary sampling isn't.  Adds column ``rn``.
     """
     parts = df.sparkSession.sparkContext.defaultParallelism
-    sorted_df = df.repartitionByRange(parts, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint pins ONE materialization of the range shuffle:
+    # the offsets subtree and the final pass below must see the SAME
+    # partition boundaries.  Without it they are two independent
+    # executions of repartitionByRange whose sampled boundaries can
+    # differ (exchange reuse usually unifies them, but that is an
+    # optimization, not a guarantee) — per-_pid counts would then
+    # mismatch the data and ranks would duplicate or skip.
+    sorted_df = (
+        df.repartitionByRange(parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = sorted_df.groupBy("_pid").agg(F.count("*").alias("_n"))
     woff = Window.orderBy("_pid").rowsBetween(

@@ -150,10 +150,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = raw.unionByName(
-        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    ranks = pagerank_int(sym, iters=3, scale=_PR_SCALE)
+    # pagerank_int symmetrizes internally (undirected formulation)
+    ranks = pagerank_int(raw, iters=3, scale=_PR_SCALE)
     return ranks.orderBy(F.desc("rank"), "id").limit(20)
 
 
@@ -563,7 +561,8 @@ def agg_equidepth_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key shuffle join under 8-way salting (operators/skew.py):
+    """Hot-key shuffle join under 8-way salting
+    (operators/relational.py salted_join):
     70% of the fact rows share one synthetic key — the shape where a
     plain shuffle join runs at the speed of its hottest task.  The
     fact side salts on a per-row unique column (o_orderkey, md5, never
@@ -571,7 +570,7 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot key spreads over 8 tasks.  The oracle is the PLAIN join:
     salting must be row-identical to not salting.
     """
-    from ..operators.skew import salted_join
+    from ..operators.relational import salted_join
 
     o = table(spark, sf_dir, "orders")
     facts = o.select(
@@ -590,7 +589,9 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("label")
         )
     )
-    joined = salted_join(facts, dim, "k", n_salts=8, salt_source="o_orderkey")
+    joined = salted_join(
+        facts, dim, "k", salt_buckets=8, salt_source="o_orderkey"
+    )
     return joined.groupBy("label").agg(
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
@@ -753,7 +754,7 @@ def j_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashable equi-join key (no fallback to a nested-loop theta join),
     so the null bucket shuffles like any other key — at scale a fat
     null bucket is then a plain skew problem with the plain cure
-    (operators/skew.salted_join)."""
+    (operators/relational.salted_join)."""
     e = table(spark, sf_dir, "events").select(
         "event_id",
         F.when(F.col("value") < 10, None)

@@ -29,6 +29,7 @@ from __future__ import annotations
 import datetime as _dt
 import glob as _glob
 import os
+import re as _re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -43,9 +44,16 @@ SCHEMA = (
 )
 
 
+_CIK_RE = _re.compile(r"^[0-9]+$")
+_DATE_RAW_RE = _re.compile(r"^[0-9-]+$")
+
+
 def _parse_date(tok: str) -> _dt.date | None:
-    tok = tok.strip()
-    for fmt in ("%Y-%m-%d", "%Y%m%d", "%m-%d-%Y"):
+    """Twin of functions/scalars.parse_idx_date: ONLY the two idx date
+    shapes (quarterly yyyy-MM-dd, daily yyyyMMdd); anything else is
+    NULL — the row is still kept, exactly like the batch path's
+    try_to_date coalesce."""
+    for fmt in ("%Y-%m-%d", "%Y%m%d"):
         try:
             return _dt.datetime.strptime(tok, fmt).date()
         except ValueError:
@@ -56,23 +64,40 @@ def _parse_date(tok: str) -> _dt.date | None:
 def parse_idx_file(path: str):
     """Yield (cik, company, form, date, file, source_file, line_no)
     for every valid row of one master.idx file, in file order.
-    ``line_no`` is the PHYSICAL 1-based line number (banner included),
-    matching sources/_lineno.with_line_numbers — the two sources must
-    agree row-for-row."""
-    with open(path, "r", encoding="latin-1") as fh:
+
+    Semantics are a STRICT twin of sources/index.read_master_idx (the
+    parity contract tests/test_pyds.py enforces):
+    - exactly 5 pipe-fields; cik all-digits; date_raw matches
+      ``^[0-9-]+$`` (an unparseable-but-well-formed date keeps the row
+      with a NULL date, like the batch try_to_date);
+    - company/form/file fields must be non-empty (the reference's
+      ``.+`` regex groups) and are NOT whitespace-stripped;
+    - only the trailing CR/LF strips off the file field;
+    - utf-8 with replacement characters, matching the JVM text scan;
+    - ``line_no`` is the PHYSICAL 1-based line number (banner
+      included), matching sources/_lineno.with_line_numbers.
+    """
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
         for line_no, raw in enumerate(fh, start=1):
-            parts = raw.rstrip("\r\n").split("|")
-            if len(parts) != 5 or not parts[0].strip().isdigit():
+            parts = raw.rstrip("\n").split("|")
+            if len(parts) != 5:
                 continue
-            d = _parse_date(parts[3])
-            if d is None:
+            cik_raw, company, form, date_raw, file_raw = parts
+            file_name = file_raw.rstrip("\r\n")
+            if (
+                not _CIK_RE.match(cik_raw)
+                or not _DATE_RAW_RE.match(date_raw)
+                or company == ""
+                or form == ""
+                or file_name == ""
+            ):
                 continue
             yield (
-                int(parts[0]),
-                parts[1].strip(),
-                parts[2].strip(),
-                d,
-                parts[4].strip(),
+                int(cik_raw),
+                company,
+                form,
+                _parse_date(date_raw),
+                file_name,
                 path,
                 line_no,
             )
@@ -195,6 +220,20 @@ class FilingTreeDataSource(DataSource):
         return "filing_tree"
 
     def writer(self, schema: StructType, overwrite: bool) -> FilingTreeWriter:
+        root = self.options.get("path")
+        if overwrite and root and os.path.isdir(root):
+            # honor mode("overwrite"): clear the existing tree at plan
+            # time (non-atomic, like any plain-filesystem overwrite —
+            # a failed job leaves the tree empty rather than stale;
+            # the _MANIFEST is the completeness marker either way)
+            import shutil
+
+            for entry in os.listdir(root):
+                p = os.path.join(root, entry)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
         return FilingTreeWriter(self.options)
 
 

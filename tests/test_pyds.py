@@ -141,3 +141,23 @@ def test_streaming_source_picks_up_new_days(registered, tmp_path):
         q.stop()
     assert len(rows) == 2  # one batch per file, no re-reads
     assert {r.n for r in rows} == {n1}
+
+
+def test_filing_tree_overwrite_clears_previous(registered, tmp_path):
+    from sec_edgar_spark.sources.pyds import register_writer
+
+    register_writer(registered)
+    root = str(tmp_path / "tree2")
+    os.makedirs(root, exist_ok=True)
+    schema = "cik long, form_type string, accession_number string, content string"
+    registered.createDataFrame(
+        [(1, "10-K", "a-1", "old")], schema
+    ).write.format("filing_tree").mode("append").save(root)
+    registered.createDataFrame(
+        [(2, "10-Q", "b-1", "new")], schema
+    ).write.format("filing_tree").mode("overwrite").save(root)
+    # old tree gone, new present, manifest lists only the new file
+    assert not os.path.exists(os.path.join(root, "1"))
+    new = os.path.join(root, "2", "10-Q", "b-1.txt")
+    assert open(new).read() == "new"
+    assert open(os.path.join(root, "_MANIFEST")).read().splitlines() == [new]

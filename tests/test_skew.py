@@ -3,7 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from sec_edgar_spark.operators.skew import salted_join
+from sec_edgar_spark.operators.relational import salted_join
 
 
 def test_salted_equals_plain_join(spark):
@@ -36,6 +36,9 @@ def test_hot_key_spreads_over_salts(spark):
     assert n_salts == 8  # the hot key's rows occupy every salt bucket
 
 
-def test_salt_source_required():
+def test_outer_joins_rejected(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
-        salted_join(None, None, "k", 8)
+        salted_join(df, df, "k", 8, how="full")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", 8, how="right")

@@ -76,14 +76,25 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
             n = plan.count(marker)
             if n:
                 flags[marker] = n
-        # empty-partition window: windowspecdefinition( starts with an
-        # ordering spec (no partition columns before the first ASC/DESC
-        # spec means global)
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            args = m.group(1)
-            first = args.split(",")[0].strip()
-            if " ASC" in first or " DESC" in first:
-                flags["GlobalWindow"] = flags.get("GlobalWindow", 0) + 1
+        # Empty-partition window: a WindowExec operator line prints
+        # `Window [exprs], [partition], [order]` when partitioned but
+        # only `Window [exprs], [order]` when global — so count the
+        # TOP-LEVEL bracket groups of each Window line (a char scan,
+        # immune to nested parens/brackets inside expressions; one
+        # count per operator, not per expression).
+        for line in plan.splitlines():
+            stripped = line.lstrip(" +-:*")
+            if stripped.startswith("Window "):
+                depth = groups = 0
+                for ch in stripped:
+                    if ch == "[":
+                        if depth == 0:
+                            groups += 1
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                if groups == 2:
+                    flags["GlobalWindow"] = flags.get("GlobalWindow", 0) + 1
         rows.append((name, flags))
     return rows
 
