@@ -493,6 +493,72 @@ def events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_scd2_pit_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             event_type AS status,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(p.value AS DOUBLE) AS value,
+           d.status AS status_at_purchase
+    FROM purchases p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def events_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment AGAINST the SCD2 dimension — the
+    consumer side of events_scd2_build: each purchase picks up the
+    user's status row whose [valid_from, valid_to) interval contains
+    the purchase timestamp.  The oracle states it as the textbook
+    range-predicate join; the engine does NOT run that theta join —
+    because SCD2 intervals tile time per key, "the interval containing
+    ts" equals "the latest valid_from <= ts", so the as-of operator
+    (operators/asof.py: union + one per-key window, no range blowup)
+    produces the identical row with one shuffle.  This equivalence is
+    exactly why warehouses pair SCD2 with as-of lookups at scale.
+    """
+    from ..operators.asof import asof_join
+    from ..operators.scd import scd2_build
+
+    e = table(spark, sf_dir, "events")
+    dim = scd2_build(e).select("user_id", "status", "valid_from")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    m = asof_join(
+        purchases,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["status", "valid_from"],
+        suffix="",
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("status").alias("status_at_purchase"),
+    )
+
+
+@query(
     "agg_equidepth_ntile",
     oracle="""
     WITH b AS (
