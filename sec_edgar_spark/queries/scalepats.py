@@ -559,6 +559,46 @@ def events_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_mv_rewrite",
+    oracle="""
+    SELECT date_trunc('week', ts) AS week, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view answering: the WEEKLY rollup is computed by
+    re-aggregating the DAILY rollup (the battery's standing MV shape,
+    events_tumbling_daily) instead of rescanning the fact table — the
+    oracle IS the direct fact-table query, so the gate proves the
+    rewrite: aggregate(MV) == aggregate(raw) for algebraic measures
+    (COUNT sums; exact DECIMAL sums re-sum losslessly).
+
+    At 100 TB this is the read-side payoff of maintaining rollups
+    (events_incremental_rollup proves the write side): a dashboard's
+    month query touches 365 MV rows, not 10^11 events.  Non-algebraic
+    measures (distinct users) need mergeable sketches instead — the
+    HLL register twin (agg_hll_merge) covers exactly that case.
+    """
+    e = table(spark, sf_dir, "events")
+    # the daily MV (same shape events_tumbling_daily materializes)
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_dec"),
+    )
+    # answering the weekly question FROM the MV: algebraic re-agg
+    return daily.groupBy(
+        F.date_trunc("week", "day").alias("week"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("total_value"),
+    )
+
+
+@query(
     "agg_equidepth_ntile",
     oracle="""
     WITH b AS (
