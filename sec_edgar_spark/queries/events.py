@@ -910,3 +910,107 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_merged",
         (F.col("est_direct") == F.col("est_merged")).alias("merge_exact"),
     )
+
+
+@query(
+    "events_rolling_reach_hll",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM du),
+    h AS (
+      SELECT day,
+        CAST('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS h
+      FROM du
+    ),
+    wts AS (
+      SELECT day, h % 16 AS bucket,
+        CASE WHEN (h >> 4) = 0 THEN CAST(1 AS BIGINT)
+             ELSE (CAST(1 AS BIGINT) << length(bin(h >> 4))) END AS w
+      FROM h
+    ),
+    daily_reg AS (
+      SELECT day, bucket, MIN(w) AS w FROM wts GROUP BY 1, 2
+    ),
+    fanned AS (
+      SELECT day + CAST(off AS INT) AS wday, bucket, w
+      FROM daily_reg CROSS JOIN (SELECT unnest(range(7)) AS off)
+    ),
+    win_reg AS (
+      SELECT f.wday, f.bucket, MIN(f.w) AS w
+      FROM fanned f SEMI JOIN spine s ON f.wday = s.day
+      GROUP BY 1, 2
+    ),
+    dim AS (
+      SELECT s.day AS wday, b.bucket
+      FROM spine s CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+    ),
+    filled AS (
+      SELECT d.wday, COALESCE(r.w, 144115188075855872) AS w
+      FROM dim d LEFT JOIN win_reg r
+        ON d.wday = r.wday AND d.bucket = r.bucket
+    ),
+    est AS (
+      SELECT wday AS day, 2.482931752321306e+19 / SUM(w) AS reach_approx
+      FROM filled GROUP BY 1
+    ),
+    exact AS (
+      SELECT f.wday AS day, COUNT(DISTINCT du2.user_id) AS reach_exact
+      FROM (SELECT day + CAST(off AS INT) AS wday, day
+            FROM spine CROSS JOIN (SELECT unnest(range(7)) AS off)) f
+      SEMI JOIN spine s ON f.wday = s.day
+      JOIN du du2 ON du2.day = f.day
+      GROUP BY 1
+    )
+    SELECT e.day, x.reach_exact, e.reach_approx
+    FROM est e JOIN exact x USING (day)
+    """,
+)
+def events_rolling_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day reach (distinct users) per day via ROLLING HLL
+    register merges — the windowed form of agg_hll_distinct and the
+    payoff of mergeable sketches: each day's 16 registers are built
+    ONCE from that day's users, and every window is a register-wise
+    MIN of its 7 days (integer-exact, order-free), so 100 TB of users
+    are scanned once while windows multiply freely.  The exact rolling
+    distinct (fan-out + countDistinct, the events_dau_wau shape) rides
+    alongside so the estimate's error is visible on the gate — and the
+    estimate itself is bit-reproducible (md5 hash family + one double
+    division), hence value-checkable, unlike the builtin
+    approx_count_distinct.
+    """
+    from ..operators.sketches import hll_estimate, hll_register_weights
+
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    spine = du.select("day").distinct()
+    item = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    daily_reg = hll_register_weights(du, ["day"], item)
+    fanned = daily_reg.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "bucket",
+        "w",
+    ).join(F.broadcast(spine), "day", "semi")
+    win_reg = fanned.groupBy("day", "bucket").agg(F.min("w").alias("w"))
+    est = hll_estimate(win_reg, ["day"]).withColumnRenamed(
+        "hll_estimate", "reach_approx"
+    )
+    exact = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(F.broadcast(spine), "day", "semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("reach_exact"))
+    )
+    return est.join(exact, "day").select("day", "reach_exact", "reach_approx")
