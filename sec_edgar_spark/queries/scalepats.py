@@ -777,6 +777,68 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_time_to_convert",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    lagged AS (
+      SELECT date_diff('second', t.view_ts, p.ts) AS lag_s
+      FROM purchases p
+      ASOF JOIN views t
+        ON p.user_id = t.user_id AND t.view_ts <= p.ts
+    )
+    SELECT COUNT(*) AS n_converted,
+      quantile_cont(CAST(lag_s AS DOUBLE), 0.5) AS p50_s,
+      quantile_cont(CAST(lag_s AS DOUBLE), 0.9) AS p90_s,
+      CAST(MAX(lag_s) AS BIGINT) AS max_s
+    FROM lagged
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from each purchase
+    back to the user's latest preceding view (the as-of operator
+    again — inner flavor via the not-null filter), summarized as
+    exact p50/p90/max.  The funnel family's latency complement:
+    events_funnel_conversion counts WHETHER users convert inside a
+    horizon, this measures HOW FAST the conversions that happen are.
+    Exact percentiles interpolate identically in both engines
+    (agg_percentiles parity); lags are integer seconds from the
+    epoch_s helper.
+    """
+    from ..functions.scalars import epoch_s
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    m = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_ts"],
+        suffix="",
+    ).filter(F.col("view_ts").isNotNull())
+    lag_s = (epoch_s("ts") - epoch_s("view_ts")).alias("lag_s")
+    lagged = m.select(lag_s)
+    return lagged.agg(
+        F.count("*").alias("n_converted"),
+        F.percentile(F.col("lag_s").cast("double"), F.lit(0.5)).alias("p50_s"),
+        F.percentile(F.col("lag_s").cast("double"), F.lit(0.9)).alias("p90_s"),
+        F.max("lag_s").cast("bigint").alias("max_s"),
+    )
+
+
+@query(
     "events_dau_wau",
     oracle="""
     WITH du AS (
