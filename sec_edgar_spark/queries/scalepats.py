@@ -839,6 +839,123 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    rev AS (
+      SELECT c.cohort_day,
+             date_diff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+               AS day_offset,
+             SUM(CAST(e.value AS DECIMAL(12,2))) AS day_rev
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(date_trunc('day', e.ts) AS DATE) >= c.cohort_day
+      GROUP BY 1, 2
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+      CAST(SUM(day_rev) OVER (
+        PARTITION BY cohort_day ORDER BY day_offset
+      ) AS DOUBLE) AS cum_revenue
+    FROM rev
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: per signup cohort, CUMULATIVE
+    purchase revenue by day offset — the money twin of
+    events_retention_cohorts (which counts who comes back; this sums
+    what they spend).  Revenue accumulates in exact DECIMAL through
+    both the per-day agg and the running window (128-bit adds are
+    order-free), converting to double only at the end, so the whole
+    cumulative curve is value-checkable.  The running sum's window is
+    per-cohort and its ordering key (day_offset) is unique after the
+    pre-aggregation — small, partitioned, deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts").cast("date")).alias("cohort_day"))
+    )
+    day = F.date_trunc("day", "ts").cast("date")
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"), F.col("value").cast("decimal(12,2)").alias("v"))
+        .join(cohort, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.sum("v").alias("day_rev"))
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset")
+    return rev.select(
+        "cohort_day",
+        "day_offset",
+        F.sum("day_rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS cust,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT cust,
+        NTILE(4) OVER (ORDER BY last_order, cust) AS r_bucket,
+        NTILE(4) OVER (ORDER BY n_orders, cust) AS f_bucket,
+        NTILE(4) OVER (ORDER BY spend, cust) AS m_bucket
+      FROM base
+    )
+    SELECT r_bucket, f_bucket, m_bucket, COUNT(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-bucket every customer on Recency
+    (last order date), Frequency (order count), and Monetary (exact
+    decimal spend), then count the 4x4x4 segment grid — the classic
+    marketing-analytics cube.  Each quartile is an exact NTILE over a
+    unique (metric, cust) total order, computed by the PARALLEL
+    two-phase ranker (operators/relational.parallel_ntile) — three
+    global rankings with zero single-partition windows; the oracle
+    uses DuckDB's native NTILE, same semantics, third engine.
+    """
+    from ..operators.relational import parallel_ntile
+
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"),
+    )
+    r = parallel_ntile(base, ["last_order", "cust"], 4).select(
+        "cust", F.col("bucket").alias("r_bucket")
+    )
+    f = parallel_ntile(base, ["n_orders", "cust"], 4).select(
+        "cust", F.col("bucket").alias("f_bucket")
+    )
+    m = parallel_ntile(base, ["spend", "cust"], 4).select(
+        "cust", F.col("bucket").alias("m_bucket")
+    )
+    return (
+        r.join(f, "cust")
+        .join(m, "cust")
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
     "events_dau_wau",
     oracle="""
     WITH du AS (
