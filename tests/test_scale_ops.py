@@ -212,6 +212,12 @@ def test_cosine_threshold_pairs_matches_bruteforce(spark):
     # plant a few near-duplicates so the threshold actually selects
     for dup, src in ((40, 3), (41, 17)):
         vecs[dup] = [x + rng.gauss(0, 0.01) for x in vecs[src]]
+    # and two ZERO vectors: the degenerate case (NaN cosine) both
+    # backends must DROP identically (the round-4 ADVICE divergence —
+    # numpy's IEEE compare drops NaN, Spark SQL's ordering keeps it;
+    # the operator filters zero norms up front in both paths)
+    vecs[42] = [0.0] * 8
+    vecs[43] = [0.0] * 8
 
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
@@ -222,7 +228,7 @@ def test_cosine_threshold_pairs_matches_bruteforce(spark):
     expected = {
         (a, b)
         for a, b in itertools.combinations(sorted(vecs), 2)
-        if cos(vecs[a], vecs[b]) >= 0.6
+        if any(vecs[a]) and any(vecs[b]) and cos(vecs[a], vecs[b]) >= 0.6
     }
     assert expected, "test needs at least one qualifying pair"
 
