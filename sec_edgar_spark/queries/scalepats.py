@@ -956,6 +956,92 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_market_basket",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+    supp AS (
+      SELECT l_partkey, COUNT(*) AS part_support FROM li GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.pair_support,
+      CAST(p.pair_support AS DOUBLE) * n.n
+        / (sa.part_support * sb.part_support) AS lift
+    FROM pairs p
+    CROSS JOIN n_orders n
+    JOIN supp sa ON p.part_a = sa.l_partkey
+    JOIN supp sb ON p.part_b = sb.l_partkey
+    WHERE p.pair_support >= 3
+    ORDER BY p.pair_support DESC, lift DESC, p.part_a, p.part_b
+    LIMIT 25
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-occurring in an order, with
+    lift = P(a,b) / (P(a)·P(b)) — the co-occurrence/association
+    primitive (the text twin is text_bigram_pmi; same algebra, item
+    space instead of token space).  The pair join is keyed on the
+    ORDER (bounded fan-out: k lines → k(k-1)/2 pairs per order, never
+    a corpus-wide cross), the supports broadcast back onto the pair
+    counts, and lift divides exact BIGINT products in double.
+    Support-3 prune before the top-k; total-order tiebreak.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    supp = li.groupBy("l_partkey").agg(F.count("*").alias("part_support"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= 3)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_support").alias("sa"),
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_support").alias("sb"),
+    )
+    out = (
+        pairs.join(broadcast(sa), "part_a")
+        .join(broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            (
+                F.col("pair_support").cast("double")
+                * n_orders
+                / (F.col("sa") * F.col("sb"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("pair_support"), F.desc("lift"), "part_a", "part_b"
+    ).limit(25)
+
+
+@query(
     "events_dau_wau",
     oracle="""
     WITH du AS (
