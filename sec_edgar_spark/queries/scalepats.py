@@ -1042,6 +1042,93 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_top_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts >= LAG(ts) OVER w + INTERVAL 1800 SECOND
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, sid,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: each 30-min session becomes its ordered
+    event-type sequence ('view>click>purchase'), counted corpus-wide —
+    sequential pattern mining at the session grain (the funnel family
+    generalized from one fixed pattern to ALL observed patterns).
+
+    Order inside a path is pinned by sorting collected (ts, event_id,
+    type) structs — array_sort on structs compares field-by-field, so
+    the concatenation is deterministic under any aggregation order
+    (collect_list alone would not be; DuckDB's ordered string_agg is
+    the oracle twin).  Sessionization reuses the lag→flag→cumsum
+    composition; per-user windows, corpus-wide path counts partial-
+    aggregate, top-15 with a total-order tiebreak.
+    """
+    from ..functions.scalars import epoch_s
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_s("ts") - epoch_s(F.lag("ts").over(w)) >= 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_start").over(wrun).alias("sid"),
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.array_join(
+                F.transform("steps", lambda s: s["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )
+
+
+@query(
     "events_dau_wau",
     oracle="""
     WITH du AS (
