@@ -1292,3 +1292,56 @@ def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (F.col("logit_centi") > 0).alias("keep"),
     )
+
+
+@query(
+    "text_lang_source_drift",
+    oracle="""
+    WITH obs AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    row_t AS (SELECT source, SUM(n) AS rn FROM obs GROUP BY source),
+    col_t AS (SELECT lang, SUM(n) AS cn FROM obs GROUP BY lang),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT o.source, o.lang, o.n,
+      CAST(r.rn * c.cn AS DOUBLE) / t.t AS expected,
+      (CAST(o.n AS DOUBLE) - CAST(r.rn * c.cn AS DOUBLE) / t.t)
+        * (CAST(o.n AS DOUBLE) - CAST(r.rn * c.cn AS DOUBLE) / t.t)
+        / (CAST(r.rn * c.cn AS DOUBLE) / t.t) AS chi2_contrib
+    FROM obs o
+    JOIN row_t r ON o.source = r.source
+    JOIN col_t c ON o.lang = c.lang
+    CROSS JOIN tot t
+    """,
+)
+def text_lang_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix drift across corpus sources: the chi-square
+    contribution of every (source, lang) cell against the
+    independence expectation — the categorical drift detector a
+    mixture-monitoring pipeline runs per ingest batch (a cell whose
+    contribution spikes is a source whose language mix shifted).  All
+    inputs to the float arithmetic are exact BIGINT counts (one
+    contingency aggregate + marginals broadcast back), so expected and
+    contribution are bit-identical in both engines — a replayable
+    statistical test, same discipline as the HLL estimate.
+    """
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    row_t = obs.groupBy("source").agg(F.sum("n").alias("rn"))
+    col_t = obs.groupBy("lang").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    expected = (F.col("rn") * F.col("cn")).cast("double") / F.col("t")
+    dev = F.col("n").cast("double") - expected
+    return (
+        obs.join(F.broadcast(row_t), "source")
+        .join(F.broadcast(col_t), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n",
+            expected.alias("expected"),
+            (dev * dev / expected).alias("chi2_contrib"),
+        )
+    )
