@@ -104,15 +104,19 @@ def daily_idx_date(d: Column | str) -> Column:
 
 
 def parse_idx_date(s: Column | str) -> Column:
-    """C8 inverse — normalize either idx date shape (``yyyy-MM-dd`` in
-    quarterly rows, ``yyyyMMdd`` in daily rows) to DateType (SURVEY §1.2).
+    """C8 inverse — normalize any idx date shape (``yyyy-MM-dd`` in
+    quarterly rows, ``yyyyMMdd`` in daily rows, ``MM-dd-yyyy`` in the
+    pre-1998 daily era) to DateType (SURVEY §1.2).
     """
     c = F.col(s) if isinstance(s, str) else s
     # try_to_date (not to_date): under ANSI mode a format mismatch must
-    # yield NULL so the coalesce can try the next shape.
+    # yield NULL so the coalesce can try the next shape.  MM-dd-yyyy
+    # goes last — it can never false-match the first two (a yyyy-MM-dd
+    # string fails its month field; a yyyyMMdd string has no dashes).
     return F.coalesce(
         F.try_to_date(c, "yyyy-MM-dd"),
         F.try_to_date(c, "yyyyMMdd"),
+        F.try_to_date(c, "MM-dd-yyyy"),
     )
 
 

@@ -35,13 +35,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+# h1,h2 < 2^56 (14 hex chars), so h1 + i*h2 stays below 2^63 for every
+# i <= _MAX_K - 1 — no BIGINT overflow under Spark 4 ANSI mode for any
+# accepted k (with 60-bit halves the sum overflowed at i >= 8).
+_MAX_K = 64
+
+
+def _check_k(k: int) -> None:
+    if not 1 <= k <= _MAX_K:
+        raise ValueError(
+            f"k must be in 1..{_MAX_K} (got {k}): h1 + (k-1)*h2 with "
+            f"56-bit hashes must stay below 2^63"
+        )
+
+
 def _h1h2(key: Column) -> tuple[Column, Column]:
-    """Two independent 60-bit non-negative hashes from one md5."""
+    """Two independent 56-bit non-negative hashes from one md5."""
     hx = F.md5(key.cast("string"))
-    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint")
+    h1 = F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint")
     # Force h2 odd so the k probe positions never collapse onto one
     # position (classic double-hashing degeneracy when h2 = 0 mod m).
-    h2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("bigint").bitwiseOR(
+    h2 = F.conv(F.substring(hx, 17, 14), 16, 10).cast("bigint").bitwiseOR(
         F.lit(1)
     )
     return h1, h2
@@ -65,6 +79,7 @@ def bloom_build(
     """
     if n_bits % 64:
         raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    _check_k(k)
     n_words = n_bits // 64
     h1, h2 = _h1h2(F.col(key_col))
     pos = F.explode(
@@ -101,6 +116,7 @@ def bloom_might_contain(
     """Boolean Column: true iff all k bit positions of ``key`` are set
     in ``words_col`` (an array<long> from :func:`bloom_build`).  Pure
     codegen expressions — runs inside the scan stage."""
+    _check_k(k)
     h1, h2 = _h1h2(key)
 
     def bit_set(i):

@@ -45,8 +45,29 @@ def compact_parquet(
     """Rewrite the parquet directory at ``path`` into
     ``ceil(total_bytes / target_bytes)`` files (floor 1).  Returns the
     new file count.  Uses write-to-staging + swap so a failed rewrite
-    never destroys the source; readers between swap steps see the old
-    or the new layout, never a mix."""
+    never destroys the source; readers never see a MIX of old and new
+    files, but there IS a brief window between the two renames where no
+    directory exists at ``path`` (plain filesystems have no atomic
+    directory exchange — concurrent readers should retry, or use a
+    table format with snapshot isolation).  Crash recovery: a crash
+    after the first rename leaves the data intact at ``.pre-compact``;
+    this function restores it on the next run (stale ``.compacting``
+    staging is discarded, a stale backup is moved back before
+    compacting resumes)."""
+    staging = path.rstrip("/") + ".compacting"
+    backup = path.rstrip("/") + ".pre-compact"
+    # Recover from a previous crashed run FIRST (path may not even
+    # exist yet): a leftover backup means the crash hit between the two
+    # renames — the backup IS the data; restore it.  Leftover staging
+    # is a partial write — discard it (the overwrite below would also
+    # fail on it via rename collision on some filesystems).
+    if os.path.isdir(backup):
+        if os.path.isdir(path):
+            shutil.rmtree(backup)  # swap completed; backup is residue
+        else:
+            os.rename(backup, path)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
     partition_dirs = [
         d
         for d in os.listdir(path)
@@ -62,8 +83,6 @@ def compact_parquet(
     n_out = max(1, -(-total // target_bytes))
     if n_files <= n_out:
         return n_files
-    staging = path.rstrip("/") + ".compacting"
-    backup = path.rstrip("/") + ".pre-compact"
     df = spark.read.parquet(path)
     # coalesce, not repartition: no shuffle — input splits merge 1:N
     df.coalesce(n_out).write.mode("overwrite").parquet(staging)

@@ -997,7 +997,12 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    # Order count stays IN the plan as a broadcast 1-row aggregate (the
+    # repo-wide scalar-subquery pattern; its own oracle does CROSS JOIN
+    # n_orders) — no eager driver-side .count() job per invocation.
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
     supp = li.groupBy("l_partkey").agg(F.count("*").alias("part_support"))
     a = li.alias("a")
     b = li.alias("b")
@@ -1022,16 +1027,20 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"),
         F.col("part_support").alias("sb"),
     )
+    # No broadcast hints on sa/sb: at bench scale AQE broadcasts them
+    # anyway, and at 100x the per-part support dim is corpus-sized —
+    # forcing the hint there would OOM the build side (VERDICT r5 #2).
     out = (
-        pairs.join(broadcast(sa), "part_a")
-        .join(broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
             "pair_support",
             (
                 F.col("pair_support").cast("double")
-                * n_orders
+                * F.col("n_orders")
                 / (F.col("sa") * F.col("sb"))
             ).alias("lift"),
         )
@@ -1082,11 +1091,14 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition; per-user windows, corpus-wide path counts partial-
     aggregate, top-15 with a total-order tiebreak.
     """
-    from ..functions.scalars import epoch_s
-
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Full-precision timestamp comparison (ts >= lag + 30min), matching
+    # the oracle's INTERVAL arithmetic exactly on microsecond-typed ts;
+    # a second-truncated epoch delta would disagree with the oracle on
+    # sub-second gap boundaries (ADVICE r5).  Same convention as
+    # events_session_native.
     marked = e.select(
         "user_id",
         "ts",
@@ -1094,7 +1106,10 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (epoch_s("ts") - epoch_s(F.lag("ts").over(w)) >= 1800),
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 1800 SECONDS")
+            ),
             1,
         )
         .otherwise(0)

@@ -49,11 +49,11 @@ _DATE_RAW_RE = _re.compile(r"^[0-9-]+$")
 
 
 def _parse_date(tok: str) -> _dt.date | None:
-    """Twin of functions/scalars.parse_idx_date: ONLY the two idx date
-    shapes (quarterly yyyy-MM-dd, daily yyyyMMdd); anything else is
-    NULL — the row is still kept, exactly like the batch path's
-    try_to_date coalesce."""
-    for fmt in ("%Y-%m-%d", "%Y%m%d"):
+    """Twin of functions/scalars.parse_idx_date: the three idx date
+    shapes (quarterly yyyy-MM-dd, daily yyyyMMdd, pre-1998 daily
+    MM-dd-yyyy); anything else is NULL — the row is still kept,
+    exactly like the batch path's try_to_date coalesce."""
+    for fmt in ("%Y-%m-%d", "%Y%m%d", "%m-%d-%Y"):
         try:
             return _dt.datetime.strptime(tok, fmt).date()
         except ValueError:

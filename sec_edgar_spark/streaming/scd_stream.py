@@ -48,21 +48,65 @@ def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_dim(spark: SparkSession, root: str) -> DataFrame:
-    """The full dimension: immutable history ∪ current snapshot."""
-    return _read_or_empty(spark, f"{root}/closed").unionByName(
-        _read_or_empty(spark, f"{root}/current")
-    )
+    """The full dimension: immutable history ∪ current snapshot.
 
-
-def scd2_upsert_batch(spark: SparkSession, root: str, batch: DataFrame) -> None:
-    """One merge round: read the current snapshot, merge the delta,
-    append newly-closed rows, replace the snapshot.  Idempotence note:
-    replaying a batch re-appends its closed rows — production pairs
-    this with the idempotent loader's batch-id dedup
-    (streaming/parquet_sink.py); the parity test exercises the
-    exactly-once path Structured Streaming provides via checkpointing.
+    Closed rows are deduped on their natural key (user_id, valid_from):
+    a crash between the closed append and the current overwrite leaves
+    one batch's closed rows appended twice (the replayed merge re-emits
+    them); they are bit-identical, so first-wins dedup restores
+    exactly-once semantics on read.
     """
+    closed = _read_or_empty(spark, f"{root}/closed").dropDuplicates(
+        ["user_id", "valid_from"]
+    )
+    return closed.unionByName(_read_or_empty(spark, f"{root}/current"))
+
+
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _last_batch_id(root: str) -> int | None:
+    try:
+        with open(os.path.join(root, _BATCH_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_batch_marker(root: str, batch_id: int) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".{_BATCH_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, os.path.join(root, _BATCH_MARKER))
+
+
+def scd2_upsert_batch(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    batch_id: int | None = None,
+) -> None:
+    """One merge round: read the current snapshot, merge the delta,
+    append newly-closed rows, replace the snapshot.
+
+    Exactly-once under foreachBatch's at-least-once delivery: the
+    last-processed ``batch_id`` is persisted in ``<root>/_last_batch_id``
+    (written atomically AFTER both parquet writes land), and a replayed
+    batch with ``batch_id <= last`` is skipped.  Without the skip, a
+    crash-replay would both re-append closed rows AND re-merge a delta
+    that is no longer strictly newer than the already-advanced
+    ``current/`` snapshot — violating scd2_merge's precondition and
+    corrupting intervals (valid_to < valid_from).  Callers outside a
+    stream may omit ``batch_id`` to get plain (non-idempotent) merge.
+    """
+    if batch_id is not None:
+        last = _last_batch_id(root)
+        if last is not None and batch_id <= last:
+            return
     if batch.isEmpty():
+        if batch_id is not None:
+            _write_batch_marker(root, batch_id)
         return
     current = _read_or_empty(spark, f"{root}/current")
     merged = scd2_merge(current, batch).select(*COLS)
@@ -75,6 +119,15 @@ def scd2_upsert_batch(spark: SparkSession, root: str, batch: DataFrame) -> None:
     merged.filter(F.col("is_current")).write.mode("overwrite").parquet(
         f"{root}/current"
     )
+    if batch_id is not None:
+        # Marker lands last: a crash before this point replays the batch
+        # (skip check fails) — but the replay is then the FIRST effective
+        # apply, because current/ is only advanced together with closed/
+        # in this same call.  A crash between the two parquet writes
+        # leaves an extra closed append that the replayed merge re-emits;
+        # dedup on read handles that residue (closed rows are unique on
+        # (user_id, valid_from)).
+        _write_batch_marker(root, batch_id)
 
 
 def run_scd2_maintenance(
@@ -87,8 +140,8 @@ def run_scd2_maintenance(
     event_id) into the split-layout SCD2 store via foreachBatch."""
     spark = events.sparkSession
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        scd2_upsert_batch(spark, root, batch_df)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_upsert_batch(spark, root, batch_df, batch_id=batch_id)
 
     return (
         events.writeStream.foreachBatch(_sink)

@@ -100,3 +100,29 @@ def test_bloom_bits_multiple_of_64_required(spark):
     keys = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         bloom_build(keys, "k", n_bits=100, k=3)
+
+
+def test_bloom_k_validated(spark):
+    keys = spark.range(3).select(F.col("id").alias("k"))
+    for bad in (0, -1, 65):
+        with pytest.raises(ValueError):
+            bloom_build(keys, "k", n_bits=1 << 10, k=bad)
+        with pytest.raises(ValueError):
+            bloom_might_contain(F.col("k"), F.col("w"), 1 << 10, bad)
+
+
+def test_bloom_high_k_no_overflow(spark):
+    """k >= 9 must execute under Spark 4 ANSI mode: with the old 60-bit
+    hash halves, h1 + i*h2 overflowed BIGINT at i >= 8 (ADVICE r5);
+    the 56-bit halves keep every accepted k in range."""
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    for k in (9, 16, 64):
+        bloom = bloom_build(keys, "k", n_bits=1 << 14, k=k)
+        hits = (
+            keys.crossJoin(F.broadcast(bloom))
+            .filter(
+                bloom_might_contain(F.col("k"), F.col("words"), 1 << 14, k)
+            )
+            .count()
+        )
+        assert hits == 200  # still no false negatives

@@ -28,3 +28,22 @@ def test_no_hard_antipatterns_anywhere(spark):
         ) and name not in PY_UDF_WHITELIST:
             errors.append(f"{name}: python UDF outside whitelist")
     assert not errors, errors
+
+
+def test_plan_audit_report_is_current():
+    """PLAN_AUDIT.md must cover the FULL registry at HEAD — a stale
+    report (regenerated before the last queries landed) silently
+    under-audits.  The report's own header states its query count;
+    pin it to len(queries())."""
+    import re
+
+    import sec_edgar_spark.queries as Q
+
+    with open("PLAN_AUDIT.md") as fh:
+        head = fh.read(500)
+    m = re.search(r"(\d+) queries audited", head)
+    assert m, "PLAN_AUDIT.md missing the 'N queries audited' header"
+    assert int(m.group(1)) == len(Q.queries()), (
+        f"PLAN_AUDIT.md audited {m.group(1)} queries but the registry "
+        f"has {len(Q.queries())} — regenerate: python tools/plan_audit.py"
+    )

@@ -34,7 +34,10 @@ PY_UDF_WHITELIST: set[str] = {
 }
 
 # Queries where an empty-partition window is over a provably tiny
-# frame (day spine, offsets, merge trajectories), not the data.
+# frame (day spine, offsets, merge trajectories, post-limit top-k),
+# not the data.  (The P-row offsets window of the two-phase ranker is
+# whitelisted STRUCTURALLY below — by its `_pid` order key — so it
+# needs no entries here.)
 TINY_WINDOW_WHITELIST: set[str] = {
     "a3_running_count",       # reference semantics: single-file order
     "sort_global_order",      # the global-sort query itself
@@ -43,6 +46,20 @@ TINY_WINDOW_WHITELIST: set[str] = {
     "text_phrase_merge",      # 3-row merge trajectory
     "agg_equidepth_ntile",    # P-row offsets frame
     "edgar_company_pagination",  # bounded page spine
+    # lloyd_fit's centroid seeding numbers a limit(k) frame (k rows,
+    # broadcast-sized) — operators/kmeans.py:56,167
+    "ml_kmeans_assign",
+    "ann_ivf_trained",
+    "ann_pq_adc_topk",
+    "dedup_semantic",
+    "ml_cluster_quality",
+    "ann_recall_eval",
+    # rank over the top-20 frame AFTER orderBy().limit(20) — a 20-row
+    # window (queries/textops.py text_bm25_search)
+    "text_bm25_search",
+    # A3-composed running count: reference single-file order semantics
+    # (documented partitioned variant exists)
+    "edgar_index_pipeline",
 }
 
 
@@ -85,16 +102,46 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
         for line in plan.splitlines():
             stripped = line.lstrip(" +-:*")
             if stripped.startswith("Window "):
-                depth = groups = 0
+                # Collect the TOP-LEVEL bracket groups of the operator
+                # line.  WindowExec prints `Window [exprs], [part],
+                # [order]` when both specs exist, but only TWO groups
+                # when either is empty: `Window [exprs], [order]` for a
+                # global ordered window AND `Window [exprs], [part]`
+                # for a partition-only (unordered) window.  Only the
+                # former moves all rows to one task — disambiguate by
+                # the sort direction markers (ASC/DESC) every order
+                # spec carries and no partition spec does.
+                depth = 0
+                groups: list[str] = []
                 for ch in stripped:
                     if ch == "[":
                         if depth == 0:
-                            groups += 1
+                            groups.append("")
                         depth += 1
                     elif ch == "]":
                         depth -= 1
-                if groups == 2:
-                    flags["GlobalWindow"] = flags.get("GlobalWindow", 0) + 1
+                    elif depth > 0:
+                        groups[-1] += ch
+                if len(groups) == 2 and (
+                    " ASC" in groups[1] or " DESC" in groups[1]
+                ):
+                    # Structural whitelist: a global window ordered on
+                    # `_pid` is operators/relational.global_rank's
+                    # offsets cumsum — its input is the P-row
+                    # per-partition counts aggregate (P = parallelism),
+                    # never the data.  `_pid` is created and dropped
+                    # inside global_rank, so the marker can't collide
+                    # with user columns.  Tagging it separately keeps
+                    # the GlobalWindow flag's signal: any remaining
+                    # GlobalWindow is a genuinely data-sized one.
+                    if "_pid" in stripped:
+                        flags["OffsetsWindowP"] = (
+                            flags.get("OffsetsWindowP", 0) + 1
+                        )
+                    else:
+                        flags["GlobalWindow"] = (
+                            flags.get("GlobalWindow", 0) + 1
+                        )
         rows.append((name, flags))
     return rows
 
@@ -102,7 +149,13 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     rows = audit(sf_dir)
-    clean = sum(1 for _, f in rows if not f)
+    # OffsetsWindowP is informational (structurally-tiny P-row frame,
+    # see audit()) — it does not count against cleanliness.
+    clean = sum(
+        1
+        for _, f in rows
+        if not {k for k in f if k != "OffsetsWindowP"}
+    )
     lines = [
         "# PLAN_AUDIT — physical-plan anti-pattern scan",
         "",
