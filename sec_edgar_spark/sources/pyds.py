@@ -237,6 +237,18 @@ class FilingTreeDataSource(DataSource):
         return FilingTreeWriter(self.options)
 
 
+def manifest_files(root: str) -> list[str]:
+    """The committed files of a filing_tree write — the all-or-nothing
+    reader view.  Orphan files from failed/zombie task attempts may
+    exist on disk (a task that died after writing but before returning
+    its commit message never reaches ``commit``), but they are never
+    listed in ``_MANIFEST``; readers that key on this list skip them.
+    Raises FileNotFoundError when no commit has completed — a tree
+    without a manifest is an uncommitted (failed) write."""
+    with open(os.path.join(root, "_MANIFEST")) as fh:
+        return [ln for ln in fh.read().splitlines() if ln]
+
+
 def register_writer(spark) -> None:
     spark.dataSource.register(FilingTreeDataSource)
 

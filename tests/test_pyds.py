@@ -106,6 +106,83 @@ def test_filing_tree_writer_two_phase(registered, tmp_path):
     assert len(manifest) == 2 and apple in manifest
 
 
+def test_filing_tree_task_retry_orphans_excluded(tmp_path):
+    """Exactly-once under task retry (VERDICT r5 #6): a task attempt
+    that dies AFTER writing files but BEFORE returning its commit
+    message leaves orphans on disk; only the successful attempts'
+    messages reach commit(), so _MANIFEST — the reader view
+    (manifest_files) — lists exactly the committed files and excludes
+    every orphan.  Exercises the DataSource two-phase contract at the
+    API level (Spark discards a failed attempt's message and re-invokes
+    write() on the same rows; commit() sees one message per task)."""
+    from pyspark.sql import Row
+
+    from sec_edgar_spark.sources.pyds import (
+        FilingTreeWriter,
+        manifest_files,
+    )
+
+    root = str(tmp_path / "tree")
+    os.makedirs(root)
+    w = FilingTreeWriter({"path": root})
+    t0 = [
+        Row(
+            cik=1, form_type="10-K", accession_number="acc-1", content="a"
+        ),
+        Row(
+            cik=1, form_type="10-K", accession_number="acc-2", content="b"
+        ),
+    ]
+    t1 = [
+        Row(cik=2, form_type="10-Q", accession_number="acc-3", content="c")
+    ]
+
+    # uncommitted manifest read = failed write, loudly
+    with pytest.raises(FileNotFoundError):
+        manifest_files(root)
+
+    # attempt 1 of task 0: writes its first file, then the executor
+    # dies mid-iteration — no commit message ever returned
+    class _Boom(RuntimeError):
+        pass
+
+    def poisoned():
+        yield t0[0]
+        raise _Boom("injected task failure")
+
+    with pytest.raises(_Boom):
+        w.write(poisoned())
+    orphan = os.path.join(root, "1", "10-K", "acc-1.txt")
+    assert os.path.exists(orphan)  # the orphan is on disk...
+
+    # ...plus a zombie straggler from some long-dead attempt that the
+    # retry will NOT rewrite (e.g. the task's row set was re-planned)
+    zombie = os.path.join(root, "1", "10-K", "zombie.txt")
+    with open(zombie, "w") as fh:
+        fh.write("stale")
+
+    # retry of task 0 reprocesses the SAME rows and succeeds; task 1
+    # succeeds first try; only these two messages reach commit()
+    m0 = w.write(iter(t0))
+    m1 = w.write(iter(t1))
+    w.commit([m0, m1])
+
+    committed = manifest_files(root)
+    assert sorted(committed) == sorted(
+        [
+            os.path.join(root, "1", "10-K", "acc-1.txt"),
+            os.path.join(root, "1", "10-K", "acc-2.txt"),
+            os.path.join(root, "2", "10-Q", "acc-3.txt"),
+        ]
+    )
+    # the zombie exists on disk but is invisible to manifest readers
+    assert os.path.exists(zombie)
+    assert zombie not in committed
+    # deterministic paths: the retried file was overwritten in place
+    # with the same content, so the orphan IS the committed file
+    assert open(orphan).read() == "a"
+
+
 def test_streaming_source_picks_up_new_days(registered, tmp_path):
     """edgar_index_stream: each new date-named idx file arrives as a
     micro-batch exactly once; the offset is the max processed name."""

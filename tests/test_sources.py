@@ -97,3 +97,92 @@ def test_company_concept_long_table(spark, data_dir):
     assert concept.dtypes == facts.dtypes
     assert dict(facts.dtypes)["val"] == "decimal(24,4)"
     assert facts.unionByName(concept).count() == 6
+
+
+def test_xbrl_tri_surface_schema_parity(spark, tmp_path):
+    """S8/S9/S10 property (VERDICT r5 #7): the THREE XBRL fact surfaces
+    — companyfacts, companyconcept, frames — built from the SAME
+    underlying facts yield union-compatible schemas (identical dtypes
+    on every shared column, unionByName(allowMissingColumns) succeeds)
+    and agree on the shared (cik, taxonomy, tag, unit, val) tuples.
+    Values include the edge magnitudes the decimal(24,4) contract
+    exists for: integer cents beyond double's 2^53 and negatives."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    facts = [
+        # (cik, entity, taxonomy, tag, unit, val, fy, fp, form, filed, accn, frame)
+        (320193, "Apple Inc.", "us-gaap", "Revenues", "USD",
+         123456789012345678.0, 2023, "FY", "10-K", "2023-11-03",
+         "0000320193-23-000106", "CY2023"),
+        (320193, "Apple Inc.", "us-gaap", "Revenues", "USD",
+         -987654321.25, 2022, "FY", "10-K", "2022-10-28",
+         "0000320193-22-000108", "CY2022"),
+        (789019, "MICROSOFT CORP", "us-gaap", "Revenues", "USD",
+         0.0001, 2023, "FY", "10-K", "2023-07-27",
+         "0000789019-23-000014", "CY2023"),
+    ]
+
+    # ---- render the three payload shapes from the one fact set ----
+    def unit_row(f):
+        return {"val": f[5], "fy": f[6], "fp": f[7], "form": f[8],
+                "filed": f[9], "accn": f[10], "frame": f[11]}
+
+    cf_dir = tmp_path / "cf"; cf_dir.mkdir()
+    cc_dir = tmp_path / "cc"; cc_dir.mkdir()
+    fr_dir = tmp_path / "fr"; fr_dir.mkdir()
+    for cik in {f[0] for f in facts}:
+        mine = [f for f in facts if f[0] == cik]
+        # companyfacts: facts.{taxonomy}.{tag}.units.{unit} = [rows]
+        tree = {}
+        for f in mine:
+            tree.setdefault(f[2], {}).setdefault(
+                f[3], {"units": {}}
+            )["units"].setdefault(f[4], []).append(unit_row(f))
+        (cf_dir / f"CIK{cik}.json").write_text(json.dumps(
+            {"cik": cik, "entityName": mine[0][1], "facts": tree}))
+        # companyconcept: one (taxonomy, tag) branch hoisted to top
+        units = {}
+        for f in mine:
+            units.setdefault(f[4], []).append(unit_row(f))
+        (cc_dir / f"CIK{cik}.json").write_text(json.dumps(
+            {"cik": cik, "entityName": mine[0][1], "taxonomy": mine[0][2],
+             "tag": mine[0][3], "label": "Revenues",
+             "units": units}))
+    # frames: one payload per (frame), data = per-company rows
+    for frame in {f[11] for f in facts}:
+        mine = [f for f in facts if f[11] == frame]
+        (fr_dir / f"{frame}.json").write_text(json.dumps(
+            {"taxonomy": "us-gaap", "tag": "Revenues", "uom": "USD",
+             "ccp": frame,
+             "data": [{"cik": f[0], "entityName": f[1], "val": f[5],
+                       "end": "2023-09-30"} for f in mine]}))
+
+    cf = read_company_facts(spark, str(cf_dir / "*.json"))
+    cc = read_company_concept(spark, str(cc_dir / "*.json"))
+    fr = read_frames(spark, str(fr_dir / "*.json"))
+
+    # schema parity: every shared column name has the identical dtype
+    schemas = {"facts": dict(cf.dtypes), "concept": dict(cc.dtypes),
+               "frames": dict(fr.dtypes)}
+    for a in schemas:
+        for b in schemas:
+            shared = set(schemas[a]) & set(schemas[b])
+            for col in shared:
+                assert schemas[a][col] == schemas[b][col], (
+                    f"{col}: {a}={schemas[a][col]} {b}={schemas[b][col]}")
+    # facts and concept are the SAME surface
+    assert cf.columns == cc.columns
+
+    # union-compatibility in both directions
+    u = cf.unionByName(cc, allowMissingColumns=True).unionByName(
+        fr, allowMissingColumns=True)
+    assert u.count() == cf.count() + cc.count() + fr.count()
+
+    # value parity on the shared tuple space
+    key = ["cik", "taxonomy", "tag", "unit", "val"]
+    tup = lambda df: sorted(
+        (r.cik, r.taxonomy, r.tag, r.unit, str(r.val))
+        for r in df.select(*key).collect())
+    assert tup(cf) == tup(cc) == tup(fr)
