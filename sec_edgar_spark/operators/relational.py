@@ -53,9 +53,18 @@ def salted_aggregate(
     ``aggs`` maps output column → (input column, fn) where fn is an
     algebraic agg ('sum'/'count'/'min'/'max').  Phase 1 groups on
     (key, salt) so a hot key's rows spread over ``salt_buckets``
-    reducers; phase 2 merges the partials per key.  AQE's skew handling
-    covers joins; this is the groupBy-side analog for pathological keys
-    (e.g. one CIK with 10^8 filings).
+    reducers; phase 2 merges the partials per key.
+
+    When to use — measured honestly (tools/skew_probe.py, SCALE.md r6:
+    80M rows, one key = 50%): for ALGEBRAIC aggs the plain groupBy WINS
+    (6.5x) — hash aggregation's map-side combine already collapses each
+    mapper's hot-key rows to one partial row, so the shuffle never sees
+    the skew; Catalyst's distinct rewrite likewise re-keys
+    count_distinct's phase 1 on (key, value).  Salting earns its
+    shuffle only when partials stay row-sized — collect_list /
+    array-building states (pre-split with phase-1 salt, flatten in
+    phase 2) — or when the skewed key feeds a JOIN (salted_join, which
+    won 2.4x on the same data).
     """
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     phase1_aggs = []
