@@ -193,6 +193,31 @@ def shingle_sets_from_rows(sh: DataFrame, id_col: str) -> DataFrame:
     return sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh"))
 
 
+def _fused_doc_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """ONE shingle explode + ONE aggregation producing both the MinHash
+    signature (K mins) and the exact shingle set per document; cached
+    (lazily) because banding and verify both consume it."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    hashed = sh.select(
+        F.col(id_col),
+        F.col("shingle"),
+        (T.md5_hash64(F.col("shingle")) % MINHASH_P).alias("h"),
+    )
+    return hashed.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("sh"),
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        ],
+    ).cache()
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -219,19 +244,7 @@ def minhash_lsh_dedup(
     ``eager=True`` remains available for deterministic one-pass
     materialization when profiling.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
-    hashed = sh.select(
-        F.col(id_col),
-        F.col("shingle"),
-        (T.md5_hash64(F.col("shingle")) % MINHASH_P).alias("h"),
-    )
-    per_doc = hashed.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("sh"),
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
-        ],
-    ).cache()
+    per_doc = _fused_doc_frame(df, id_col, text_col, num_hashes, shingle_n)
     if eager:
         per_doc.count()
 
@@ -239,6 +252,67 @@ def minhash_lsh_dedup(
     pairs = lsh_candidate_pairs(band_df, id_col)
     sets = per_doc.select(F.col(id_col), "sh")
     return jaccard_verify(pairs, sets, id_col, threshold)
+
+
+def incremental_lsh_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric new-vs-corpus near-dup screen → verified
+    ``(new_id, corpus_id, jaccard)`` — the daily-crawl shape: which of
+    today's documents already exist (near-)verbatim in the corpus?
+
+    Why a separate operator from :func:`minhash_lsh_dedup`: the
+    symmetric pipeline candidates EVERY same-bucket pair, re-paying
+    corpus×corpus collisions on every run.  Here the band join is
+    one-directional — new bands probe corpus bands on (band, band_key)
+    — so candidate volume is bounded by |new| × bucket density, never
+    |corpus|².  IDs must be disjoint across the two frames (they are
+    different ingest generations by construction).
+
+    At 100 TB the corpus side of this join is a PERSISTED band index
+    (the (id, band, band_key) frame written once, bucketed by
+    band_key — operators/zorder.py / bucketed writes set that layout),
+    so each increment hashes only its own documents and equi-joins
+    into the index; this function expresses the same plan with both
+    sides computed fresh, which is what the correctness gate can
+    replay.
+    """
+    per_new = _fused_doc_frame(new_df, id_col, text_col, num_hashes, shingle_n)
+    per_corpus = _fused_doc_frame(
+        corpus_df, id_col, text_col, num_hashes, shingle_n
+    )
+    nb = minhash_band_keys(per_new, id_col, bands, rows_per_band).alias("n")
+    cb = minhash_band_keys(per_corpus, id_col, bands, rows_per_band).alias("c")
+    pairs = (
+        nb.join(
+            cb,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # sets from BOTH generations (ids disjoint, so one union frame
+    # serves both probe directions of jaccard_verify)
+    sets = per_new.select(F.col(id_col), "sh").unionByName(
+        per_corpus.select(F.col(id_col), "sh")
+    )
+    return (
+        jaccard_verify(pairs, sets, id_col, threshold)
+        .withColumnRenamed("id_a", "new_id")
+        .withColumnRenamed("id_b", "corpus_id")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -156,6 +156,72 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental (new-vs-corpus) LSH screen: "today's batch" = doc_id % 4
+# = 0 (a deterministic 25% slice standing in for the newest crawl
+# generation), corpus = the rest.  Same signature/banding constants as
+# the symmetric pipeline; candidates only cross the generation split.
+_INCR_LSH_SQL = f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), shingled AS (
+      SELECT doc_id, {_shingles_sql()} AS sh FROM tokd WHERE len(toks) >= 3
+    ), sigs AS (
+      SELECT doc_id, sh,
+        {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(NUM_MINHASHES))}
+      FROM shingled WHERE len(sh) > 0
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, "
+        f"md5({' || chr(58) || '.join(f'mh{b * ROWS_PER_BAND + r}::VARCHAR' for r in range(ROWS_PER_BAND))}) AS band_key "
+        f"FROM sigs"
+        for b in range(BANDS)
+      )}
+    ), candidates AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.band_key = c.band_key
+      WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+    )
+    SELECT p.new_id, p.corpus_id,
+      CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sn.sh, sc.sh))) AS jaccard
+    FROM candidates p
+    JOIN sigs sn ON p.new_id = sn.doc_id
+    JOIN sigs sc ON p.corpus_id = sc.doc_id
+    WHERE CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.2
+    """
+
+
+@query("dedup_incremental_lsh", oracle=_INCR_LSH_SQL)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: which documents of the NEWEST batch
+    (doc_id % 4 = 0, a stand-in for today's crawl generation) already
+    exist near-verbatim in the corpus (the other 75%)?
+
+    Scale shape (operators/dedup.incremental_lsh_dedup): the band join
+    is ASYMMETRIC — new bands probe corpus bands — so candidate volume
+    is |new| × bucket density, never |corpus|²; in production the
+    corpus band index is persisted bucketed-by-band_key and only the
+    increment is hashed per run.  This is the operator that keeps
+    continuous-ingest dedup O(|increment|) instead of re-running the
+    full self-join every day.
+    """
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return D.incremental_lsh_dedup(
+        d.filter(F.col("doc_id") % 4 == 0),
+        d.filter(F.col("doc_id") % 4 != 0),
+        "doc_id",
+        "text",
+        num_hashes=NUM_MINHASHES,
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=0.2,
+    )
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -449,6 +515,136 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < F.col("doc_b"))
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count("*").alias("n_shared_chunks"))
+    )
+
+
+# Span-removal constants: 16-token windows at stride 8, a span counts
+# as "memorized boilerplate" when it appears in >= 3 distinct docs.
+_SPAN_W = 16
+_SPAN_S = 8
+_SPAN_DF = 2
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), wins AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          range(0, CAST(floor((len(ts) - {_SPAN_W}) / {_SPAN_S}) AS BIGINT) + 1),
+          k -> struct_pack(
+            start := k * {_SPAN_S},
+            h := md5(array_to_string(
+              ts[k * {_SPAN_S} + 1 : k * {_SPAN_S} + {_SPAN_W}], ' '))
+          )
+        ), recursive := true) AS w
+      FROM toks WHERE len(ts) >= {_SPAN_W}
+    ), hot AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+                     FROM wins GROUP BY h)
+      WHERE df >= {_SPAN_DF}
+    ), flagged AS (
+      SELECT doc_id, start, start + {_SPAN_W} AS fin
+      FROM wins JOIN hot USING (h)
+    ), marked AS (
+      SELECT doc_id, start, fin,
+        CASE WHEN MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start
+             THEN 0 ELSE 1 END AS is_new
+      FROM flagged
+    ), islands AS (
+      SELECT doc_id, start, fin,
+        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY start, fin
+          ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, island, MIN(start) AS s, MAX(fin) AS e
+      FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+      CAST(SUM(e - s) AS BIGINT) AS tokens_cut,
+      CAST(MIN(s) AS BIGINT) AS first_span_start
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup (the Lee et al. 2021 'Deduplicating Training
+    Data' cut-list): find every {_SPAN_W}-token window whose exact text
+    recurs in >= {_SPAN_DF} distinct documents, merge overlapping
+    flagged windows per document into maximal spans, and report the
+    per-document cut list (span count, tokens removed, first offset).
+    Unlike whole-document dedup this removes the REPEATED PASSAGE while
+    keeping the host document — the modality that shrinks memorization
+    without dropping long-tail text.
+
+    Scale shape: window assembly is transform+slice inside the scan
+    (zero shuffle); the df count is one hash aggregation on the window
+    digest (map-side combined); flagged windows join back on the digest
+    (never all-pairs); span merging is a per-document window over only
+    the FLAGGED rows (interval-island cumsum — rows per doc bounded by
+    windows per doc, and only hot-window docs survive the semi-join).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("ts")).filter(
+        F.size("ts") >= _SPAN_W
+    )
+    n_wins = (
+        F.floor((F.size("ts") - _SPAN_W) / _SPAN_S).cast("bigint") + 1
+    )
+    win_arr = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_wins - 1),
+        lambda k: F.struct(
+            (k * _SPAN_S).alias("start"),
+            F.md5(
+                F.array_join(
+                    F.slice("ts", (k * _SPAN_S + 1).cast("int"), _SPAN_W),
+                    " ",
+                )
+            ).alias("h"),
+        ),
+    )
+    wins = toks.select("doc_id", F.explode(win_arr).alias("w")).select(
+        "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
+    )
+    hot = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _SPAN_DF)
+        .select("h")
+    )
+    flagged = wins.join(hot, "h").select(
+        "doc_id", "start", (F.col("start") + _SPAN_W).alias("fin")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start", "fin")
+    marked = flagged.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.when(
+            F.max("fin").over(w.rowsBetween(Window.unboundedPreceding, -1))
+            >= F.col("start"),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    islands = marked.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"), F.max("fin").alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("tokens_cut"),
+        F.min("s").alias("first_span_start"),
     )
 
 
