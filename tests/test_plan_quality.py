@@ -368,3 +368,35 @@ def test_new_scalepat_queries_plan_shapes(plans):
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
     p3 = plans("events_seasonal_anomaly")
     assert "BroadcastHashJoin" in p3
+
+
+def test_shuffle_budgets_pinned(plans):
+    """Shuffle-count ceilings for the headline shapes — at 100 TB every
+    Exchange is the dominant cost, so a refactor that silently adds one
+    (a lost broadcast, a redundant repartition, a window that stopped
+    sharing its sort) must fail CI, not surface in a bench regression
+    three rounds later.  Ceilings are the measured counts at HEAD
+    (sf0.001, AQE plans); broadcast exchanges are free-ish and not
+    capped here."""
+    import re
+
+    budgets = {
+        "q1_pricing_summary": 1,    # ONE partial+final agg shuffle
+        "q3_shipping_priority": 1,  # both dims broadcast; one agg
+        "dedup_exact": 1,           # hash groupBy only
+        "a1_group_collect": 1,
+        "events_sessionize": 1,     # per-user window shares one sort
+        "text_quality_filter": 1,
+        "edgar_index_pipeline": 1,
+        "text_fingerprint": 1,
+        "q18_large_orders": 1,      # semi-join rides the agg partition
+        "events_tumbling_daily": 2,
+        "dedup_minhash_lsh_pairs": 5,  # sig agg + band join + verify
+    }
+    over = {}
+    for name, cap in budgets.items():
+        p = plans(name)
+        n = len(re.findall(r"Exchange (hash|range|Single|roundrobin)", p))
+        if n > cap:
+            over[name] = (n, cap)
+    assert not over, f"shuffle budget exceeded (got, cap): {over}"

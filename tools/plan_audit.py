@@ -142,6 +142,12 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
                         flags["GlobalWindow"] = (
                             flags.get("GlobalWindow", 0) + 1
                         )
+        # Shuffle budget: every data-moving Exchange in the plan
+        # (broadcast exchanges excluded — they move the small side
+        # once, not the data).
+        flags["_shuffles"] = len(
+            re.findall(r"Exchange (hash|range|Single|roundrobin)", plan)
+        )
         rows.append((name, flags))
     return rows
 
@@ -149,12 +155,11 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     rows = audit(sf_dir)
-    # OffsetsWindowP is informational (structurally-tiny P-row frame,
-    # see audit()) — it does not count against cleanliness.
+    # OffsetsWindowP and _shuffles are informational — only true
+    # anti-pattern flags count against cleanliness.
+    info_keys = {"OffsetsWindowP", "_shuffles"}
     clean = sum(
-        1
-        for _, f in rows
-        if not {k for k in f if k != "OffsetsWindowP"}
+        1 for _, f in rows if not {k for k in f if k not in info_keys}
     )
     lines = [
         "# PLAN_AUDIT — physical-plan anti-pattern scan",
@@ -165,8 +170,9 @@ def main() -> int:
         "|---|---|",
     ]
     for name, flags in rows:
-        if flags:
-            pretty = ", ".join(f"{k}×{v}" for k, v in sorted(flags.items()))
+        shown = {k: v for k, v in flags.items() if k != "_shuffles"}
+        if shown:
+            pretty = ", ".join(f"{k}×{v}" for k, v in sorted(shown.items()))
             wl = []
             if name in PY_UDF_WHITELIST:
                 wl.append("py-udf-whitelisted")
@@ -175,6 +181,31 @@ def main() -> int:
             lines.append(
                 f"| {name} | {pretty}{(' (' + ', '.join(wl) + ')') if wl else ''} |"
             )
+    # Shuffle budget: every Exchange is the dominant cost at 100 TB —
+    # record the distribution and the heaviest plans so a refactor
+    # that adds a shuffle is visible in the diff of this report (the
+    # CI twin pins hard ceilings for the headline shapes:
+    # tests/test_plan_quality.py::test_shuffle_budgets_pinned).
+    shuffles = sorted(
+        ((f.get("_shuffles", 0), n) for n, f in rows), reverse=True
+    )
+    from collections import Counter
+
+    hist = Counter(s for s, _ in shuffles)
+    lines += [
+        "",
+        "## Shuffle budget (Exchange count per plan, broadcasts excluded)",
+        "",
+        "Distribution: "
+        + ", ".join(f"{k} shuffles × {hist[k]} queries" for k in sorted(hist)),
+        "",
+        "Top plans by shuffle count:",
+        "",
+        "| query | shuffles |",
+        "|---|---|",
+    ]
+    for s, n in shuffles[:15]:
+        lines.append(f"| {n} | {s} |")
     with open("PLAN_AUDIT.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"{len(rows)} audited, {clean} clean -> PLAN_AUDIT.md")
