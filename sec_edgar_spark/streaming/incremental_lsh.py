@@ -1,0 +1,156 @@
+"""Continuous-ingest near-dup screening — the streaming twin of
+``operators/dedup.incremental_lsh_dedup``.
+
+Each micro-batch of new documents probes a PERSISTED MinHash-LSH band
+index of everything ingested before it, emits exact-Jaccard-verified
+matches, and appends its own bands + shingle sets to the index so
+later batches dedup against it.  Per-batch cost is
+O(|batch| + collisions) — the index is only ever equi-join-probed and
+appended, never rebuilt, which is what keeps a 100 TB corpus's daily
+dedup at increment scale (the batch operator's docstring carries the
+same layout argument; at cluster scale ``bands/`` is written bucketed
+by band_key so the probe join is shuffle-free on the corpus side).
+
+Store layout under ``<root>/``:
+
+- ``bands/``   parquet ``(doc_id, band, band_key)`` — the LSH index
+- ``sets/``    parquet ``(doc_id, sh: array<string>)`` — exact shingle
+  sets for verification
+- ``matches/`` parquet ``(new_id, corpus_id, jaccard)`` — appended per
+  batch; ``corpus_id < new_id`` for intra-batch pairs by construction
+  of the candidate join, so rows are unique across the run
+- ``_last_batch_id`` — exactly-once marker (streaming/exactly_once.py)
+
+Matching semantics invariant (asserted by the parity test): driving a
+corpus through in ANY wave partitioning yields exactly the pairs of
+the one-shot symmetric ``minhash_lsh_dedup`` over the full corpus —
+same band keys → same candidates, whether two docs met inside one
+batch or across the index probe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _fused_doc_frame,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_band_keys,
+)
+from .exactly_once import already_processed, write_batch_marker
+
+_BANDS_SCHEMA = "doc_id long, band int, band_key string"
+_SETS_SCHEMA = "doc_id long, sh array<string>"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def read_matches(spark: SparkSession, root: str) -> DataFrame:
+    """All verified near-dup matches so far.  dropDuplicates absorbs
+    the torn-write residue of a crash between the matches append and
+    the marker write (replays re-emit bit-identical rows)."""
+    return _read_or_empty(
+        spark, f"{root}/matches", "new_id long, corpus_id long, jaccard double"
+    ).dropDuplicates(["new_id", "corpus_id"])
+
+
+def lsh_upsert_batch(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    batch_id: int | None = None,
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> None:
+    """One ingest round: hash the batch, probe the index, verify, emit,
+    grow the index.  Write order (matches → bands → sets → marker)
+    makes every crash point recoverable: a replay reruns the whole
+    round against the PRE-batch index state only if the marker is
+    absent, and duplicate match rows are identical (read-side dedup).
+
+    Caveat the contract inherits from the index growth: if a crash
+    lands between the bands append and the marker, the replay probes an
+    index that already contains this batch's bands — its docs would
+    match themselves.  The self-match guard (new_id != corpus_id +
+    candidate direction) makes that replay emit the same rows anyway.
+    """
+    if already_processed(root, batch_id):
+        return
+    if batch.isEmpty():
+        if batch_id is not None:
+            write_batch_marker(root, batch_id)
+        return
+    per_doc = _fused_doc_frame(batch, "doc_id", "text", num_hashes, shingle_n)
+    new_bands = minhash_band_keys(per_doc, "doc_id", bands, rows_per_band)
+    new_sets = per_doc.select("doc_id", "sh")
+    corpus_bands = _read_or_empty(spark, f"{root}/bands", _BANDS_SCHEMA)
+    corpus_sets = _read_or_empty(spark, f"{root}/sets", _SETS_SCHEMA)
+
+    # cross-generation candidates: new probes corpus (one direction);
+    # != guards the torn-replay case where the index already holds
+    # this batch's own bands
+    nb = new_bands.alias("n")
+    cb = corpus_bands.alias("c")
+    cross = (
+        nb.join(
+            cb,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # intra-batch candidates: the plain symmetric bucket self-join
+    intra = lsh_candidate_pairs(new_bands, "doc_id")
+    pairs = cross.unionByName(intra).distinct()
+    sets = new_sets.unionByName(corpus_sets).dropDuplicates(["doc_id"])
+    matches = (
+        jaccard_verify(pairs, sets, "doc_id", threshold)
+        .withColumnRenamed("id_a", "new_id")
+        .withColumnRenamed("id_b", "corpus_id")
+    )
+    matches.write.mode("append").parquet(f"{root}/matches")
+    new_bands.write.mode("append").parquet(f"{root}/bands")
+    new_sets.write.mode("append").parquet(f"{root}/sets")
+    if batch_id is not None:
+        write_batch_marker(root, batch_id)
+    per_doc.unpersist()
+
+
+def run_incremental_dedup(
+    docs: DataFrame,
+    root: str,
+    checkpoint: str,
+    query_name: str = "incremental_lsh_dedup",
+    **kwargs,
+):
+    """Wire a streaming documents frame (doc_id, text) into the
+    self-growing LSH store via foreachBatch."""
+    spark = docs.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_upsert_batch(spark, root, batch_df, batch_id=batch_id, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

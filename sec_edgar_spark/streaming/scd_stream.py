@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.scd import COLS, scd2_build, scd2_merge
+from .exactly_once import already_processed, write_batch_marker
 
 _EMPTY_SCHEMA = (
     "user_id long, status string, valid_from timestamp, "
@@ -62,25 +63,6 @@ def read_dim(spark: SparkSession, root: str) -> DataFrame:
     return closed.unionByName(_read_or_empty(spark, f"{root}/current"))
 
 
-_BATCH_MARKER = "_last_batch_id"
-
-
-def _last_batch_id(root: str) -> int | None:
-    try:
-        with open(os.path.join(root, _BATCH_MARKER)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return None
-
-
-def _write_batch_marker(root: str, batch_id: int) -> None:
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, f".{_BATCH_MARKER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
-    os.replace(tmp, os.path.join(root, _BATCH_MARKER))
-
-
 def scd2_upsert_batch(
     spark: SparkSession,
     root: str,
@@ -100,13 +82,11 @@ def scd2_upsert_batch(
     corrupting intervals (valid_to < valid_from).  Callers outside a
     stream may omit ``batch_id`` to get plain (non-idempotent) merge.
     """
-    if batch_id is not None:
-        last = _last_batch_id(root)
-        if last is not None and batch_id <= last:
-            return
+    if already_processed(root, batch_id):
+        return
     if batch.isEmpty():
         if batch_id is not None:
-            _write_batch_marker(root, batch_id)
+            write_batch_marker(root, batch_id)
         return
     current = _read_or_empty(spark, f"{root}/current")
     merged = scd2_merge(current, batch).select(*COLS)
@@ -127,7 +107,7 @@ def scd2_upsert_batch(
         # leaves an extra closed append that the replayed merge re-emits;
         # dedup on read handles that residue (closed rows are unique on
         # (user_id, valid_from)).
-        _write_batch_marker(root, batch_id)
+        write_batch_marker(root, batch_id)
 
 
 def run_scd2_maintenance(
