@@ -285,6 +285,169 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sparse-cosine constants: vector space = terms with 2 <= df <= 50 (the
+# df cap bounds posting-list fan-out, same rule as the ngram index).
+_SC_DF_MIN, _SC_DF_MAX = 2, 50
+_SC_THRESHOLD = 0.3
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfv AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      HAVING COUNT(*) BETWEEN {_SC_DF_MIN} AND {_SC_DF_MAX}
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    posting AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+        CAST(n.n_docs + 1 AS DOUBLE) / (dfv.df + 1) AS idf
+      FROM tf JOIN dfv USING (term) CROSS JOIN n
+    ), norms AS (
+      SELECT doc_id,
+        sqrt(list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list(struct_pack(term := term,
+                                       v := (tf * idf) * (tf * idf)))),
+            s -> s.v)),
+          (x, y) -> x + y)) AS nrm
+      FROM posting GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        COUNT(*) AS n_shared_terms,
+        list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list(struct_pack(term := a.term,
+                                       c := a.tf * b.tf * a.idf * a.idf))),
+            s -> s.c)),
+          (x, y) -> x + y) AS dot
+      FROM posting a JOIN posting b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.n_shared_terms,
+      d.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON d.doc_a = na.doc_id
+    JOIN norms nb ON d.doc_b = nb.doc_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= {_SC_THRESHOLD}
+    """,
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity through an inverted index — the
+    sparse complement of dense ``dedup_embedding_cosine``: document
+    pairs score ONLY over shared vocabulary terms (posting-list
+    equi-join on the term), so candidate volume is Σ_t df(t)² over the
+    df-capped vocabulary, never |corpus|².  Rational idf
+    ((N+1)/(df+1)) keeps floats engine-exact; the pair dot product and
+    the norms fold their term contributions in SORTED term order
+    (array_sort → left fold) so double summation is bit-identical in
+    both engines despite Spark's nondeterministic aggregation order —
+    the same determinism rule as the Arrow cosine scorer's dim-major
+    loop.
+
+    Scale shape: tf/df are map-combined hash aggs; df caps ([2, 50])
+    bound every posting list, so the term self-join has ≤ C(50,2)
+    pairs per term; norms join back as a doc-keyed dim.  Per-pair
+    collected term lists are bounded by the smaller document's capped
+    vocabulary.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfv = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(_SC_DF_MIN, _SC_DF_MAX))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    # cached: consumed three times (norms + both sides of the term
+    # join) — without it each consumer replays the tf/df aggregations
+    # (measured 19 shuffles -> 7)
+    posting = (
+        tf.join(F.broadcast(dfv), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+            ).alias("idf"),
+        )
+        .cache()
+    )
+    fold = lambda arr, field: F.aggregate(
+        arr, F.lit(0.0), lambda acc, s: acc + s[field]
+    )
+    norms = (
+        posting.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("term"),
+                        (
+                            (F.col("tf") * F.col("idf"))
+                            * (F.col("tf") * F.col("idf"))
+                        ).alias("v"),
+                    )
+                )
+            ).alias("vs")
+        )
+        .select("doc_id", F.sqrt(fold(F.col("vs"), "v")).alias("nrm"))
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("a.term"),
+                        (
+                            F.col("a.tf")
+                            * F.col("b.tf")
+                            * F.col("a.idf")
+                            * F.col("a.idf")
+                        ).alias("c"),
+                    )
+                )
+            ).alias("cs"),
+        )
+        .select(
+            "doc_a", "doc_b", "n_shared_terms",
+            fold(F.col("cs"), "c").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SC_THRESHOLD)
+    )
+
+
 def _cms_oracle(depth: int = 4, width: int = 256) -> str:
     h = _HASH64.format(x="(j::VARCHAR || ':' || tok)")
     return f"""
