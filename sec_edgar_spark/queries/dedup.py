@@ -273,6 +273,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_hamming_oracle(bits=48, bands=4, max_hamming=6) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits)
+    )
+    chunks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS pos, "
+        f"(simhash >> {i * width}) & {mask} AS chunk FROM fp"
+        for i in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT d.doc_id, CAST(COALESCE({fp}, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+    ), chunks AS (
+      {chunks}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS fp_a,
+                      b.doc_id AS id_b, b.simhash AS fp_b
+      FROM chunks a JOIN chunks b
+        ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash near-dup pairs within Hamming distance 6, via the
+    4-chunk banded multi-index (operators/dedup.simhash_hamming_pairs
+    — the Manku et al. web-dedup shape).  Guaranteed recall for
+    distance <= 3 (pigeonhole over 4 chunks); the exact-bucket
+    ``dedup_simhash`` query is the distance-0 special case of this
+    operator.  Everything is md5-portable integers, so the oracle
+    replays fingerprints, chunk index and popcount verify exactly.
+    """
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        d, "doc_id", "text", bits=48, bands=4, max_hamming=6
+    )
+
+
 @query(
     "dedup_levenshtein_pairs",
     oracle=f"""
