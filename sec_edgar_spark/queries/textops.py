@@ -285,6 +285,121 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing constants (Schleimer et al., SIGMOD'03): token 3-gram
+# hashes, window w=4 → fingerprint density ≤ 2/(w+1); any shared run of
+# >= w + n - 1 = 6 tokens is GUARANTEED to share a fingerprint.
+_WIN_N = 3   # tokens per gram
+_WIN_W = 4   # grams per winnowing window
+_WIN_DF_MAX = 50  # hot-fingerprint cap (boilerplate guard)
+
+
+@query(
+    "text_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        list_transform(
+          range(1, len(ts) - {_WIN_N - 1} + 1),
+          i -> {_HASH64.format(x=f"ts[i] || ' ' || ts[i+1] || ' ' || ts[i+{_WIN_N - 1}]")}
+        ) AS h
+      FROM toks WHERE len(ts) >= {_WIN_N}
+    ), fps AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, len(h) - {_WIN_W - 1} + 1),
+          i -> list_min(h[i : i + {_WIN_W - 1}])
+        )) AS fp
+      FROM grams WHERE len(h) >= {_WIN_W}
+    ), posting AS (
+      SELECT doc_id, unnest(fp) AS fp FROM fps
+    ), rare AS (
+      SELECT fp FROM posting GROUP BY fp
+      HAVING COUNT(*) <= {_WIN_DF_MAX}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      COUNT(*) AS n_shared_fps
+    FROM posting a
+    JOIN rare USING (fp)
+    JOIN posting b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (Schleimer et al. 2003 — the
+    MOSS local fingerprinting scheme): hash every token 3-gram, keep
+    the MINIMUM hash of each sliding window of 4 gram hashes, dedup per
+    document.  The guarantee the stride-window chunk detector
+    (dedup_chunk_overlap) lacks: ANY shared token run of length >= 6 is
+    detected regardless of alignment, while fingerprint density stays
+    <= 2/(w+1) of the grams — position-robust AND sub-linear storage.
+
+    Scale shape: each gram hashes ONCE (the hash array builds in one
+    pass and immediately explodes to (doc, pos, h) rows — building it
+    inside a nested window lambda would re-evaluate the whole array per
+    window after projection collapse, a measured O(n²) md5 blowup);
+    the window-min then runs as a per-doc ordered frame
+    [pos, pos+w-1] — the same single per-key sort any grouped ranking
+    pays — and only winnowed survivors reach the df-capped posting
+    join.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("ts")).filter(
+        F.size("ts") >= _WIN_N + _WIN_W - 1
+    )
+    n_grams = F.size("ts") - (_WIN_N - 1)
+    gram_at = lambda i: F.md5(
+        F.concat_ws(
+            " ",
+            *[F.element_at("ts", (i + k).cast("int")) for k in range(_WIN_N)],
+        )
+    )
+    # 60-bit integer hash of each gram (md5 first 15 hex), matching
+    # functions/text.md5_hash64 and the oracle's _HASH64
+    h_at = lambda i: F.conv(F.substring(gram_at(i), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    grams = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_toks"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), n_grams), lambda i: h_at(i))
+        ).alias("pos", "h"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    wins = grams.select(
+        "doc_id",
+        "pos",
+        "n_toks",
+        F.min("h").over(wmin).alias("fp"),
+    ).filter(
+        # full windows only: last window starts at n_grams - W
+        F.col("pos") <= F.col("n_toks") - (_WIN_N - 1) - _WIN_W
+    )
+    posting = wins.select("doc_id", "fp").distinct()
+    rare = (
+        posting.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WIN_DF_MAX)
+        .select("fp")
+    )
+    a = posting.join(F.broadcast(rare), "fp")
+    b = posting.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+    )
+
+
 # Sparse-cosine constants: vector space = terms with 2 <= df <= 50 (the
 # df cap bounds posting-list fan-out, same rule as the ngram index).
 _SC_DF_MIN, _SC_DF_MAX = 2, 50
