@@ -507,3 +507,156 @@ def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# DSIR-style importance resampling (Xie et al. 2023): score each
+# document by how much its hashed-bigram distribution resembles the
+# TARGET domain (here lang='en') relative to the raw corpus.  4096
+# feature buckets; add-one smoothing; the per-feature likelihood ratio
+# is three exact double divisions (rational, no transcendentals — the
+# repo-wide oracle discipline), and the per-doc sum folds in sorted
+# bucket order so double summation is bit-identical across engines.
+_DSIR_B = 4096
+_DSIR_TARGET = "en"
+
+
+@query(
+    "curation_dsir_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {{toks}} AS ts FROM documents
+    ), big AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ), feat AS (
+      SELECT doc_id, lang,
+        CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) % {_DSIR_B} AS b
+      FROM big
+    ), docfeat AS (
+      SELECT doc_id, b, COUNT(*) AS n FROM feat GROUP BY 1, 2
+    ), tcnt AS (
+      SELECT b, COUNT(*) AS ct FROM feat
+      WHERE lang = '{_DSIR_TARGET}' GROUP BY b
+    ), rcnt AS (
+      SELECT b, COUNT(*) AS cr FROM feat GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM feat WHERE lang = '{_DSIR_TARGET}') AS nt,
+             (SELECT COUNT(*) FROM feat) AS nr
+    ), ratio AS (
+      SELECT r.b,
+        ((COALESCE(t.ct, 0) + 1) / CAST(tot.nt + {_DSIR_B} AS DOUBLE))
+          / ((r.cr + 1) / CAST(tot.nr + {_DSIR_B} AS DOUBLE)) AS rt
+      FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b CROSS JOIN tot
+    ), scored AS (
+      SELECT d.doc_id,
+        CAST(SUM(d.n) AS BIGINT) AS n_feats,
+        list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list(struct_pack(b := d.b, c := d.n * rt.rt))),
+            s -> s.c)),
+          (x, y) -> x + y) AS tot_ratio
+      FROM docfeat d JOIN ratio rt ON d.b = rt.b
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_feats, tot_ratio / n_feats AS score,
+      tot_ratio / n_feats >= 1.0 AS selected
+    FROM scored
+    """.replace("{toks}", "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"),
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): score every document
+    by the mean hashed-bigram likelihood ratio between a TARGET domain
+    (lang='en') and the raw corpus; ``selected`` marks docs that look
+    more target-like than raw (score >= 1).  The production form
+    resamples with these weights to build a target-matched pretraining
+    mix; the score column IS that sampling weight.
+
+    Scale shape: feature hashing needs NO vocabulary (one explode +
+    map-combined counts); the bucket statistics are two fixed-width
+    aggregates (4096 rows each) broadcast back onto per-doc features;
+    the corpus-size totals ride along as a broadcast 1-row aggregate.
+    Nothing in the pipeline grows with vocabulary — the reason DSIR
+    scales to web corpora where fitted-vocabulary classifiers don't.
+    Per-feature ratios are rational (add-one smoothed, three exact
+    double divisions); per-doc sums fold in sorted bucket order for
+    engine-exact doubles.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", T.tokens("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ts", i.cast("int")),
+                    F.element_at("ts", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bg"),
+    )
+    feat = big.select(
+        "doc_id", "lang", (T.md5_hash64("bg") % _DSIR_B).alias("b")
+    ).cache()
+    docfeat = feat.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    tcnt = (
+        feat.filter(F.col("lang") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    rcnt = feat.groupBy("b").agg(F.count("*").alias("cr"))
+    tot = feat.agg(
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0)
+        ).alias("nt"),
+        F.count("*").alias("nr"),
+    )
+    ratio = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                (
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("nt") + _DSIR_B).cast("double")
+                )
+                / ((F.col("cr") + 1) / (F.col("nr") + _DSIR_B).cast("double"))
+            ).alias("rt"),
+        )
+    )
+    scored = (
+        docfeat.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("b", (F.col("n") * F.col("rt")).alias("c"))
+                )
+            ).alias("cs"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, s: acc + s["c"]
+                )
+                / F.col("n_feats")
+            ).alias("score"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score",
+        (F.col("score") >= 1.0).alias("selected"),
+    )
