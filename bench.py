@@ -79,6 +79,13 @@ HEADLINE = [
     "j_bloom_prefilter",
     "events_scd2_merge",
     "events_session_native",
+    # round 6 additions: the new dedup/similarity/selection family
+    "dedup_incremental_lsh",
+    "dedup_span_removal",
+    "dedup_simhash_hamming",
+    "text_sparse_cosine_pairs",
+    "text_winnowing_pairs",
+    "curation_dsir_select",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -112,6 +119,13 @@ SCAN_PARALLELIZE = {
     "text_ngram_novelty",
     "ml_cluster_quality",
     "text_phrase_merge",
+    # round 6: all per-row CPU-heavy over documents
+    "dedup_incremental_lsh",
+    "dedup_span_removal",
+    "dedup_simhash_hamming",
+    "text_sparse_cosine_pairs",
+    "text_winnowing_pairs",
+    "curation_dsir_select",
 }
 
 
