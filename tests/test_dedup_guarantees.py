@@ -1,0 +1,225 @@
+"""Algorithmic guarantees of the round-6 dedup detectors, asserted on
+adversarially-constructed documents (not the synthetic corpus):
+
+- winnowing (Schleimer'03): ANY shared token run of length >= w+n-1
+  must share at least one fingerprint, at any alignment;
+- SimHash banded multi-index (Manku'07): any pair within Hamming
+  distance bands-1 is ALWAYS found (pigeonhole);
+- incremental LSH == symmetric LSH under any corpus split.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestWinnowingGuarantee:
+    def test_shared_run_detected_at_every_alignment(self, spark):
+        """A 6-token run (w + n - 1 = 4 + 3 - 1) pasted into otherwise
+        disjoint documents must produce a shared fingerprint wherever
+        it lands in the host."""
+        from sec_edgar_spark.queries.textops import (
+            _WIN_N,
+            _WIN_W,
+            text_winnowing_pairs,
+        )
+
+        run = "alpha bravo charlie delta echo foxtrot"  # 6 tokens
+        assert len(run.split()) == _WIN_W + _WIN_N - 1
+        filler_a = ["xa%d" % i for i in range(30)]
+        docs = [(0, " ".join(filler_a[:12]) + " " + run + " "
+                 + " ".join(filler_a[12:]))]
+        # plant the run at several alignments in distinct hosts
+        for off in range(5):
+            filler = ["y%d_%d" % (off, i) for i in range(30)]
+            body = filler[: 3 + off] + run.split() + filler[3 + off:]
+            docs.append((10 + off, " ".join(body)))
+        import sec_edgar_spark.queries.textops as TX
+
+        d = _docs(spark, docs)
+        # call the operator body directly on our frame via monkeypatched
+        # catalog: simplest is to rebuild the pipeline pieces — the
+        # query function reads the documents table, so reuse its logic
+        # through a temp-view-free private invocation
+        got = _winnow_pairs(spark, d)
+        for off in range(5):
+            assert (0, 10 + off) in got, f"run missed at offset {off}"
+
+    def test_density_bound(self, spark):
+        """Winnowed fingerprints per doc <= number of gram windows, and
+        on random-ish text lands near the 2/(w+1) density."""
+        from sec_edgar_spark.queries.textops import _WIN_N, _WIN_W
+
+        toks = ["t%d" % (i * 7919 % 1000) for i in range(400)]
+        d = _docs(spark, [(1, " ".join(toks))])
+        fps = _winnow_posting(spark, d)
+        n_fp = fps.count()
+        n_grams = 400 - (_WIN_N - 1)
+        assert n_fp <= n_grams - _WIN_W + 1
+        # density: distinct mins of overlapping windows ~ 2/(w+1);
+        # generous band to stay stable across hash choice
+        assert n_fp <= n_grams * 0.6
+
+
+def _winnow_posting(spark, d):
+    """The (doc_id, fp) posting frame of text_winnowing_pairs, applied
+    to an arbitrary documents frame."""
+    import sec_edgar_spark.queries.textops as TX
+    from sec_edgar_spark.functions import text as T
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", T.tokens("text").alias("ts")).filter(
+        F.size("ts") >= TX._WIN_N + TX._WIN_W - 1
+    )
+    n_grams = F.size("ts") - (TX._WIN_N - 1)
+    gram_at = lambda i: F.md5(
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at("ts", (i + k).cast("int"))
+                for k in range(TX._WIN_N)
+            ],
+        )
+    )
+    h_at = lambda i: F.conv(F.substring(gram_at(i), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    grams = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_toks"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), n_grams), lambda i: h_at(i))
+        ).alias("pos", "h"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            0, TX._WIN_W - 1
+        )
+    )
+    return (
+        grams.select(
+            "doc_id",
+            "pos",
+            "n_toks",
+            F.min("h").over(wmin).alias("fp"),
+        )
+        .filter(
+            F.col("pos") <= F.col("n_toks") - (TX._WIN_N - 1) - TX._WIN_W
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def _winnow_pairs(spark, d):
+    posting = _winnow_posting(spark, d)
+    a = posting
+    b = posting.select("fp", F.col("doc_id").alias("doc_b"))
+    return {
+        (r.doc_a, r.doc_b)
+        for r in (
+            a.join(b, "fp")
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+            .count()
+            .collect()
+        )
+    }
+
+
+class TestSimhashHammingGuarantee:
+    def test_identical_docs_distance_zero(self, spark):
+        from sec_edgar_spark.operators.dedup import simhash_hamming_pairs
+
+        txt = " ".join("w%d" % i for i in range(50))
+        d = _docs(spark, [(1, txt), (2, txt)])
+        rows = simhash_hamming_pairs(d, "doc_id", "text").collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+    def test_pigeonhole_recall_within_bands_minus_one(self, spark):
+        """Every pair of near-identical docs whose fingerprints differ
+        by <= bands-1 bits MUST be found.  Construct near-dups by
+        flipping a few tokens of a long doc — verify that every pair
+        the brute-force popcount puts within distance 3 appears in the
+        banded operator's output."""
+        from sec_edgar_spark.operators.dedup import (
+            simhash_fingerprints,
+            simhash_hamming_pairs,
+        )
+
+        base = ["w%d" % i for i in range(120)]
+        rows = [(0, " ".join(base))]
+        for v in range(1, 8):
+            mut = list(base)
+            mut[v] = "m%d" % v  # flip one token per variant
+            rows.append((v, " ".join(mut)))
+        d = _docs(spark, rows)
+        fps = {
+            r.doc_id: r.simhash
+            for r in simhash_fingerprints(
+                d, "doc_id", "text", bits=48
+            ).collect()
+        }
+        want = set()
+        ids = sorted(fps)
+        for i in ids:
+            for j in ids:
+                if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3:
+                    want.add((i, j))
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_hamming_pairs(
+                d, "doc_id", "text", bits=48, bands=4, max_hamming=6
+            ).collect()
+        }
+        assert want <= got, f"missed guaranteed pairs: {want - got}"
+
+    def test_k_and_band_validation(self, spark):
+        from sec_edgar_spark.operators.dedup import simhash_hamming_pairs
+
+        d = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError):
+            simhash_hamming_pairs(d, "doc_id", "text", bits=48, bands=5)
+
+
+class TestIncrementalLshEquivalence:
+    def test_any_split_reproduces_symmetric_pipeline(self, spark):
+        """new ∪ corpus run through the asymmetric operator + the
+        symmetric operator on each side separately == the symmetric
+        operator on the union (the batch analog of the streaming
+        wave-invariance test, here for one split boundary)."""
+        from sec_edgar_spark.operators.dedup import (
+            incremental_lsh_dedup,
+            minhash_lsh_dedup,
+        )
+
+        base = ["tok%d" % i for i in range(40)]
+        docs = []
+        for i in range(12):
+            mut = list(base)
+            mut[i % len(mut)] = "x%d" % i
+            docs.append((i, " ".join(mut)))
+        d = _docs(spark, docs)
+        new = d.filter(F.col("doc_id") % 2 == 0)
+        corpus = d.filter(F.col("doc_id") % 2 == 1)
+        kw = dict(num_hashes=12, bands=4, rows_per_band=3, threshold=0.2)
+        cross = {
+            frozenset((r.new_id, r.corpus_id))
+            for r in incremental_lsh_dedup(
+                new, corpus, "doc_id", "text", **kw
+            ).collect()
+        }
+        intra = {
+            frozenset((r.id_a, r.id_b))
+            for side in (new, corpus)
+            for r in minhash_lsh_dedup(side, "doc_id", "text", **kw).collect()
+        }
+        full = {
+            frozenset((r.id_a, r.id_b))
+            for r in minhash_lsh_dedup(d, "doc_id", "text", **kw).collect()
+        }
+        assert cross | intra == full
+        assert cross.isdisjoint(intra)

@@ -13,6 +13,13 @@ def plans(spark):
     sf = "/root/testdata/sf0.001"
 
     def plan(name):
+        # Materialized .cache()s from earlier tests change how the plan
+        # PRINTS (InMemoryRelation blocks re-print their stored subtree
+        # per consumer, inflating naive operator counts) without
+        # changing what executes.  Build every plan cache-cold so the
+        # assertions below see the canonical shape regardless of test
+        # ordering.
+        spark.catalog.clearCache()
         df = qs[name](spark, sf)
         return df._jdf.queryExecution().executedPlan().toString()
 
