@@ -576,7 +576,7 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Span-removal constants: 16-token windows at stride 8, a span counts
-# as "memorized boilerplate" when it appears in >= 3 distinct docs.
+# as "memorized boilerplate" when it appears in >= 2 distinct docs.
 _SPAN_W = 16
 _SPAN_S = 8
 _SPAN_DF = 2
@@ -628,8 +628,8 @@ _SPAN_DF = 2
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup (the Lee et al. 2021 'Deduplicating Training
-    Data' cut-list): find every {_SPAN_W}-token window whose exact text
-    recurs in >= {_SPAN_DF} distinct documents, merge overlapping
+    Data' cut-list): find every 16-token window whose exact text
+    recurs in >= 2 distinct documents, merge overlapping
     flagged windows per document into maximal spans, and report the
     per-document cut list (span count, tokens removed, first offset).
     Unlike whole-document dedup this removes the REPEATED PASSAGE while

@@ -383,13 +383,18 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos") <= F.col("n_toks") - (_WIN_N - 1) - _WIN_W
     )
     posting = wins.select("doc_id", "fp").distinct()
+    # NOTE: `rare` is the NON-hot side of the df cap — nearly all
+    # distinct fingerprints, i.e. corpus-sized.  No broadcast hint
+    # (AQE may still broadcast it at small SFs): forcing it would OOM
+    # at scale, the same growing-dim mistake removed from
+    # agg_market_basket in r6.  The join stays a keyed semi-join.
     rare = (
         posting.groupBy("fp")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _WIN_DF_MAX)
         .select("fp")
     )
-    a = posting.join(F.broadcast(rare), "fp")
+    a = posting.join(rare, "fp")
     b = posting.select("fp", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, "fp")

@@ -17,8 +17,9 @@ Store layout under ``<root>/``:
 - ``sets/``    parquet ``(doc_id, sh: array<string>)`` — exact shingle
   sets for verification
 - ``matches/`` parquet ``(new_id, corpus_id, jaccard)`` — appended per
-  batch; ``corpus_id < new_id`` for intra-batch pairs by construction
-  of the candidate join, so rows are unique across the run
+  batch; ``new_id < corpus_id`` for intra-batch pairs (the symmetric
+  candidate join's id_a < id_b orientation), while cross-generation
+  rows always put the NEW doc first regardless of id order
 - ``_last_batch_id`` — exactly-once marker (streaming/exactly_once.py)
 
 Matching semantics invariant (asserted by the parity test): driving a
@@ -78,14 +79,18 @@ def lsh_upsert_batch(
     """One ingest round: hash the batch, probe the index, verify, emit,
     grow the index.  Write order (matches → bands → sets → marker)
     makes every crash point recoverable: a replay reruns the whole
-    round against the PRE-batch index state only if the marker is
-    absent, and duplicate match rows are identical (read-side dedup).
+    round only if the marker is absent, and its rows are bit-identical
+    so read-side dedup absorbs them.
 
-    Caveat the contract inherits from the index growth: if a crash
-    lands between the bands append and the marker, the replay probes an
-    index that already contains this batch's bands — its docs would
-    match themselves.  The self-match guard (new_id != corpus_id +
-    candidate direction) makes that replay emit the same rows anyway.
+    Torn-replay hardening: a crash between the bands append and the
+    marker leaves this batch's own bands in the store; an unguarded
+    replay would then probe them as "corpus", emitting intra-batch
+    pairs a second time in REVERSED orientation (which ordered dedup
+    cannot collapse) and double-appending the bands.  Two guards close
+    that: the corpus side is anti-joined against the batch's own doc
+    ids before the probe (so intra pairs only ever come from the
+    symmetric id_a < id_b join), and the index reads dedup on their
+    natural keys so a double append never inflates candidate fan-out.
     """
     if already_processed(root, batch_id):
         return
@@ -96,20 +101,25 @@ def lsh_upsert_batch(
     per_doc = _fused_doc_frame(batch, "doc_id", "text", num_hashes, shingle_n)
     new_bands = minhash_band_keys(per_doc, "doc_id", bands, rows_per_band)
     new_sets = per_doc.select("doc_id", "sh")
-    corpus_bands = _read_or_empty(spark, f"{root}/bands", _BANDS_SCHEMA)
+    batch_ids = batch.select("doc_id").distinct()
+    # natural-key dedup absorbs a torn replay's double append
+    corpus_bands = (
+        _read_or_empty(spark, f"{root}/bands", _BANDS_SCHEMA)
+        .dropDuplicates(["doc_id", "band"])
+        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+    )
     corpus_sets = _read_or_empty(spark, f"{root}/sets", _SETS_SCHEMA)
 
-    # cross-generation candidates: new probes corpus (one direction);
-    # != guards the torn-replay case where the index already holds
-    # this batch's own bands
+    # cross-generation candidates: new probes corpus (one direction;
+    # the anti-join above removed any copy of this batch's own docs,
+    # so the probe can never self-match on a torn replay)
     nb = new_bands.alias("n")
     cb = corpus_bands.alias("c")
     cross = (
         nb.join(
             cb,
             (F.col("n.band") == F.col("c.band"))
-            & (F.col("n.band_key") == F.col("c.band_key"))
-            & (F.col("n.doc_id") != F.col("c.doc_id")),
+            & (F.col("n.band_key") == F.col("c.band_key")),
         )
         .select(
             F.col("n.doc_id").alias("id_a"),

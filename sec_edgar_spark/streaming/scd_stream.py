@@ -84,11 +84,31 @@ def scd2_upsert_batch(
     """
     if already_processed(root, batch_id):
         return
+    current = _read_or_empty(spark, f"{root}/current")
+    # Idempotence must hold even when the crash hit AFTER the two
+    # parquet writes but BEFORE the marker (the marker alone can't see
+    # that window): drop delta rows that are not strictly newer than
+    # the key's current open interval.  After a completed apply,
+    # current.valid_from == the key's max event ts, so a replayed
+    # batch filters to empty here and the round reduces to writing the
+    # marker; a first apply keeps every row (the strictly-newer
+    # contract).  Without this, the replayed merge would close rows at
+    # a first_ts EARLIER than the advanced valid_from — negative
+    # intervals.
+    cur_open = current.filter(F.col("is_current")).select(
+        "user_id", F.col("valid_from").alias("_cur_from")
+    )
+    batch = (
+        batch.join(cur_open, "user_id", "left")
+        .filter(
+            F.col("_cur_from").isNull() | (F.col("ts") > F.col("_cur_from"))
+        )
+        .drop("_cur_from")
+    )
     if batch.isEmpty():
         if batch_id is not None:
             write_batch_marker(root, batch_id)
         return
-    current = _read_or_empty(spark, f"{root}/current")
     merged = scd2_merge(current, batch).select(*COLS)
     # materialize: merged is consumed twice (closed + current splits)
     # and must not recompute after current/ is overwritten underneath it
@@ -100,13 +120,13 @@ def scd2_upsert_batch(
         f"{root}/current"
     )
     if batch_id is not None:
-        # Marker lands last: a crash before this point replays the batch
-        # (skip check fails) — but the replay is then the FIRST effective
-        # apply, because current/ is only advanced together with closed/
-        # in this same call.  A crash between the two parquet writes
-        # leaves an extra closed append that the replayed merge re-emits;
-        # dedup on read handles that residue (closed rows are unique on
-        # (user_id, valid_from)).
+        # Marker lands last; every earlier crash point is covered:
+        # before the closed append -> replay is a clean first apply;
+        # between the writes -> replay re-merges against the OLD
+        # current (untouched) and re-appends identical closed rows,
+        # which read_dim's (user_id, valid_from) dedup absorbs; after
+        # both writes -> the strictly-newer filter above empties the
+        # replayed delta and only the marker is (re)written.
         write_batch_marker(root, batch_id)
 
 

@@ -403,7 +403,7 @@ def test_shuffle_budgets_pinned(plans):
     over = {}
     for name, cap in budgets.items():
         p = plans(name)
-        n = len(re.findall(r"Exchange (hash|range|Single|roundrobin)", p))
+        n = len(re.findall(r"Exchange (hash|range|Single|RoundRobin)", p))
         if n > cap:
             over[name] = (n, cap)
     assert not over, f"shuffle budget exceeded (got, cap): {over}"

@@ -113,3 +113,44 @@ def test_upsert_replay_is_idempotent(spark, tmp_path):
     lsh_upsert_batch(spark, root, b2, batch_id=2)
     after = read_matches(spark, root)
     assert after.filter(F.col("new_id") == 4).count() >= 2  # hits 1 and 3
+
+
+def test_torn_replay_no_reversed_pairs_no_self_match(spark, tmp_path):
+    """Marker-less crash window (code review r6): the batch's bands
+    already landed in the store, then the marker write was lost.  The
+    replay probes an index CONTAINING its own docs — without the
+    batch-id anti-join it would emit intra-batch pairs a second time in
+    reversed orientation (un-collapsible by ordered dedup) and
+    self-matches."""
+    import os
+
+    from sec_edgar_spark.streaming.incremental_lsh import (
+        lsh_upsert_batch,
+        read_matches,
+    )
+
+    root = str(tmp_path / "store")
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b0 = spark.createDataFrame(
+        [(1, txt), (3, txt + " lambda")], "doc_id long, text string"
+    )
+    lsh_upsert_batch(spark, root, b0, batch_id=0)
+    snap = sorted(
+        (r.new_id, r.corpus_id)
+        for r in read_matches(spark, root).collect()
+    )
+    assert snap == [(1, 3)]  # intra-batch pair, id_a < id_b
+    # crash window: writes landed, marker lost
+    os.remove(os.path.join(root, "_last_batch_id"))
+    lsh_upsert_batch(spark, root, b0, batch_id=0)
+    got = sorted(
+        (r.new_id, r.corpus_id)
+        for r in read_matches(spark, root).collect()
+    )
+    assert got == snap  # no (3, 1) reversal, no (1, 1)/(3, 3)
+    # candidate fan-out stays single despite the double band append:
+    # the index read dedups on (doc_id, band)
+    b1 = spark.createDataFrame([(5, txt)], "doc_id long, text string")
+    lsh_upsert_batch(spark, root, b1, batch_id=1)
+    m5 = read_matches(spark, root).filter(F.col("new_id") == 5)
+    assert sorted(r.corpus_id for r in m5.collect()) == [1, 3]

@@ -126,6 +126,47 @@ def test_upsert_batch_replay_is_idempotent(spark, tmp_path):
     )
 
 
+def test_replay_after_writes_but_before_marker_is_noop(spark, tmp_path):
+    """The marker-less crash window (code review r6): both parquet
+    writes landed but the marker didn't.  The replayed batch passes the
+    already_processed check, so idempotence must come from the
+    strictly-newer filter — without it the re-merge would close rows at
+    a first_ts EARLIER than the advanced valid_from (negative
+    intervals)."""
+    import datetime as dt
+    import os
+
+    from sec_edgar_spark.streaming.scd_stream import scd2_upsert_batch
+
+    root = str(tmp_path / "dim3")
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    b0 = spark.createDataFrame(
+        [(1, "free", dt.datetime(2024, 1, 1), 1)], schema
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "trial", dt.datetime(2024, 1, 2), 2),
+            (1, "paid", dt.datetime(2024, 1, 3), 3),
+        ],
+        schema,
+    )
+    scd2_upsert_batch(spark, root, b0, batch_id=0)
+    scd2_upsert_batch(spark, root, b1, batch_id=1)
+    snap = _dim_snapshot(spark, root)
+    # simulate the crash window: writes committed, marker lost
+    os.remove(os.path.join(root, "_last_batch_id"))
+    scd2_upsert_batch(spark, root, b1, batch_id=1)
+    assert _dim_snapshot(spark, root) == snap
+    from sec_edgar_spark.streaming.scd_stream import read_dim
+
+    dim = read_dim(spark, root)
+    assert (
+        dim.filter(F.col("valid_to") < F.col("valid_from")).count() == 0
+    )
+    # marker restored by the replayed (now no-op) round
+    assert os.path.exists(os.path.join(root, "_last_batch_id"))
+
+
 def test_read_dim_dedups_torn_closed_append(spark, tmp_path):
     """Crash between the closed append and the current overwrite leaves
     one batch's closed rows appended twice; read_dim must first-wins

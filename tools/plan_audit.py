@@ -146,7 +146,7 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
         # (broadcast exchanges excluded — they move the small side
         # once, not the data).
         flags["_shuffles"] = len(
-            re.findall(r"Exchange (hash|range|Single|roundrobin)", plan)
+            re.findall(r"Exchange (hash|range|Single|RoundRobin)", plan)
         )
         rows.append((name, flags))
     return rows
