@@ -1070,3 +1070,96 @@ def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         ((F.col("rk") - 1).cast("double") / (F.col("n") - 1)).alias("q"),
     )
+
+
+def _ridge_oracle() -> str:
+    """Cramer's-rule ridge solve in DuckDB (HUGEINT-exact determinants,
+    one double division per weight) — mirrors operators/ridge.py
+    expression-for-expression."""
+    A = [
+        "(s.n + 1)", "s.sx1", "s.sx2",
+        "s.sx1", "(s.sx1x1 + 1)", "s.sx1x2",
+        "s.sx2", "s.sx1x2", "(s.sx2x2 + 1)",
+    ]
+    b = ["s.sy", "s.sx1y", "s.sx2y"]
+    hug = lambda e: f"CAST({e} AS HUGEINT)"
+
+    def det3(a):
+        a = [hug(e) for e in a]
+        return (
+            f"({a[0]} * ({a[4]} * {a[8]} - {a[5]} * {a[7]})"
+            f" - {a[1]} * ({a[3]} * {a[8]} - {a[5]} * {a[6]})"
+            f" + {a[2]} * ({a[3]} * {a[7]} - {a[4]} * {a[6]}))"
+        )
+
+    def repl(i):
+        return [b[r] if c == i else A[r * 3 + c]
+                for r in range(3) for c in range(3)]
+
+    toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+        CAST(LEAST(len({toks}), 100) AS BIGINT) AS x1,
+        CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS x2,
+        CAST(LEAST(n_chars, 1000) AS BIGINT) AS y
+      FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n,
+        SUM(x1) AS sx1, SUM(x2) AS sx2,
+        SUM(x1 * x1) AS sx1x1, SUM(x1 * x2) AS sx1x2,
+        SUM(x2 * x2) AS sx2x2,
+        SUM(y) AS sy, SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y
+      FROM feats
+    ), w AS (
+      SELECT
+        CAST({det3(repl(0))} AS DOUBLE) / CAST({det3(A)} AS DOUBLE) AS w0,
+        CAST({det3(repl(1))} AS DOUBLE) / CAST({det3(A)} AS DOUBLE) AS w1,
+        CAST({det3(repl(2))} AS DOUBLE) / CAST({det3(A)} AS DOUBLE) AS w2
+      FROM s
+    )
+    SELECT f.doc_id, f.x1, f.x2, f.y,
+      w.w0 + w.w1 * CAST(f.x1 AS DOUBLE) + w.w2 * CAST(f.x2 AS DOUBLE)
+        AS y_hat
+    FROM feats f CROSS JOIN w
+    """
+
+
+@query("ml_ridge_closed_form", oracle=_ridge_oracle())
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression trained ENTIRELY inside the plan — the
+    sufficient-statistics decomposition that makes linear models
+    trivially scalable: the Gram matrix X'X and moments X'y are one
+    map-combined aggregate (a constant-size row independent of corpus
+    size), the normal-equation solve is Cramer's rule over exact
+    decimal(38) integers, and the trained weights broadcast back onto
+    every document for inference (y ~ token_count, is_english →
+    char_count, λ=1).  No .collect(), no driver-side solver, no
+    iterations — and because features/targets are integers and the
+    solve is a fixed exact-arithmetic expression tree, the ORACLE
+    replays training + inference end to end (the same guarantee the
+    k-means trainer gives via integer Lloyd).
+
+    Scale shape: training cost = one aggregate pass at any corpus
+    size; at hundreds of features the same decomposition collects the
+    O(k²) Gram (still corpus-independent) for a LAPACK solve —
+    documented in operators/ridge.py.
+    """
+    from ..functions import text as T
+    from ..operators.ridge import ridge3_fit, ridge3_predict
+
+    d = table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.least(F.size(T.tokens("text")), F.lit(100))
+        .cast("bigint")
+        .alias("x1"),
+        F.when(F.col("lang") == "en", 1).otherwise(0)
+        .cast("bigint")
+        .alias("x2"),
+        F.least(F.col("n_chars"), F.lit(1000)).cast("bigint").alias("y"),
+    )
+    w = ridge3_fit(feats, F.col("x1"), F.col("x2"), F.col("y"), lam=1)
+    return ridge3_predict(
+        feats, w.drop("det"), F.col("x1"), F.col("x2")
+    ).select("doc_id", "x1", "x2", "y", "y_hat")
