@@ -43,14 +43,20 @@ def _det3(a):
     )
 
 
-def ridge3_fit(
-    df: DataFrame, x1: Column, x2: Column, y: Column, lam: int = 1
+STAT_COLS = (
+    "n", "sx1", "sx2", "sx1x1", "sx1x2", "sx2x2", "sy", "sx1y", "sx2y"
+)
+
+
+def ridge3_stats(
+    df: DataFrame, x1: Column, x2: Column, y: Column
 ) -> DataFrame:
-    """One-row DataFrame of the closed-form ridge solution
-    ``(w0, w1, w2, det)`` for ``y ~ w0 + w1*x1 + w2*x2`` with L2
-    penalty ``lam`` on every coefficient.  ``x1``/``x2``/``y`` must be
-    integer-valued columns (the exactness contract)."""
-    s = df.select(
+    """One-row frame of the model's sufficient statistics — exact
+    BIGINT sums, map-side combinable, and MERGEABLE: statistics of a
+    union are the columnwise sums of per-part statistics, which is
+    what makes the model incrementally/streaming-trainable
+    (streaming/ridge_stream.py) and embarrassingly distributable."""
+    return df.select(
         x1.cast("bigint").alias("x1"),
         x2.cast("bigint").alias("x2"),
         y.cast("bigint").alias("y"),
@@ -65,6 +71,13 @@ def ridge3_fit(
         F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
         F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
     )
+
+
+def ridge3_solve(stats: DataFrame, lam: int = 1) -> DataFrame:
+    """Cramer-solve a 1-row sufficient-statistics frame into the
+    ``(w0, w1, w2, det)`` weight row (exact decimal(38) determinants,
+    one double division per weight)."""
+    s = stats
     L = F.lit(lam).cast(_D)
     c = lambda name: F.col(name).cast(_D)
     # A = X'X + λI (row-major), b = X'y — note the intercept column of
@@ -90,6 +103,16 @@ def ridge3_fit(
         (_det3(repl(2)).cast("double") / det.cast("double")).alias("w2"),
         det.cast("double").alias("det"),
     )
+
+
+def ridge3_fit(
+    df: DataFrame, x1: Column, x2: Column, y: Column, lam: int = 1
+) -> DataFrame:
+    """One-row DataFrame of the closed-form ridge solution
+    ``(w0, w1, w2, det)`` for ``y ~ w0 + w1*x1 + w2*x2`` with L2
+    penalty ``lam`` on every coefficient.  ``x1``/``x2``/``y`` must be
+    integer-valued columns (the exactness contract)."""
+    return ridge3_solve(ridge3_stats(df, x1, x2, y), lam)
 
 
 def ridge3_predict(

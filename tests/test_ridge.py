@@ -54,3 +54,68 @@ def test_near_perfect_fit_on_linear_data(data):
     ).collect()[0]
     assert abs(w.w1 - 2) < 0.05 and abs(w.w2 - 3) < 0.05
     assert abs(w.w0 - 10) < 0.5
+
+
+def test_streaming_accumulation_equals_batch_fit(spark, tmp_path):
+    """Model from waves of stats rows == one-shot fit on the union;
+    replays (marker lost) change nothing — the append-only stats log
+    has no torn-write window."""
+    import os
+
+    from sec_edgar_spark.streaming.ridge_stream import (
+        ridge_accumulate_batch,
+        read_model,
+    )
+
+    rows = [(i, i % 7, (i * 3) % 5, 10 + 2 * (i % 7) + 3 * ((i * 3) % 5))
+            for i in range(300)]
+    full = spark.createDataFrame(rows, "id long, x1 long, x2 long, y long")
+    root = str(tmp_path / "model")
+    for bid in range(3):
+        ridge_accumulate_batch(
+            spark, root, full.filter(F.col("id") % 3 == bid), bid
+        )
+    got = read_model(spark, root, lam=1).collect()[0]
+    want = ridge3_fit(
+        full, F.col("x1"), F.col("x2"), F.col("y"), lam=1
+    ).collect()[0]
+    assert (got.w0, got.w1, got.w2) == (want.w0, want.w1, want.w2)
+    # replay with lost marker: identical stats row appended, deduped on
+    # read — model unchanged
+    os.remove(os.path.join(root, "_last_batch_id"))
+    ridge_accumulate_batch(
+        spark, root, full.filter(F.col("id") % 3 == 2), 2
+    )
+    again = read_model(spark, root, lam=1).collect()[0]
+    assert (again.w0, again.w1, again.w2) == (want.w0, want.w1, want.w2)
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    from sec_edgar_spark.streaming.ridge_stream import (
+        read_model,
+        run_ridge_maintenance,
+    )
+
+    rows = [(i, i % 4, i % 3, 5 + i % 4 + 2 * (i % 3)) for i in range(120)]
+    full = spark.createDataFrame(rows, "id long, x1 long, x2 long, y long")
+    feed = tmp_path / "feed"
+    full.filter(F.col("id") < 60).write.parquet(str(feed / "w1"))
+    stream = (
+        spark.readStream.schema("id long, x1 long, x2 long, y long")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(str(feed) + "/*")
+    )
+    root = str(tmp_path / "model")
+    q = run_ridge_maintenance(
+        stream, root, checkpoint=str(tmp_path / "ckpt"), query_name="t_ridge"
+    )
+    try:
+        q.processAllAvailable()
+        full.filter(F.col("id") >= 60).write.parquet(str(feed / "w2"))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = read_model(spark, root).collect()[0]
+    want = ridge3_fit(full, F.col("x1"), F.col("x2"), F.col("y")).collect()[0]
+    assert (got.w0, got.w1, got.w2) == (want.w0, want.w1, want.w2)
