@@ -93,3 +93,46 @@ def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         T.punct_chars(text_col).alias("n_punct"),
         F.length(text_col).alias("n_chars_measured"),
     )
+
+
+def compression_ratios(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, ratio) — zlib compressibility per
+    document, the Gopher/RefinedWeb repetitiveness signal: text whose
+    DEFLATE size is a small fraction of its raw size is dominated by
+    repeated structure (boilerplate, template spam, looping
+    generations) that token-level repetition heuristics can miss.
+
+    Runs as Arrow-batched mapInPandas (zlib has no SQL twin — this is
+    one of the documented non-SQL-expressible operators, gated
+    rows-only + golden unit tests): one C-speed deflate per document
+    inside the scan stage, zero shuffle, output 3 integers + 1 double
+    per doc.  Deterministic: fixed level, default strategy — byte-for-
+    byte reproducible across runs and platforms (zlib's output is
+    fully specified by input, level, strategy and library version;
+    version pinned by the container, noted here because a cluster mixing
+    zlib builds could diverge — ship the wheel with the job)."""
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len()
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio": n_comp / n_bytes.where(n_bytes > 0, 1),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

@@ -1628,3 +1628,26 @@ def text_lang_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev / expected).alias("chi2_contrib"),
         )
     )
+
+
+@query("text_compression_ratio")  # no oracle: zlib has no SQL twin
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility-based repetitiveness filter (Gopher /
+    RefinedWeb): per-doc zlib DEFLATE ratio, flagging docs whose
+    compressed size is under 35% of raw — repeated structure that
+    token-level heuristics (text_repetition_filter) can miss and
+    vice versa; production stacks run both.  Arrow mapInPandas, one
+    deflate per doc inside the scan; rows-only gate by design (zlib is
+    not SQL-expressible) with golden unit tests pinning exact ratios.
+    """
+    from ..operators.text_analysis import compression_ratios
+
+    d = table(spark, sf_dir, "documents")
+    out = compression_ratios(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        "ratio",
+        (F.col("ratio") < 0.35).alias("is_repetitive"),
+    )

@@ -108,3 +108,25 @@ def test_fetch_urls_paces_and_caps(spark):
     assert all(r.status == 200 and bytes(r.content) == r.url.encode() for r in got)
     with pytest.raises(ValueError):
         fetch_urls(urls, lambda u: (200, b""), rate_limit=11)
+
+
+def test_compression_ratios_golden(spark):
+    """Exact zlib sizes for pinned inputs; highly repetitive text
+    compresses far below the random-ish text."""
+    import zlib
+
+    from sec_edgar_spark.operators.text_analysis import compression_ratios
+
+    rep = "spam " * 200
+    mixed = " ".join("w%d" % (i * 7919 % 10000) for i in range(200))
+    df = spark.createDataFrame(
+        [(1, rep), (2, mixed), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_ratios(df, "doc_id", "text").collect()}
+    assert rows[1].n_bytes == len(rep.encode())
+    assert rows[1].n_compressed == len(zlib.compress(rep.encode(), 6))
+    assert rows[2].n_compressed == len(zlib.compress(mixed.encode(), 6))
+    assert rows[1].ratio < 0.05 < rows[2].ratio
+    assert rows[3].n_bytes == 0 and rows[3].ratio > 0  # empty guard
+    assert rows[4].n_bytes == 0  # null -> empty
