@@ -1302,3 +1302,69 @@ def curation_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cust_y").alias("cust_lo"),
         F.max("cust_y").alias("cust_hi"),
     )
+
+
+@query(
+    "agg_ivm_join_maintenance",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    )
+    SELECT nation, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY nation
+    """,
+)
+def agg_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the
+    delta-join algebra Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB applied to a
+    per-nation revenue MV over customer⋈orders, with BOTH sides
+    receiving deltas (new customers: c_custkey % 10 = 0; new orders:
+    o_orderkey % 7 = 0).  The query computes
+    re-agg(MV_old ∪ agg(ΔA⋈B_old) ∪ agg(A_old⋈ΔB) ∪ agg(ΔA⋈ΔB)) while
+    the ORACLE recomputes the view directly from the full tables — the
+    hash match PROVES the maintenance algebra, the same way the SCD2
+    merge and incremental-rollup gates prove theirs.
+
+    At scale the three delta terms are the whole point: each joins a
+    DELTA (day-sized) against a base or another delta, so maintaining
+    the MV costs O(|Δ| × join fan-out) instead of re-scanning A⋈B;
+    MV_old is read pre-aggregated from the store (here it is computed
+    in-plan because the gate replays from scratch — the plan shape is
+    identical).  All measures are algebraic (count, integer-cents sum),
+    the precondition for aggregate-level merging.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", cents.alias("cents")
+    )
+    a_old = cust.filter(F.col("c_custkey") % 10 != 0)
+    da = cust.filter(F.col("c_custkey") % 10 == 0)
+    b_old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    db = orders.filter(F.col("o_orderkey") % 7 == 0)
+
+    def agg_term(A, B):
+        return (
+            A.join(B, A["c_custkey"] == B["o_custkey"])
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    mv_old = agg_term(a_old, b_old)  # the stored MV, replayed in-plan
+    merged = (
+        mv_old.unionByName(agg_term(da, b_old))
+        .unionByName(agg_term(a_old, db))
+        .unionByName(agg_term(da, db))
+    )
+    return merged.groupBy("nation").agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("revenue_cents").alias("revenue_cents"),
+    )
