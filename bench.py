@@ -86,6 +86,8 @@ HEADLINE = [
     "text_sparse_cosine_pairs",
     "text_winnowing_pairs",
     "curation_dsir_select",
+    "ml_ridge_closed_form",
+    "agg_ivm_join_maintenance",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -24,8 +24,12 @@ def test_entry_contract_shapes():
 
     qs, os_ = E.queries(), E.oracle_sql()
     assert qs.keys() == Q.queries().keys()
-    # every oracle key must have a query; at most one rows-only query
+    # every oracle key must have a query; rows-only queries are the
+    # explicitly-documented non-SQL-expressible set, nothing else
     assert set(os_) <= set(qs)
     rows_only = set(qs) - set(os_)
-    assert len(rows_only) <= 1, rows_only
+    assert rows_only == {
+        "curation_pack_ffd",       # bin-state-dependent FFD packer
+        "text_compression_ratio",  # zlib has no SQL twin
+    }, rows_only
     assert callable(E.entry)
