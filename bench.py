@@ -185,6 +185,17 @@ def main() -> int:
             .alias("rn")
         )
     )
+    # session-window exec (its first use showed ~5s of codegen warmup
+    # attributed to events_session_native in r6 bench runs)
+    noop(
+        spark.range(10000)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+        )
+        .groupBy("k", F.session_window("ts", "30 seconds"))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
