@@ -420,6 +420,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= ``threshold``) via
+    prefix filtering (Chaudhuri et al. ICDE'06 / PPJoin, Xiao et al.
+    WWW'08) — the classical sub-quadratic algorithm for exact
+    near-dup joins, complementing the approximate candidate
+    generators (MinHash banding) with a NO-FALSE-NEGATIVES guarantee:
+
+    order every document's distinct tokens by ascending global
+    document frequency (rarest first, ties by token); if
+    J(x, y) >= t, then the first ``|x| - ceil(t*|x|) + 1`` tokens of x
+    and the first ``|y| - ceil(t*|y|) + 1`` tokens of y MUST share at
+    least one element (prefix-filter lemma), so indexing only those
+    prefixes finds every qualifying pair.  A length filter
+    (t*|x| <= |y|) prunes further — J(x, y) >= t forces it — and the
+    surviving candidates verify exact Jaccard on the full sets.
+
+    Scale shape: the df ordering is one vocabulary-sized aggregate
+    joined back (rare tokens dominate prefixes, so posting lists of
+    the INDEXED tokens are short by construction — the reason prefix
+    filtering beats a full inverted index); candidates shuffle on the
+    prefix token; verification is array intersection on colocated
+    rows.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
+    ).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # global order: rank tokens by (df, tok); per doc, sort token ranks
+    # ascending — rarest first (rank is dense enough for ordering; ties
+    # impossible since tok is unique)
+    ranked = toks.join(dfreq, "tok").select(
+        F.col(id_col),
+        F.struct(F.col("df"), F.col("tok")).alias("key"),
+        "tok",
+    )
+    per_doc = ranked.groupBy(id_col).agg(
+        F.expr("transform(array_sort(collect_list(struct(key, tok))), s -> s.tok)").alias(
+            "toks_ord"
+        )
+    )
+    n = F.size("toks_ord")
+    prefix_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    docs = per_doc.select(
+        F.col(id_col),
+        "toks_ord",
+        n.alias("n"),
+        F.slice("toks_ord", 1, prefix_len).alias("prefix"),
+    ).cache()
+    posting = docs.select(
+        F.col(id_col), "n", F.explode("prefix").alias("tok")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: J >= t forces t*|x| <= |y| and vice versa
+            & (F.col("b.n") * threshold <= F.col("a.n"))
+            & (F.col("a.n") * threshold <= F.col("b.n")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = docs.select(
+        F.col(id_col).alias("id_a"), F.col("toks_ord").alias("sa")
+    )
+    sb = docs.select(
+        F.col(id_col).alias("id_b"), F.col("toks_ord").alias("sb")
+    )
+    jac = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb"))
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,

@@ -918,3 +918,66 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (both.cast("double") / n_exact).alias("recall"),
     )
+
+
+# Prefix-filter (PPJoin-style) exact Jaccard self-join threshold.
+_PF_T = 0.9
+
+_PF_SQL = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+    ), per_doc AS (
+      SELECT doc_id,
+        list_transform(
+          list_sort(list(struct_pack(df := df, tok := tok))),
+          s -> s.tok) AS toks_ord
+      FROM toks JOIN dfreq USING (tok) GROUP BY doc_id
+    ), docs AS (
+      SELECT doc_id, toks_ord, len(toks_ord) AS n,
+        toks_ord[1 : CAST(len(toks_ord) - ceil({_PF_T} * len(toks_ord))
+                          + 1 AS BIGINT)] AS prefix
+      FROM per_doc
+    ), posting AS (
+      SELECT doc_id, n, unnest(prefix) AS tok FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM posting a JOIN posting b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND b.n * {_PF_T} <= a.n AND a.n * {_PF_T} <= b.n
+    )
+    SELECT c.id_a, c.id_b,
+      CAST(len(list_intersect(x.toks_ord, y.toks_ord)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.toks_ord, y.toks_ord))) AS jaccard
+    FROM cand c
+    JOIN docs x ON c.id_a = x.doc_id
+    JOIN docs y ON c.id_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.toks_ord, y.toks_ord)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.toks_ord, y.toks_ord))) >= {_PF_T}
+    """
+
+
+@query("dedup_prefix_filter_join", oracle=_PF_SQL)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard >= 0.9 pairs via prefix filtering
+    (operators/dedup.prefix_filter_join — the PPJoin family): index
+    only each document's rarest ``n - ceil(t*n) + 1`` tokens under a
+    global df order; the prefix-filter lemma guarantees every
+    qualifying pair collides, so unlike MinHash banding this is exact
+    with NO false negatives, while still never going all-pairs.
+    The guarantee test (tests/test_dedup_guarantees.py) checks it
+    against brute-force on adversarial corpora.
+
+    Threshold note: the synthetic corpus draws tokens from a tiny
+    shared vocabulary, so its token-SET overlap is unrealistically
+    dense (9k true pairs at t=0.9 in 500 docs; 92k at t=0.5) — the
+    gate uses t=0.9 to keep the result bounded; on a real web corpus
+    the same operator at t=0.5 is sparse.  Result size here is the
+    TRUE answer's size, not candidate blowup: the prefix index itself
+    stays sub-quadratic either way.
+    """
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return D.prefix_filter_join(d, "doc_id", "text", threshold=_PF_T)

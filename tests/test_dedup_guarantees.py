@@ -223,3 +223,45 @@ class TestIncrementalLshEquivalence:
         }
         assert cross | intra == full
         assert cross.isdisjoint(intra)
+
+
+class TestPrefixFilterExactness:
+    def test_no_false_negatives_vs_bruteforce(self, spark):
+        """Prefix filtering must find EVERY pair with Jaccard >= t —
+        compare against brute-force over all pairs on a corpus built
+        to stress the lemma (near-dups at the threshold boundary,
+        disjoint docs, subset relations)."""
+        from sec_edgar_spark.operators.dedup import prefix_filter_join
+
+        base = ["w%d" % i for i in range(20)]
+        docs = [(0, " ".join(base))]
+        # variants replacing k tokens: J = (20-k)/(20+k)
+        for k in range(1, 8):
+            mut = base[:-k] + ["m%d_%d" % (k, j) for j in range(k)]
+            docs.append((k, " ".join(mut)))
+        # a subset doc (J = 12/20 = 0.6) and a disjoint doc
+        docs.append((100, " ".join(base[:12])))
+        docs.append((101, " ".join("z%d" % i for i in range(15))))
+        d = _docs(spark, docs)
+        t = 0.6
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_join(
+                d, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        # brute force
+        sets = {i: set(txt.split()) for i, txt in docs}
+        want = {}
+        ids = sorted(sets)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                    if jac >= t:
+                        want[(i, j)] = jac
+        assert set(got) == set(want), (
+            f"missed: {set(want) - set(got)}, extra: {set(got) - set(want)}"
+        )
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12
