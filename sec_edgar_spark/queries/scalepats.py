@@ -1368,3 +1368,62 @@ def agg_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("n_orders"),
         F.sum("revenue_cents").alias("revenue_cents"),
     )
+
+
+@query(
+    "events_ewma_smoothing",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), folded AS (
+      SELECT user_id, COUNT(*) AS n_days,
+        list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list(struct_pack(day := day, cnt := cnt))),
+            s -> CAST(s.cnt AS DOUBLE))),
+          (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n_days, ewma FROM folded
+    WHERE n_days >= 5
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted daily activity (EWMA, α = 1/4)
+    — the classic smoothing primitive behind trend/alerting baselines,
+    made engine-exact: the recurrence s_t = 0.75·s_{t-1} + 0.25·x_t is
+    a LEFT FOLD over the day-ordered observation list, so both engines
+    evaluate the identical float sequence (the sorted-fold determinism
+    rule; α = 1/4 and 3/4 are exact binary fractions, keeping each
+    step a clean multiply-add).  Users need >= 5 active days.
+
+    Scale shape: daily counts partial-aggregate; each user's fold is
+    over their own observed days only (irregular series — smoothing
+    skips gaps by design, documented), so state per user is days-
+    bounded and the whole computation is one groupBy.  The streaming
+    twin of this recurrence is a stateful running value
+    (applyInPandasWithState holds s_t per key) — here the batch
+    replay form.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    folded = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("day", "cnt"))
+                ),
+                lambda s: s["cnt"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc * 0.75 + x * 0.25,
+        ).alias("ewma"),
+    )
+    return folded.filter(F.col("n_days") >= 5).select(
+        "user_id", "n_days", "ewma"
+    )
