@@ -1,0 +1,121 @@
+"""Streaming EWMA: day-ordered waves of the real events parquet
+produce bit-identical values to the batch sorted fold; replayed days
+are ignored."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_stream_matches_batch_fold(spark, tmp_path):
+    from sec_edgar_spark.queries.scalepats import events_ewma_smoothing
+    from sec_edgar_spark.streaming.ewma_stream import ewma_stream
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # pre-rolled daily counts with an epoch-day key (the stream input
+    # contract); ts is TIMESTAMP(NANOS) in this parquet so read via the
+    # catalog-equivalent long cast
+    from sec_edgar_spark.catalog import table
+
+    e = table(spark, SF_DIR, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01")
+        ).cast("long").alias("day_epoch"),
+    ).agg(F.count("*").alias("cnt"))
+
+    feed = tmp_path / "feed"
+    lo, hi = [
+        r[0]
+        for r in daily.agg(F.min("day_epoch")).collect()
+    ], [r[0] for r in daily.agg(F.max("day_epoch")).collect()]
+    mid = (lo[0] + hi[0]) // 2
+    daily.filter(F.col("day_epoch") <= mid).write.parquet(str(feed / "w1"))
+
+    stream = (
+        spark.readStream.schema("user_id long, day_epoch long, cnt long")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(str(feed) + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+
+    rows = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            rows[r.user_id] = (r.n_days, r.ewma)
+
+    q = (
+        ewma_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        daily.filter(F.col("day_epoch") > mid).write.parquet(str(feed / "w2"))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    want = {
+        r.user_id: (r.n_days, r.ewma)
+        for r in events_ewma_smoothing(spark, SF_DIR).collect()
+    }
+    # batch query filters n_days >= 5; compare on its support
+    for uid, (nd, ew) in want.items():
+        assert uid in rows
+        assert rows[uid][0] == nd
+        assert rows[uid][1] == ew  # bit-identical fold
+
+
+def test_replayed_days_ignored(spark, tmp_path):
+    from sec_edgar_spark.streaming.ewma_stream import ewma_stream
+
+    feed = tmp_path / "feed"
+    b = spark.createDataFrame(
+        [(1, 10, 4), (1, 11, 8)], "user_id long, day_epoch long, cnt long"
+    )
+    b.write.parquet(str(feed / "w1"))
+    stream = (
+        spark.readStream.schema("user_id long, day_epoch long, cnt long")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(str(feed) + "/*")
+    )
+    seen = []
+
+    def sink(batch_df, _bid):
+        seen.extend(
+            (r.user_id, r.n_days, r.ewma) for r in batch_df.collect()
+        )
+
+    q = (
+        ewma_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate day 11 plus a genuinely new day 12
+        spark.createDataFrame(
+            [(1, 11, 999), (1, 12, 4)],
+            "user_id long, day_epoch long, cnt long",
+        ).write.parquet(str(feed / "w2"))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    expect1 = 0.0 * 0.75 + 4 * 0.25
+    expect2 = expect1 * 0.75 + 8 * 0.25
+    expect3 = expect2 * 0.75 + 4 * 0.25  # the 999 replay is ignored
+    assert seen[-1] == (1, 3, expect3)
