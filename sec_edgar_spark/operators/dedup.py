@@ -473,6 +473,10 @@ def prefix_filter_join(
         n.alias("n"),
         F.slice("toks_ord", 1, prefix_len).alias("prefix"),
     ).cache()
+    # ^ three consumers (posting + both verify sides); measured 1.5x at
+    # sf0.01.  The cache lives until the session drops it — long-lived
+    # sessions running many queries should spark.catalog.clearCache()
+    # between them (bench.py and tools/check_oracle.py already do).
     posting = docs.select(
         F.col(id_col), "n", F.explode("prefix").alias("tok")
     )

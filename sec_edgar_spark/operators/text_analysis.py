@@ -113,8 +113,9 @@ def compression_ratios(
     fully specified by input, level, strategy and library version;
     version pinned by the container, noted here because a cluster mixing
     zlib builds could diverge — ship the wheel with the job)."""
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, ratio double"
     )
 
     def batches(it):

@@ -43,17 +43,14 @@ from ..operators.dedup import (
     minhash_band_keys,
 )
 from .exactly_once import already_processed, write_batch_marker
+from .store import read_or_empty
 
 _BANDS_SCHEMA = "doc_id long, band int, band_key string"
 _SETS_SCHEMA = "doc_id long, sh array<string>"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    return read_or_empty(spark, path, schema)
 
 
 def read_matches(spark: SparkSession, root: str) -> DataFrame:

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.ridge import STAT_COLS, ridge3_solve, ridge3_stats
 from .exactly_once import already_processed, write_batch_marker
+from .store import store_exists
 
 _STATS_SCHEMA = "batch_id long, " + ", ".join(
     f"{c} long" for c in STAT_COLS
@@ -59,10 +60,7 @@ def read_model(spark: SparkSession, root: str, lam: int = 1) -> DataFrame:
     """The current weights: dedup per-batch rows (replay residue),
     merge by columnwise sum, Cramer-solve."""
     path = f"{root}/stats"
-    if not (
-        os.path.isdir(path)
-        and any(f.endswith(".parquet") for f in os.listdir(path))
-    ):
+    if not store_exists(path):
         raise FileNotFoundError(f"no statistics ingested yet under {path}")
     rows = spark.read.schema(_STATS_SCHEMA).parquet(path).dropDuplicates(
         ["batch_id"]

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.scd import COLS, scd2_build, scd2_merge
 from .exactly_once import already_processed, write_batch_marker
+from .store import read_or_empty
 
 _EMPTY_SCHEMA = (
     "user_id long, status string, valid_from timestamp, "
@@ -41,11 +42,7 @@ _EMPTY_SCHEMA = (
 
 
 def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return spark.read.schema(_EMPTY_SCHEMA).parquet(path)
-    return spark.createDataFrame([], _EMPTY_SCHEMA)
+    return read_or_empty(spark, path, _EMPTY_SCHEMA)
 
 
 def read_dim(spark: SparkSession, root: str) -> DataFrame:
@@ -83,6 +80,12 @@ def scd2_upsert_batch(
     stream may omit ``batch_id`` to get plain (non-idempotent) merge.
     """
     if already_processed(root, batch_id):
+        return
+    # cheap idle-tick path: an empty raw batch (the steady-state
+    # foreachBatch invocation) must not pay the current/ read + join
+    if batch.isEmpty():
+        if batch_id is not None:
+            write_batch_marker(root, batch_id)
         return
     current = _read_or_empty(spark, f"{root}/current")
     # Idempotence must hold even when the crash hit AFTER the two

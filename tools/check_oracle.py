@@ -173,6 +173,10 @@ def main():
             continue
         t0 = time.time()
         try:
+            # drop caches a previous query pinned (several operators
+            # cache intermediates consumed by multiple branches) so the
+            # sweep's memory footprint stays per-query
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
         except Exception as e:
