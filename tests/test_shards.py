@@ -1,0 +1,69 @@
+"""Token-shard export: distributed write → manifest commit → binary
+round-trip equality, orphan invisibility, uint16 bounds."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_edgar_spark.sources.shards import (
+    read_manifest,
+    read_token_shards,
+    tokenize_ids,
+    write_token_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_roundtrip_real_documents(spark, tmp_path):
+    from sec_edgar_spark.operators.sampling import pack_sequences
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = tokenize_ids(d, "doc_id", "text", vocab_size=50_000)
+    packed = pack_sequences(
+        toks, order_col="doc_id", token_count_col="n_tokens", budget=2048
+    ).withColumn("shard", (F.col("pack_id") % 4).cast("string"))
+    root = str(tmp_path / "shards")
+    n = write_token_shards(packed, root)
+    assert n == 4
+    # manifest totals match the source
+    man = read_manifest(root)
+    assert sum(e["n_tokens"] for e in man) == (
+        packed.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert sum(e["n_seqs"] for e in man) == packed.count()
+    # binary round-trip: every document's ids come back exactly, in
+    # (pack_id, doc_id) order within its shard
+    back = read_token_shards(spark, root)
+    got = {}
+    for r in back.collect():
+        got.setdefault(r.shard, []).extend(r.token_ids)
+    want = {}
+    for r in packed.orderBy("pack_id", "doc_id").collect():
+        want.setdefault(str(r.pack_id % 4), []).extend(r.token_ids)
+    assert got == want
+
+
+def test_orphans_invisible_and_vocab_bound(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    toks = tokenize_ids(df, "doc_id", "text", vocab_size=100).withColumn(
+        "shard", F.lit("0")
+    ).withColumn("pack_id", F.lit(0))
+    root = str(tmp_path / "s")
+    write_token_shards(toks, root)
+    # an orphan .bin from a dead task attempt — not in the manifest
+    with open(os.path.join(root, "shard-zombie.bin"), "wb") as fh:
+        fh.write(b"\x01\x00\x02\x00")
+    with open(os.path.join(root, "shard-zombie.idx.json"), "w") as fh:
+        json.dump({"offsets": [0], "n_tokens": 2}, fh)
+    back = read_token_shards(spark, root)
+    assert back.filter(F.col("shard") == "zombie").count() == 0
+    assert back.count() == 2  # the two real sequences
+    # uint16 overflow is rejected up front
+    with pytest.raises(ValueError):
+        tokenize_ids(df, "doc_id", "text", vocab_size=70_000)
