@@ -1427,3 +1427,124 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.filter(F.col("n_days") >= 5).select(
         "user_id", "n_days", "ewma"
     )
+
+
+# Deterministic Poisson(1) bootstrap: md5-uniform u per (row, replicate)
+# cut against the FIXED cumulative-pmf thresholds below (shared
+# literals, so both engines derive identical weights).  2^60 = the
+# md5_hash64 range.
+_BOOT_B = 32
+_BOOT_CDF = (
+    0.36787944117144233,  # P(X<=0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH w AS (
+      SELECT b, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        (CASE
+          {" ".join(
+            f"WHEN CAST(CAST('0x' || substr(md5(o_orderkey || ':' || b), 1, 15) AS BIGINT) AS DOUBLE) / {_TWO60} < {t} THEN {k}"
+            for k, t in enumerate(_BOOT_CDF)
+          )}
+          ELSE {len(_BOOT_CDF)} END) AS wt
+      FROM orders CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+    ), means AS (
+      SELECT b,
+        CAST(SUM(wt * cents) AS DOUBLE) / SUM(wt) AS mean_cents
+      FROM w GROUP BY b HAVING SUM(wt) > 0
+    ), s AS (
+      SELECT list_sort(list(mean_cents)) AS ms FROM means
+    ), t AS (
+      SELECT (SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) FROM orders) AS true_mean, ms FROM s
+    )
+    SELECT true_mean AS true_mean_cents,
+      ms[2] AS ci_lo, ms[{_BOOT_B // 2}] AS ci_mid,
+      ms[{_BOOT_B - 1}] AS ci_hi,
+      ms[{_BOOT_B - 1}] - ms[2] AS ci_width
+    FROM t
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DETERMINISTIC bootstrap confidence interval for the
+    mean order value: 32 Poisson(1) resample replicates, each row's
+    replicate weight derived by cutting an md5-uniform against the
+    fixed Poisson CDF thresholds (shared literal constants — both
+    engines compute identical integer weights, so the whole bootstrap
+    is value-checkable, unlike rand()-based resampling which can never
+    be replayed).  Reports the true mean plus low/mid/high resample-
+    mean order statistics.
+
+    Scale shape: the replicate fan-out is a bounded explode (x32);
+    per-replicate means are map-combined integer sums; the final order
+    statistics sort 32 numbers.  This is the production pattern for
+    error bars on corpus statistics — one pass, no sampling state, and
+    retries/replays produce identical intervals.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("b"),
+    )
+    from ..functions.text import md5_hash64
+
+    u = (
+        md5_hash64(
+            F.concat_ws(":", F.col("o_orderkey"), F.col("b"))
+        ).cast("double")
+        / F.lit(_TWO60)
+    )
+    wt = None
+    for k, t in enumerate(_BOOT_CDF):
+        cond = u < F.lit(t)
+        wt = F.when(cond, k) if wt is None else wt.when(cond, k)
+    wt = wt.otherwise(len(_BOOT_CDF))
+    means = (
+        rep.select("b", "cents", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swc"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            (F.col("swc").cast("double") / F.col("sw")).alias("mean_cents")
+        )
+    )
+    true_mean = o.agg(
+        (F.sum("cents").cast("double") / F.count("*")).alias(
+            "true_mean_cents"
+        )
+    )
+    sorted_means = means.agg(
+        F.array_sort(F.collect_list("mean_cents")).alias("ms")
+    )
+    return (
+        true_mean.crossJoin(broadcast(sorted_means))
+        .select(
+            "true_mean_cents",
+            F.element_at("ms", 2).alias("ci_lo"),
+            F.element_at("ms", _BOOT_B // 2).alias("ci_mid"),
+            F.element_at("ms", _BOOT_B - 1).alias("ci_hi"),
+            (
+                F.element_at("ms", _BOOT_B - 1) - F.element_at("ms", 2)
+            ).alias("ci_width"),
+        )
+    )
