@@ -1014,3 +1014,131 @@ def events_rolling_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("reach_exact"))
     )
     return est.join(exact, "day").select("day", "reach_exact", "reach_approx")
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+        CASE WHEN CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
+                  AS BIGINT) % 2 = 0
+             THEN 'A' ELSE 'B' END AS grp
+      FROM events
+    ), conv AS (
+      SELECT user_id FROM (
+        SELECT user_id,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+        FROM events GROUP BY user_id
+      ) WHERE np > nv
+    ), cells AS (
+      SELECT a.grp,
+        COUNT(*) AS n_users,
+        SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.grp
+    ), wide AS (
+      SELECT
+        CAST(MAX(CASE WHEN grp = 'A' THEN n_users END) AS BIGINT) AS na,
+        CAST(MAX(CASE WHEN grp = 'A' THEN n_conv END) AS BIGINT) AS ca,
+        CAST(MAX(CASE WHEN grp = 'B' THEN n_users END) AS BIGINT) AS nb,
+        CAST(MAX(CASE WHEN grp = 'B' THEN n_conv END) AS BIGINT) AS cb
+      FROM cells
+    )
+    SELECT na, ca, nb, cb,
+      CAST(ca AS DOUBLE) / na AS p_a,
+      CAST(cb AS DOUBLE) / nb AS p_b,
+      (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+        / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+               * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+               * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)) AS z,
+      abs((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+        / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+               * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+               * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)))
+        > 1.96 AS significant
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample conversion z-test (converted = more purchases than
+    views) over a deterministic md5-parity user split — the
+    experiment-analysis primitive: pooled-proportion
+    z statistic from EXACT per-cell counts (the only floats are the
+    final fixed expression over four integers, identical in both
+    engines; assignment is md5-hash parity, so replays and engines
+    agree on every user's arm — rand() assignment could never be
+    value-checked).  |z| > 1.96 ≈ two-sided 5% significance.
+
+    Scale shape: two distinct aggregations + a 2-row pivot; the z
+    arithmetic runs on a broadcast-size frame.  At 100 TB the
+    experiment-cell counts are the ONLY shuffled data.
+    """
+    e = table(spark, sf_dir, "events")
+    from ..functions.text import md5_hash64
+
+    assign = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            md5_hash64(F.concat(F.lit("ab:"), F.col("user_id"))) % 2 == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+    )
+    # converted = more purchases than views (a behavioural-ratio
+    # definition that stays non-degenerate at every SF — EVERY user has
+    # >= 1 purchase in the synthetic corpus, so presence alone would
+    # make the pooled variance zero and z undefined)
+    conv = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("nv"),
+        )
+        .filter(F.col("np") > F.col("nv"))
+        .select("user_id")
+        .withColumn("_c", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("_c", F.lit(0))).alias("n_conv"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("grp") == "A", F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_conv"))).alias("cb"),
+    )
+    p_a = F.col("ca").cast("double") / F.col("na")
+    p_b = F.col("cb").cast("double") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            F.lit(1).cast("double") / F.col("na")
+            + F.lit(1).cast("double") / F.col("nb")
+        )
+    )
+    return wide.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
