@@ -1142,3 +1142,89 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        SUM(CASE WHEN event_type = 'purchase'
+                 AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS x,
+        SUM(CASE WHEN event_type = 'purchase'
+                 AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM per_user
+    )
+    SELECT n, sx, sy,
+      CAST(n * sxy - sx * sy AS DOUBLE)
+        / (n * sxx - sx * sx) AS theta,
+      (CAST(syy AS DOUBLE) / n) - (CAST(sy AS DOUBLE) / n)
+        * (CAST(sy AS DOUBLE) / n) AS var_y,
+      ((CAST(syy AS DOUBLE) / n) - (CAST(sy AS DOUBLE) / n)
+         * (CAST(sy AS DOUBLE) / n))
+      - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+        * (CAST(n * sxy - sx * sy AS DOUBLE) / (n * n))
+        AS var_adj
+    FROM s
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) computed ENTIRELY
+    from sufficient statistics: pre-period purchases X (Jan 1-15) as
+    the covariate for post-period purchases Y; θ = cov(X,Y)/var(X) and
+    the adjusted-metric variance var(Y) - θ·cov(X,Y) all reduce to one
+    map-combined aggregate of exact integer sums (n, Sx, Sy, Sxx, Sxy,
+    Syy) plus a FIXED double expression — the same
+    sufficient-statistics decomposition as the in-plan ridge trainer,
+    and the production shape: no per-user residual pass, no second
+    scan, deterministic across engines and replays.
+
+    var_adj < var_y by exactly cov²/var(X)·1/n-scaled terms — the
+    variance an A/B test recovers for free from pre-period data.
+    """
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") < cut), 1
+            ).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    s = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    theta = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx)
+    mean_y = sy.cast("double") / n
+    var_y = (syy.cast("double") / n) - mean_y * mean_y
+    var_adj = var_y - theta * (
+        (n * sxy - sx * sy).cast("double") / (n * n)
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        theta.alias("theta"),
+        var_y.alias("var_y"),
+        var_adj.alias("var_adj"),
+    )
