@@ -1019,25 +1019,19 @@ def events_rolling_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_ab_test",
     oracle="""
-    WITH assign AS (
-      SELECT DISTINCT user_id,
+    WITH per_user AS (
+      SELECT user_id,
         CASE WHEN CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
                   AS BIGINT) % 2 = 0
-             THEN 'A' ELSE 'B' END AS grp
-      FROM events
-    ), conv AS (
-      SELECT user_id FROM (
-        SELECT user_id,
-          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
-          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
-        FROM events GROUP BY user_id
-      ) WHERE np > nv
+             THEN 'A' ELSE 'B' END AS grp,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+      FROM events GROUP BY user_id
     ), cells AS (
-      SELECT a.grp,
+      SELECT grp,
         COUNT(*) AS n_users,
-        SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
-      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
-      GROUP BY a.grp
+        SUM(CASE WHEN np > nv THEN 1 ELSE 0 END) AS n_conv
+      FROM per_user GROUP BY grp
     ), wide AS (
       SELECT
         CAST(MAX(CASE WHEN grp = 'A' THEN n_users END) AS BIGINT) AS na,
@@ -1071,47 +1065,39 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on every user's arm — rand() assignment could never be
     value-checked).  |z| > 1.96 ≈ two-sided 5% significance.
 
-    Scale shape: two distinct aggregations + a 2-row pivot; the z
-    arithmetic runs on a broadcast-size frame.  At 100 TB the
-    experiment-cell counts are the ONLY shuffled data.
+    Scale shape: ONE map-combined user-grain aggregation (arm derived
+    from the group key's md5 parity, so no assignment join exists) —
+    after it only the 2-row cell frame moves; the z arithmetic runs on
+    a broadcast-size frame.
     """
     e = table(spark, sf_dir, "events")
     from ..functions.text import md5_hash64
 
-    assign = e.select("user_id").distinct().select(
-        "user_id",
+    # ONE per-user aggregation carries both the arm (md5 parity of the
+    # group key) and the conversion counts — no distinct, no user-grain
+    # join (converted = more purchases than views: a behavioural-ratio
+    # definition that stays non-degenerate at every SF; presence-based
+    # conversion is 100% in the synthetic corpus, making the pooled
+    # variance zero and z undefined)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("nv"),
+    ).select(
         F.when(
             md5_hash64(F.concat(F.lit("ab:"), F.col("user_id"))) % 2 == 0,
             "A",
         )
         .otherwise("B")
         .alias("grp"),
+        (F.col("np") > F.col("nv")).cast("long").alias("converted"),
     )
-    # converted = more purchases than views (a behavioural-ratio
-    # definition that stays non-degenerate at every SF — EVERY user has
-    # >= 1 purchase in the synthetic corpus, so presence alone would
-    # make the pooled variance zero and z undefined)
-    conv = (
-        e.groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("np"),
-            F.sum(
-                F.when(F.col("event_type") == "view", 1).otherwise(0)
-            ).alias("nv"),
-        )
-        .filter(F.col("np") > F.col("nv"))
-        .select("user_id")
-        .withColumn("_c", F.lit(1))
-    )
-    cells = (
-        assign.join(conv, "user_id", "left")
-        .groupBy("grp")
-        .agg(
-            F.count("*").alias("n_users"),
-            F.sum(F.coalesce("_c", F.lit(0))).alias("n_conv"),
-        )
+    cells = per_user.groupBy("grp").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_conv"),
     )
     wide = cells.agg(
         F.max(F.when(F.col("grp") == "A", F.col("n_users"))).alias("na"),

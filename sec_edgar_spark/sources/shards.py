@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
-DTYPE_WIDTH = 2  # uint16 token ids; vocab must fit
+DTYPE_WIDTH = 2  # token-id byte width; wired to both the bound check
+DTYPE = f"<u{DTYPE_WIDTH}"  # ...and the on-disk little-endian format
+ID_LIMIT = 1 << (8 * DTYPE_WIDTH)
 
 
 def tokenize_ids(
@@ -44,7 +46,7 @@ def tokenize_ids(
 ) -> DataFrame:
     """(id, token_ids: array<int>, n_tokens) via the deterministic
     md5-bucket tokenizer (vocab must fit uint16 ≤ 65535)."""
-    if vocab_size > (1 << (8 * DTYPE_WIDTH)):
+    if vocab_size > ID_LIMIT:
         raise ValueError(
             f"vocab_size {vocab_size} exceeds uint{8 * DTYPE_WIDTH}"
         )
@@ -82,20 +84,34 @@ def write_token_shards(
 
         key = pdf[shard_col].iloc[0]
         pdf = pdf.sort_values(order, kind="mergesort")
-        flat = np.concatenate(
-            [np.asarray(x, dtype="<u2") for x in pdf["token_ids"]]
-        ) if len(pdf) else np.empty(0, dtype="<u2")
-        offsets, pos = [], 0
+        arrs, offsets, pos = [], [], 0
         for x in pdf["token_ids"]:
+            a = np.asarray(x)
+            # validate BEFORE the narrowing cast: numpy's unsafe cast
+            # would silently wrap out-of-range ids (e.g. a real
+            # tokenizer's 100k vocab) into corrupt-but-committed shards
+            if a.size and (a.min() < 0 or a.max() >= ID_LIMIT):
+                raise ValueError(
+                    f"token id out of uint{8 * DTYPE_WIDTH} range in "
+                    f"shard {key}: [{a.min()}, {a.max()}]"
+                )
+            arrs.append(a.astype(DTYPE))
             offsets.append(pos)
-            pos += len(x)
+            pos += len(a)
+        flat = np.concatenate(arrs)
         path = os.path.join(root, f"shard-{key}.bin")
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(flat.tobytes())
         os.replace(tmp, path)
-        with open(os.path.join(root, f"shard-{key}.idx.json"), "w") as fh:
+        # idx gets the same atomic tmp+rename as the .bin: a zombie
+        # duplicate attempt must never leave a torn index behind a
+        # manifest-listed shard
+        ipath = os.path.join(root, f"shard-{key}.idx.json")
+        itmp = ipath + ".tmp"
+        with open(itmp, "w") as fh:
             json.dump({"offsets": offsets, "n_tokens": int(pos)}, fh)
+        os.replace(itmp, ipath)
         return pd.DataFrame(
             {
                 "shard": [key],
@@ -158,7 +174,7 @@ def read_token_shards(spark: SparkSession, root: str) -> DataFrame:
                     os.path.join(root, f"shard-{shard}.idx.json")
                 ) as fh:
                     idx = json.load(fh)
-                flat = np.frombuffer(content, dtype="<u2")
+                flat = np.frombuffer(content, dtype=DTYPE)
                 offs = idx["offsets"] + [idx["n_tokens"]]
                 for i in range(len(offs) - 1):
                     out["shard"].append(shard)

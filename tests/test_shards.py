@@ -67,3 +67,14 @@ def test_orphans_invisible_and_vocab_bound(spark, tmp_path):
     # uint16 overflow is rejected up front
     with pytest.raises(ValueError):
         tokenize_ids(df, "doc_id", "text", vocab_size=70_000)
+
+
+def test_out_of_range_ids_rejected_at_write(spark, tmp_path):
+    """A real tokenizer's >uint16 ids must fail the write loudly, not
+    wrap silently into committed shards (code review r6)."""
+    df = spark.createDataFrame(
+        [(1, "0", 0, [1, 2, 70000])],
+        "doc_id long, shard string, pack_id long, token_ids array<int>",
+    )
+    with pytest.raises(Exception, match="out of uint16 range"):
+        write_token_shards(df, str(tmp_path / "s"))
