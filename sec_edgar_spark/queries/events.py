@@ -1214,3 +1214,89 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_y.alias("var_y"),
         var_adj.alias("var_adj"),
     )
+
+
+@query(
+    "events_rank_sum_test",
+    oracle="""
+    WITH pur AS (
+      SELECT event_id, value,
+        CASE WHEN CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
+                  AS BIGINT) % 2 = 0
+             THEN 'A' ELSE 'B' END AS grp
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT grp,
+        ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+      FROM pur
+    ), s AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 'A' THEN rk ELSE 0 END) AS BIGINT) AS ra,
+        CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM ranked
+    )
+    SELECT na, nb,
+      CAST(ra - na * (na + 1) // 2 AS BIGINT) AS u_a,
+      (CAST(ra - na * (na + 1) // 2 AS DOUBLE) -
+       CAST(na AS DOUBLE) * nb / 2)
+        / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12) AS z
+    FROM s
+    """,
+)
+def events_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test on purchase VALUES between the two
+    md5-parity arms — the nonparametric companion to the proportion
+    z-test (events_ab_test): does one arm's purchase-value
+    DISTRIBUTION stochastically dominate?  U and its normal
+    approximation derive from exact integer rank sums; ranks use the
+    (value, event_id) total order, so they are unique and the whole
+    statistic is engine-exact (the event-id tiebreak replaces the
+    midrank tie correction — documented variant).
+
+    Scale shape: this is where the parallel two-phase ranker earns its
+    keep in a STATISTIC — `operators/relational.global_rank` ranks the
+    corpus with a range shuffle + P-row offsets instead of the oracle's
+    single-partition window, then one map-combined aggregate collapses
+    to the 1-row sufficient statistics.  Same numbers, cluster-safe
+    plan.
+    """
+    from ..functions.text import md5_hash64
+    from ..operators.relational import global_rank
+
+    pur = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "value",
+            F.when(
+                md5_hash64(F.concat(F.lit("ab:"), F.col("user_id"))) % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("grp"),
+        )
+    )
+    ranked = global_rank(pur, ["value", "event_id"])
+    s = ranked.agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("rn")).otherwise(0)).alias(
+            "ra"
+        ),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    na, nb, ra = F.col("na"), F.col("nb"), F.col("ra")
+    # integer div: na*(na+1) is always even, and exact BIGINT arithmetic
+    # keeps U precise past double's 2^53 (na ~ 1e10 at corpus scale)
+    u_a = ra - F.expr("na * (na + 1) div 2")
+    z = (
+        u_a.cast("double") - na.cast("double") * nb / 2
+    ) / F.sqrt(na.cast("double") * nb * (na + nb + 1) / 12)
+    return s.select(
+        "na",
+        "nb",
+        u_a.cast("bigint").alias("u_a"),
+        z.alias("z"),
+    )
