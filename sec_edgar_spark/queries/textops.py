@@ -1651,3 +1651,65 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ratio",
         (F.col("ratio") < 0.35).alias("is_repetitive"),
     )
+
+
+# Positional phrase search: the exact-phrase retrieval primitive.
+_PHRASE = ("table", "hash")
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             generate_subscripts(ts, 1) AS p
+      FROM toks
+    ), a AS (
+      SELECT doc_id, p FROM pos WHERE tok = '{_PHRASE[0]}'
+    ), b AS (
+      SELECT doc_id, p FROM pos WHERE tok = '{_PHRASE[1]}'
+    )
+    SELECT a.doc_id, COUNT(*) AS n_matches,
+      CAST(MIN(a.p) AS BIGINT) AS first_pos
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ('table hash') through POSITIONAL postings —
+    the retrieval primitive BM25 term scoring cannot express: a match
+    requires the terms at CONSECUTIVE positions, found by equi-joining
+    the two terms' posting lists on (doc, adjacent position).  Returns
+    per-document match counts and first offset.
+
+    Scale shape: posting lists are filtered at the explode (only the
+    phrase's terms survive — predicate pushdown through the Generate),
+    so the join touches df(term) rows per term, never the corpus; for
+    k-term phrases the same join chains k-1 times on rare-term-first
+    order.  This is how a search engine verifies phrase queries over
+    an inverted index, as a DataFrame plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    a = pos.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (a["doc_id"] == b["doc_id"]) & (F.col("pb") == F.col("pa") + 1),
+        )
+        .select(a["doc_id"], "pa")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("pa").cast("bigint").alias("first_pos"),
+        )
+    )
