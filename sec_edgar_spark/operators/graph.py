@@ -235,3 +235,34 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("id", F.col("label").alias("community"))
+
+
+def kcore_prune(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` synchronous k-core pruning steps over an undirected
+    edge list ``(s, d)``: each round drops every node whose CURRENT
+    degree is below ``k`` (and the edges touching it), simultaneously —
+    the deterministic fixed-round form of k-core decomposition (run to
+    fixpoint it yields the exact k-core; fixed rounds keep the
+    trajectory engine-replayable, the same contract as
+    label_propagation/pagerank_int).  Returns the surviving
+    ``(id, degree)`` frame.
+
+    Scale shape per round: one degree aggregate (map-combined) + two
+    semi-joins to keep edges whose BOTH endpoints survive — no
+    collect, no driver loop state beyond the unrolled plan.
+    """
+    from pyspark.sql import functions as F
+
+    und = edges.select("s", "d").union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    for _ in range(rounds):
+        deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        und = (
+            und.join(keep, "s", "semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "semi")
+        )
+    return und.groupBy(F.col("s").alias("id")).agg(
+        F.count("*").alias("degree")
+    )

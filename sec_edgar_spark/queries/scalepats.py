@@ -1548,3 +1548,58 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_width"),
         )
     )
+
+
+def _kcore_round(prev: str, out: str, k: int) -> str:
+    """One synchronous k-core pruning round as SQL (mirrors
+    operators/graph.kcore_prune: drop nodes with degree < k and their
+    edges, simultaneously)."""
+    return f"""
+    {out} AS (
+      SELECT e.s, e.d FROM {prev} e
+      JOIN (SELECT s FROM (SELECT s, COUNT(*) AS deg FROM {prev} GROUP BY s)
+            WHERE deg >= {k}) ka ON e.s = ka.s
+      JOIN (SELECT s FROM (SELECT s, COUNT(*) AS deg FROM {prev} GROUP BY s)
+            WHERE deg >= {k}) kb ON e.d = kb.s
+    )"""
+
+
+@query(
+    "graph_kcore_prune",
+    oracle=f"""
+    WITH raw AS ({_PR_EDGES_SQL}),
+    e0 AS (
+      SELECT s, d FROM raw UNION SELECT d AS s, s AS d FROM raw
+    ),
+    {_kcore_round("e0", "e1", 3)},
+    {_kcore_round("e1", "e2", 3)},
+    {_kcore_round("e2", "e3", 3)}
+    SELECT s AS id, COUNT(*) AS degree
+    FROM e3 GROUP BY s
+    """,
+)
+def graph_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous 3-core pruning rounds on the customer↔supplier
+    trade graph (operators/graph.kcore_prune) — the density-peeling
+    primitive behind community cores and spam-cluster isolation, in
+    the fixed-round engine-replayable form (the oracle unrolls the
+    same rounds as CTEs; run to fixpoint the surviving subgraph is the
+    exact 3-core).  Per round: one map-combined degree aggregate + two
+    semi-joins — the same iterative-join shape as components and LPA,
+    linear in surviving edges.
+    """
+    from ..operators.graph import kcore_prune
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    ).select("l_orderkey", "l_suppkey")
+    raw = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("s"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("d"),
+        )
+        .distinct()
+    )
+    return kcore_prune(raw, k=3, rounds=3)
