@@ -88,6 +88,12 @@ HEADLINE = [
     "curation_dsir_select",
     "ml_ridge_closed_form",
     "agg_ivm_join_maintenance",
+    # round-6 statistics/retrieval battery
+    "agg_bootstrap_ci",
+    "events_ab_test",
+    "events_rank_sum_test",
+    "graph_kcore_prune",
+    "text_phrase_search",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
