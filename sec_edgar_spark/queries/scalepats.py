@@ -1603,3 +1603,93 @@ def graph_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_prune(raw, k=3, rounds=3)
+
+
+# ORACLE NOTE — struct_pack field order is semantic in DuckDB:
+# list_reduce lambdas evaluate struct_pack fields SEQUENTIALLY, and a
+# later field's acc.<name> reference sees the value just computed for
+# an EARLIER field of the same name (shadowing).  n_alerts must
+# therefore be packed BEFORE ewma so its condition reads the
+# PRE-update baseline — packing ewma first silently compared against
+# the post-update value (caught by the oracle gate).
+@query(
+    "events_ewma_alerts",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), folded AS (
+      SELECT user_id, COUNT(*) AS n_days,
+        list_reduce(
+          list_prepend(struct_pack(n_alerts := CAST(0 AS BIGINT),
+                                   ewma := CAST(0 AS DOUBLE),
+                                   warm := CAST(0 AS BIGINT)),
+            list_transform(
+              list_sort(list(struct_pack(day := day, cnt := cnt))),
+              s -> struct_pack(n_alerts := CAST(0 AS BIGINT),
+                               ewma := CAST(s.cnt AS DOUBLE),
+                               warm := CAST(1 AS BIGINT)))),
+          (acc, x) -> struct_pack(
+            n_alerts := acc.n_alerts +
+              CASE WHEN acc.warm >= 3 AND x.ewma > 2.0 * acc.ewma
+                   THEN 1 ELSE 0 END,
+            ewma := acc.ewma * 0.75 + x.ewma * 0.25,
+            warm := acc.warm + 1)) AS st
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n_days, st.ewma AS ewma, st.n_alerts AS n_alerts
+    FROM folded WHERE n_days >= 5
+    """,
+)
+def events_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike alerting — the control-chart use of the smoothing
+    fold: walking each user's day-ordered counts, a day ALERTS when it
+    exceeds 2× the running EWMA (after a 3-day warmup so the cold
+    baseline can't fire).  The fold accumulator is a STRUCT
+    (ewma, n_alerts, warmup) — both engines evaluate the identical
+    (multiply-add, compare, increment) sequence because the fold order
+    is the sorted day order and every constant is an exact binary
+    fraction.  Reports per-user final baseline and alert count.
+
+    Scale shape: identical to events_ewma_smoothing (daily partial
+    aggregate + per-user bounded fold); the struct accumulator adds
+    state WIDTH, not extra passes — the pattern for any
+    sequential-scan statistic (drawdown, streaks, CUSUM) expressed as
+    one fold.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    init = F.struct(
+        F.lit(0.0).alias("ewma"),
+        F.lit(0).cast("bigint").alias("n_alerts"),
+        F.lit(0).cast("bigint").alias("warm"),
+    )
+    folded = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+                lambda s: s["cnt"].cast("double"),
+            ),
+            init,
+            lambda acc, x: F.struct(
+                (acc["ewma"] * 0.75 + x * 0.25).alias("ewma"),
+                (
+                    acc["n_alerts"]
+                    + F.when(
+                        (acc["warm"] >= 3) & (x > 2.0 * acc["ewma"]), 1
+                    ).otherwise(0)
+                ).alias("n_alerts"),
+                (acc["warm"] + 1).alias("warm"),
+            ),
+        ).alias("st"),
+    )
+    return folded.filter(F.col("n_days") >= 5).select(
+        "user_id",
+        "n_days",
+        F.col("st.ewma").alias("ewma"),
+        F.col("st.n_alerts").alias("n_alerts"),
+    )
