@@ -136,6 +136,21 @@ SCAN_PARALLELIZE = {
     "curation_dsir_select",
 }
 
+# Iterative-trainer queries (multi-job loops: k-means iterations, PQ
+# codebook fits, centroid assignment).  Their first run routinely eats
+# a codegen/JIT warmup spike that best-of-2 can't always dodge — r6's
+# only >2x round-over-round bench number (ann_ivf_trained 2.51->5.25s)
+# was exactly this, adjudicated noise because the plan was unchanged
+# and a quiet-box retime swung 8.1->3.8s within one pair (VERDICT r6
+# "what's wrong" #2).  Force a third sample for these so min() sees at
+# least two post-warmup runs.
+BEST_OF_3 = {
+    "ann_ivf_trained",
+    "ml_kmeans_assign",
+    "ann_pq_adc_topk",
+    "dedup_semantic",
+}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -224,9 +239,13 @@ def main() -> int:
         # extra cost, paid only by the noisy queries.
         samples: list[float] = []
         for attempt in range(3):
-            if attempt == 2 and (
-                len(samples) < 2
-                or max(samples) / max(min(samples), 1e-9) <= 1.5
+            if (
+                attempt == 2
+                and name not in BEST_OF_3
+                and (
+                    len(samples) < 2
+                    or max(samples) / max(min(samples), 1e-9) <= 1.5
+                )
             ):
                 break
             # Isolate queries from each other: drop any cached frames

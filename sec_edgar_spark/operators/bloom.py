@@ -50,7 +50,16 @@ def _check_k(k: int) -> None:
 
 
 def _h1h2(key: Column) -> tuple[Column, Column]:
-    """Two independent 56-bit non-negative hashes from one md5."""
+    """Two independent 56-bit non-negative hashes from one md5.
+
+    HASH-FAMILY VERSION: v2 (56-bit halves at hex offsets 1/17; v1
+    used 60-bit halves).  Changing these widths/offsets changes every
+    probe position, so a ``words`` array PERSISTED by an older
+    bloom_build silently yields false negatives when probed by a newer
+    bloom_might_contain — a no-false-negative contract violation.
+    In-repo callers build and probe within one plan (unaffected); if
+    you persist filters, store this version marker alongside the array
+    and refuse mismatched probes."""
     hx = F.md5(key.cast("string"))
     h1 = F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint")
     # Force h2 odd so the k probe positions never collapse onto one

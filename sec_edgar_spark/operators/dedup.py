@@ -425,6 +425,8 @@ def prefix_filter_join(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    posting_df_cap_pct: int | None = None,
+    posting_len_cap: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join (Jaccard >= ``threshold``) via
     prefix filtering (Chaudhuri et al. ICDE'06 / PPJoin, Xiao et al.
@@ -447,6 +449,29 @@ def prefix_filter_join(
     filtering beats a full inverted index); candidates shuffle on the
     prefix token; verification is array intersection on colocated
     rows.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``posting_df_cap_pct``: optional graceful-degradation cap — drop
+    posting entries for tokens present in more than that PERCENT of
+    documents (integer compare ``100*df <= pct*ndocs``; the corpus
+    count is a 1-row broadcast aggregate, no driver count).  On a
+    pathological corpus where even the rarest prefix tokens are
+    near-stopwords (every posting list ~O(n)), the exact join's
+    candidate set is inherently quadratic; the cap bounds it at the
+    cost of missing pairs whose ONLY shared prefix tokens are capped
+    — candidates still verify exact Jaccard, so capped output is
+    always a SUBSET of the exact output (no false positives; recall
+    measured in tests/test_dedup_guarantees.py).  None (default)
+    keeps the exact no-false-negatives mode.
+
+    ``posting_len_cap``: optional per-token posting TRUNCATION — keep
+    only the first L postings of each token (deterministic rank:
+    ROW_NUMBER over (n, id), biased toward shorter documents).  This
+    is the cap that actually bounds GROWTH: candidate volume per
+    token is <= L^2 regardless of corpus size, so the join degrades
+    from exact to fixed-budget as posting lists outgrow L instead of
+    going quadratic.  Not binding (== exact) while every posting list
+    is shorter than L — the usual state on a Zipfian corpus where
+    prefixes are rare tokens.  Both caps compose (df-cap first).
     """
     toks = df.select(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
@@ -480,6 +505,30 @@ def prefix_filter_join(
     posting = docs.select(
         F.col(id_col), "n", F.explode("prefix").alias("tok")
     )
+    if posting_df_cap_pct is not None:
+        ndocs = F.broadcast(docs.groupBy().agg(F.count("*").alias("ndocs")))
+        posting = (
+            posting.join(dfreq, "tok")
+            .crossJoin(ndocs)
+            .filter(
+                F.lit(100) * F.col("df")
+                <= F.lit(posting_df_cap_pct) * F.col("ndocs")
+            )
+            .select(F.col(id_col), "n", "tok")
+        )
+    if posting_len_cap is not None:
+        from pyspark.sql import Window
+
+        posting = (
+            posting.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("tok").orderBy("n", id_col)
+                ),
+            )
+            .filter(F.col("rn") <= posting_len_cap)
+            .drop("rn")
+        )
     a = posting.alias("a")
     b = posting.alias("b")
     cand = (
@@ -621,4 +670,108 @@ def simhash_fingerprints(
     return (
         ids.join(votes.select(F.col(id_col), fp.alias("simhash")), id_col, "left")
         .select(F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
+
+
+def simhash_adaptive_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    max_hamming: int = 6,
+    load_margin: int = 1,
+) -> DataFrame:
+    """:func:`simhash_hamming_pairs` with the chunk width DERIVED FROM
+    THE CORPUS SIZE instead of fixed — the production rule its
+    docstring promises (Manku et al., WWW'07 §3: candidate volume is
+    sum-of-occupancy-squared, so expected bucket occupancy stays
+    constant only when chunk width grows ~log2(n)).
+
+    Width rule, exact integer math on both engines (no float log2 —
+    ceil(log2) at a power-of-2 boundary is an engine-rounding hazard):
+
+        need  = length(bin(n)) + load_margin   -- floor(log2 n)+1+margin
+        width = smallest divisor of ``bits`` in {8,12,16,24} >= need
+                (else 24, keeping bands >= 2)
+
+    margin=1 targets mean occupancy ~1/2 per bucket.  The b*r trade is
+    explicit: growing width shrinks bands (48 -> 6x8, 4x12, 3x16,
+    2x24), so the pigeonhole recall guarantee (distance <= bands-1
+    always found) weakens as the corpus grows — at bands=2 only
+    distance <= 1 is guaranteed, exactly the trade Manku resolves by
+    widening the fingerprint (use bits=64+ at cluster scale).
+
+    The plan is FULLY declarative — no driver-side ``.count()``: the
+    corpus count is a 1-row aggregate broadcast onto the fingerprints
+    (same scalar-subquery-broadcast shape the repo's percentile
+    queries use), chunk extraction shifts by a COLUMN (pos*width), and
+    the static explode bound is ``bits``/8 = max bands.  Everything
+    downstream (bucket equi-join on (pos, chunk), XOR+popcount
+    verify) is unchanged from the fixed-width form.
+    """
+    if bits % 24 or bits < 24:
+        raise ValueError(f"bits ({bits}) must be a multiple of 24 (>= 24)")
+    # Divisor widths scale with bits (bits=48 -> 8/12/16/24); the CASE
+    # thresholds below assume the 48-bit default's ladder scaled by
+    # bits/48 so wider fingerprints keep the same band counts.
+    u = bits // 48
+    w8, w12, w16, w24 = 8 * u, 12 * u, 16 * u, 24 * u
+    fp = simhash_fingerprints(df, id_col, text_col, bits=bits)
+    need = F.length(F.bin(F.count(F.lit(1)))) + F.lit(load_margin)
+    plan = df.groupBy().agg(
+        F.when(need <= w8, w8)
+        .when(need <= w12, w12)
+        .when(need <= w16, w16)
+        .otherwise(w24)
+        .alias("width")
+    ).select(
+        "width",
+        (F.lit(bits) / F.col("width")).cast("int").alias("bands"),
+        # F.shiftleft only takes a literal shift; the column-shift form
+        # needs the SQL expression.
+        F.expr("shiftleft(CAST(1 AS BIGINT), width) - 1").alias("mask"),
+    )
+    chunks = (
+        fp.crossJoin(F.broadcast(plan))
+        .select(
+            F.col(id_col),
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(bits // 8 - 1))).alias(
+                "pos"
+            ),
+            "width",
+            "bands",
+            "mask",
+        )
+        .filter(F.col("pos") < F.col("bands"))
+        .select(
+            F.col(id_col),
+            "simhash",
+            "pos",
+            F.expr("shiftright(simhash, pos * width) & mask").alias(
+                "chunk"
+            ),
+        )
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -76,7 +76,16 @@ def ridge3_stats(
 def ridge3_solve(stats: DataFrame, lam: int = 1) -> DataFrame:
     """Cramer-solve a 1-row sufficient-statistics frame into the
     ``(w0, w1, w2, det)`` weight row (exact decimal(38) determinants,
-    one double division per weight)."""
+    one double division per weight).
+
+    MAGNITUDE BOUND: the determinant multiplies three decimal(38,0)
+    Gram sums, so its terms grow ~(max|x|² · n)³.  With |x| ≤ ~300
+    (the capped gate features) that overflows decimal(38) around
+    n ≈ 1e10 rows — ANSI mode errors there, and non-ANSI yields NULL.
+    The corpus-size-independence claim holds only below that bound;
+    past it, center/scale the features or shard the fit.  A NULL det
+    is therefore FAILED LOUDLY in-plan (raise_error), never emitted
+    as silent NULL weights."""
     s = stats
     L = F.lit(lam).cast(_D)
     c = lambda name: F.col(name).cast(_D)
@@ -97,6 +106,18 @@ def ridge3_solve(stats: DataFrame, lam: int = 1) -> DataFrame:
         ]
 
     det = _det3(A)
+    # Overflow guard: in non-ANSI mode a decimal(38) overflow surfaces
+    # as NULL — turn that into a hard error instead of NULL weights.
+    det = F.when(
+        det.isNull(),
+        F.raise_error(
+            F.lit(
+                "ridge3_solve: decimal(38) determinant overflow — "
+                "Gram sums too large (see magnitude bound in docstring); "
+                "center/scale features or shard the fit"
+            )
+        ).cast(_D),
+    ).otherwise(det)
     return s.select(
         (_det3(repl(0)).cast("double") / det.cast("double")).alias("w0"),
         (_det3(repl(1)).cast("double") / det.cast("double")).alias("w1"),

@@ -127,12 +127,15 @@ def compression_ratios(
             raw = pdf[text_col].fillna("").str.encode("utf-8")
             n_bytes = raw.str.len()
             n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            # Empty docs get a NULL ratio (not n_compressed/1 ≈ 8.0
+            # from zlib header overhead) so downstream repetitiveness
+            # filters can tell "empty" from "incompressible".
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": n_bytes,
                     "n_compressed": n_comp,
-                    "ratio": n_comp / n_bytes.where(n_bytes > 0, 1),
+                    "ratio": (n_comp / n_bytes.where(n_bytes > 0)),
                 }
             )
 

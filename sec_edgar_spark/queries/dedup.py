@@ -312,6 +312,81 @@ def _simhash_hamming_oracle(bits=48, bands=4, max_hamming=6) -> str:
     """
 
 
+def _simhash_adaptive_oracle(bits=48, max_hamming=6, margin=1) -> str:
+    """Oracle twin of operators/dedup.simhash_adaptive_pairs: same
+    vote/fingerprint CTEs as the fixed-width oracle, but the chunk
+    plan (width/bands/mask) is computed FROM COUNT(*) inside the SQL —
+    exact integer math (length(bin(n))), so both engines derive the
+    identical width at every scale factor."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits)
+    )
+    u = bits // 48
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT d.doc_id, CAST(COALESCE({fp}, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+    ), plan AS (
+      SELECT width, {bits} // width AS bands,
+             (CAST(1 AS BIGINT) << width) - 1 AS mask
+      FROM (
+        SELECT CASE WHEN need <= {8 * u} THEN {8 * u}
+                    WHEN need <= {12 * u} THEN {12 * u}
+                    WHEN need <= {16 * u} THEN {16 * u}
+                    ELSE {24 * u} END AS width
+        FROM (
+          SELECT length(bin(COUNT(*))) + {margin} AS need FROM documents
+        )
+      )
+    ), chunks AS (
+      SELECT doc_id, simhash, gs.pos,
+             (simhash >> (gs.pos * width)) & mask AS chunk
+      FROM fp CROSS JOIN plan
+      CROSS JOIN generate_series(0, {bits // 8 - 1}) gs(pos)
+      WHERE gs.pos < bands
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS fp_a,
+                      b.doc_id AS id_b, b.simhash AS fp_b
+      FROM chunks a JOIN chunks b
+        ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_adaptive", oracle=_simhash_adaptive_oracle())
+def dedup_simhash_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the banded index's CHUNK WIDTH
+    derived from the corpus size (operators/dedup.simhash_adaptive_
+    pairs) — the width ~ log2(n) production rule the fixed-width
+    query's docstring promises (Manku et al. WWW'07: constant expected
+    bucket occupancy keeps candidate volume linear).  The width
+    derivation is exact integer math (length(bin(COUNT(*)))) computed
+    in-plan on BOTH engines — no driver count, no float log2 — so the
+    oracle replays the plan choice, fingerprints, and popcount verify
+    at every scale factor.  At r6's 10x probe scale the fixed 12-bit
+    chunks saturated (3.2x wall); this rule widens to 16-bit chunks
+    there, restoring constant occupancy."""
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_adaptive_pairs(
+        d, "doc_id", "text", bits=48, max_hamming=6
+    )
+
+
 @query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash near-dup pairs within Hamming distance 6, via the
@@ -983,6 +1058,71 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_join(d, "doc_id", "text", threshold=_PF_T)
 
 
+# Posting-df cap (percent of corpus) for the graceful-degradation
+# variants of the answer-size-explosive joins: drop candidate-
+# generation postings for tokens present in > _DF_CAP_PCT% of docs.
+# Integer compare (100*df <= pct*ndocs) on both engines.  Measured at
+# sf0.01 (DuckDB, this corpus): PPJoin posting 1401 -> 398 entries,
+# pairs 9020 -> 7966 (88% recall); containment big-index 11695 -> 398
+# postings (29x), pairs 22071 -> 14415 (65% recall).  The df
+# distribution here is a cliff (31-token vocab, df ~388 +/- 15 of 500
+# docs ~ 77.6% +/- 3), so 75 is the knee; real corpora have Zipfian df
+# and degrade smoothly.
+_DF_CAP_PCT = 75
+
+# Per-token posting-length truncation (operators/dedup.prefix_filter_
+# join posting_len_cap): bounds candidate volume at <= L^2 per token
+# at ANY corpus size — the growth cap, composed with the df cap above.
+# Not binding at the gate SFs (the df-capped postings total 398
+# entries at sf0.01, so no single token's list reaches 500 and the
+# composed result equals the df-cap-only one), binding at the 10x
+# probe and beyond where lists grow ~linearly with the corpus.
+_LEN_CAP = 500
+
+_PF_CAPPED_SQL = _PF_SQL.replace(
+    """), posting AS (
+      SELECT doc_id, n, unnest(prefix) AS tok FROM docs
+    ), cand AS (""",
+    f"""), stats AS (
+      SELECT COUNT(*) AS ndocs FROM docs
+    ), posting AS (
+      SELECT p.doc_id, p.n, p.tok
+      FROM (SELECT doc_id, n, unnest(prefix) AS tok FROM docs) p
+      JOIN dfreq USING (tok) CROSS JOIN stats
+      WHERE 100 * df <= {_DF_CAP_PCT} * ndocs
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.tok ORDER BY p.n, p.doc_id) <= {_LEN_CAP}
+    ), cand AS (""",
+)
+assert _PF_CAPPED_SQL != _PF_SQL
+
+
+@query("dedup_prefix_filter_capped", oracle=_PF_CAPPED_SQL)
+def dedup_prefix_filter_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_prefix_filter_join` with the per-token posting cap
+    (df <= 75% of corpus) — the graceful-degradation mode for corpora
+    where even prefix tokens are near-stopwords and the TRUE answer
+    is quadratic.  Candidates still verify exact Jaccard, so output
+    is a strict SUBSET of the exact join (no false positives; 88%
+    recall at sf0.01 on this vocabulary-dense synthetic corpus —
+    measured numbers at _DF_CAP_PCT above).  The cap is the same
+    df-cap pattern text_sparse_cosine_pairs uses; the corpus count is
+    an in-plan 1-row broadcast, so the plan stays fully declarative.
+    Composed with the _LEN_CAP per-token posting truncation, which
+    bounds candidate volume per token at L^2 at ANY scale (not
+    binding at the gate SFs — identical results with or without it —
+    binding at the 10x probe; see SCALE.md).
+    """
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    return D.prefix_filter_join(
+        d, "doc_id", "text", threshold=_PF_T,
+        posting_df_cap_pct=_DF_CAP_PCT,
+        posting_len_cap=_LEN_CAP,
+    )
+
+
 # Containment threshold: fraction of the SMALLER doc's tokens that
 # must appear in the larger one (quotation/subset detection).
 _CONT_T = 0.97
@@ -1043,8 +1183,57 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc samples the same small token pool); real corpora are
     sparse at this threshold.
     """
-    from pyspark.sql import functions as _F
+    return _containment_pairs(spark, sf_dir)
 
+
+_CONT_CAPPED_SQL = _CONT_SQL.replace(
+    """), small_posting AS (
+      SELECT doc_id, n, unnest(prefix) AS tok FROM docs
+    ), big_posting AS (
+      SELECT doc_id, n, unnest(toks_ord) AS tok FROM docs
+    ), cand AS (""",
+    f"""), stats AS (
+      SELECT COUNT(*) AS ndocs FROM docs
+    ), small_posting AS (
+      SELECT p.doc_id, p.n, p.tok
+      FROM (SELECT doc_id, n, unnest(prefix) AS tok FROM docs) p
+      JOIN dfreq USING (tok) CROSS JOIN stats
+      WHERE 100 * df <= {_DF_CAP_PCT} * ndocs
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.tok ORDER BY p.n, p.doc_id) <= {_LEN_CAP}
+    ), big_posting AS (
+      SELECT p.doc_id, p.n, p.tok
+      FROM (SELECT doc_id, n, unnest(toks_ord) AS tok FROM docs) p
+      JOIN dfreq USING (tok) CROSS JOIN stats
+      WHERE 100 * df <= {_DF_CAP_PCT} * ndocs
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.tok ORDER BY p.n, p.doc_id) <= {_LEN_CAP}
+    ), cand AS (""",
+)
+assert _CONT_CAPPED_SQL != _CONT_SQL
+
+
+@query("dedup_containment_capped", oracle=_CONT_CAPPED_SQL)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_containment_pairs` with the df <= 75%-of-corpus posting
+    cap on BOTH the probe prefix and the big-side full index — the
+    graceful-degradation mode for the containment join, whose big
+    index is otherwise one posting per (doc, token) including
+    stopwords (the 7.4x-at-10x answer-bound shape in SCALE.md r6).
+    At sf0.01 the cap shrinks the big index 29x (11695 -> 398
+    postings) and keeps 65% of the true pairs (22071 -> 14415);
+    verification is still exact containment, so output is a strict
+    SUBSET of the exact join.  See _DF_CAP_PCT for the measured
+    trade-off and why 75 is the knee on this corpus; the _LEN_CAP
+    posting truncation composes on top, bounding per-token candidate
+    volume at any scale.
+    """
+    return _containment_pairs(spark, sf_dir, df_cap_pct=_DF_CAP_PCT)
+
+
+def _containment_pairs(
+    spark: SparkSession, sf_dir: str, df_cap_pct: int | None = None
+) -> DataFrame:
     toks = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
@@ -1070,10 +1259,37 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     small = docs.select(
         F.col("doc_id"), "n", F.explode("prefix").alias("tok")
-    ).alias("a")
+    )
     big = docs.select(
         F.col("doc_id"), "n", F.explode("toks_ord").alias("tok")
-    ).alias("b")
+    )
+    if df_cap_pct is not None:
+        # Same in-plan df cap as prefix_filter_join's
+        # posting_df_cap_pct: corpus count is a 1-row broadcast,
+        # integer compare so both engines prune identical tokens.
+        ndocs = F.broadcast(docs.groupBy().agg(F.count("*").alias("ndocs")))
+
+        from pyspark.sql import Window
+
+        _w = Window.partitionBy("tok").orderBy("n", "doc_id")
+
+        def _cap(p: DataFrame) -> DataFrame:
+            return (
+                p.join(dfreq, "tok")
+                .crossJoin(ndocs)
+                .filter(
+                    F.lit(100) * F.col("df")
+                    <= F.lit(df_cap_pct) * F.col("ndocs")
+                )
+                .select("doc_id", "n", "tok")
+                .withColumn("rn", F.row_number().over(_w))
+                .filter(F.col("rn") <= _LEN_CAP)
+                .drop("rn")
+            )
+
+        small, big = _cap(small), _cap(big)
+    small = small.alias("a")
+    big = big.alias("b")
     cand = (
         small.join(
             big,

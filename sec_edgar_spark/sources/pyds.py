@@ -48,12 +48,27 @@ _CIK_RE = _re.compile(r"^[0-9]+$")
 _DATE_RAW_RE = _re.compile(r"^[0-9-]+$")
 
 
+_DATE_SHAPES = (
+    # (shape regex, strptime format) — the explicit shape check keeps
+    # this twin NULL-for-NULL identical to the batch path: strptime
+    # alone accepts non-zero-padded tokens like '1-2-1997' that
+    # try_to_date('MM-dd-yyyy') rejects, so without it the streaming
+    # and batch paths could parse loosely padded idx rows differently.
+    (_re.compile(r"^\d{4}-\d{2}-\d{2}$"), "%Y-%m-%d"),
+    (_re.compile(r"^\d{8}$"), "%Y%m%d"),
+    (_re.compile(r"^\d{2}-\d{2}-\d{4}$"), "%m-%d-%Y"),
+)
+
+
 def _parse_date(tok: str) -> _dt.date | None:
     """Twin of functions/scalars.parse_idx_date: the three idx date
     shapes (quarterly yyyy-MM-dd, daily yyyyMMdd, pre-1998 daily
-    MM-dd-yyyy); anything else is NULL — the row is still kept,
-    exactly like the batch path's try_to_date coalesce."""
-    for fmt in ("%Y-%m-%d", "%Y%m%d", "%m-%d-%Y"):
+    MM-dd-yyyy), each gated by an exact zero-padded shape regex (the
+    Spark formats are strict); anything else is NULL — the row is
+    still kept, exactly like the batch path's try_to_date coalesce."""
+    for shape, fmt in _DATE_SHAPES:
+        if not shape.match(tok):
+            continue
         try:
             return _dt.datetime.strptime(tok, fmt).date()
         except ValueError:

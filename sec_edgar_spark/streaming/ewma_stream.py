@@ -64,6 +64,16 @@ def ewma_stream(daily: DataFrame, alpha_num: int = 1, alpha_den: int = 4) -> Dat
         rows = []
         for pdf in pdf_iter:
             rows.append(pdf[["day_epoch", "cnt"]])
+        if not rows:
+            # Timed-out key (empty batch iterator): pd.concat([])
+            # raises, so emit the current state unchanged instead of
+            # crashing the query.  Unreachable under NoTimeout but a
+            # hard crash if a timeout is ever configured.
+            state.update((last_day, n_days, ewma))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_days": [n_days], "ewma": [ewma]}
+            )
+            return
         obs = pd.concat(rows).sort_values("day_epoch")
         for day, cnt in zip(obs["day_epoch"], obs["cnt"]):
             if day <= last_day:

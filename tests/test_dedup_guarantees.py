@@ -265,3 +265,143 @@ class TestPrefixFilterExactness:
         )
         for k, v in want.items():
             assert abs(got[k] - v) < 1e-12
+
+
+class TestSimhashAdaptiveWidth:
+    def test_small_corpus_matches_widest_banding_and_keeps_pigeonhole(
+        self, spark
+    ):
+        """At n=8 docs the width rule picks 8-bit chunks (6 bands):
+        need = len(bin(8))+1 = 5 <= 8.  Pigeonhole guarantee therefore
+        STRENGTHENS vs the fixed 4-band form — any pair within
+        distance 5 must be found."""
+        from sec_edgar_spark.operators.dedup import (
+            simhash_adaptive_pairs,
+            simhash_fingerprints,
+        )
+
+        base = ["w%d" % i for i in range(120)]
+        rows = [(0, " ".join(base))]
+        for v in range(1, 8):
+            mut = list(base)
+            mut[v] = "m%d" % v
+            rows.append((v, " ".join(mut)))
+        d = _docs(spark, rows)
+        fps = {
+            r.doc_id: r.simhash
+            for r in simhash_fingerprints(
+                d, "doc_id", "text", bits=48
+            ).collect()
+        }
+        ids = sorted(fps)
+        want = {
+            (i, j)
+            for i in ids
+            for j in ids
+            if i < j and bin(fps[i] ^ fps[j]).count("1") <= 5
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_adaptive_pairs(
+                d, "doc_id", "text", bits=48, max_hamming=6
+            ).collect()
+        }
+        assert want <= got, f"missed guaranteed pairs: {want - got}"
+
+    def test_width_rule_is_monotone_in_corpus_size(self):
+        """Pure-python replay of the in-plan CASE ladder: width grows
+        with n (constant expected occupancy) and never drops bands
+        below 2."""
+
+        def width(n, margin=1):
+            need = len(bin(n)) - 2 + margin  # len('0b..')-2 == len(bin str)
+            for w in (8, 12, 16, 24):
+                if need <= w:
+                    return w
+            return 24
+
+        assert width(100) == 8          # 6 bands
+        assert width(5_000) == 16       # 3 bands -- sf0.01-ish corpus
+        assert width(60_000) == 24      # 2 bands -- 10x probe scale
+        assert width(10**7) == 24       # clamped: bands never < 2
+        ws = [width(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
+        assert ws == sorted(ws)
+
+    def test_bits_validation(self, spark):
+        from sec_edgar_spark.operators.dedup import simhash_adaptive_pairs
+
+        d = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError):
+            simhash_adaptive_pairs(d, "doc_id", "text", bits=32)
+
+
+class TestCappedVariantsAreSubsets:
+    """The df-cap + posting-truncation modes only prune CANDIDATES;
+    verification stays exact, so capped output must be a subset of the
+    exact join's — no false positives ever, recall is the only cost."""
+
+    def test_prefix_filter_capped_subset(self, spark):
+        import os
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.isdir(sf):
+            pytest.skip("testdata missing")
+        from sec_edgar_spark.queries.dedup import (
+            dedup_prefix_filter_capped,
+            dedup_prefix_filter_join,
+        )
+
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup_prefix_filter_join(spark, sf).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup_prefix_filter_capped(spark, sf).collect()
+        }
+        assert capped and capped <= exact
+
+    def test_containment_capped_subset(self, spark):
+        import os
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.isdir(sf):
+            pytest.skip("testdata missing")
+        from sec_edgar_spark.queries.dedup import (
+            dedup_containment_capped,
+            dedup_containment_pairs,
+        )
+
+        exact = {
+            (r.small_id, r.big_id)
+            for r in dedup_containment_pairs(spark, sf).collect()
+        }
+        capped = {
+            (r.small_id, r.big_id)
+            for r in dedup_containment_capped(spark, sf).collect()
+        }
+        assert capped and capped <= exact
+
+    def test_len_cap_alone_not_binding_is_exact(self, spark):
+        """On a corpus whose posting lists are all shorter than L the
+        truncation is the identity: len-cap-only output == exact."""
+        from sec_edgar_spark.operators.dedup import prefix_filter_join
+
+        rows = [
+            (i, " ".join("w%d_%d" % (i // 2, j) for j in range(20)))
+            for i in range(10)
+        ]
+        d = _docs(spark, rows)
+        exact = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in prefix_filter_join(
+                d, "doc_id", "text", threshold=0.9
+            ).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in prefix_filter_join(
+                d, "doc_id", "text", threshold=0.9, posting_len_cap=200
+            ).collect()
+        }
+        assert capped == exact and exact

@@ -128,5 +128,7 @@ def test_compression_ratios_golden(spark):
     assert rows[1].n_compressed == len(zlib.compress(rep.encode(), 6))
     assert rows[2].n_compressed == len(zlib.compress(mixed.encode(), 6))
     assert rows[1].ratio < 0.05 < rows[2].ratio
-    assert rows[3].n_bytes == 0 and rows[3].ratio > 0  # empty guard
-    assert rows[4].n_bytes == 0  # null -> empty
+    # Empty docs: NULL ratio (distinguishable from incompressible),
+    # never a header-overhead sentinel.
+    assert rows[3].n_bytes == 0 and rows[3].ratio is None
+    assert rows[4].n_bytes == 0 and rows[4].ratio is None  # null -> empty

@@ -27,6 +27,12 @@ def test_no_hard_antipatterns_anywhere(spark):
             flags.get("BatchEvalPython") or flags.get("ArrowEvalPython")
         ) and name not in PY_UDF_WHITELIST:
             errors.append(f"{name}: python UDF outside whitelist")
+        if flags.get("ExcessExchanges"):
+            errors.append(
+                f"{name}: {flags['ExcessExchanges']} Exchanges — unrolled "
+                "iteration without lineage truncation (localCheckpoint "
+                "per round, see operators/graph.py)"
+            )
     assert not errors, errors
 
 

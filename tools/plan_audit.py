@@ -27,6 +27,16 @@ import sys
 
 sys.path.insert(0, ".")
 
+# Any plan carrying more data-moving Exchanges than this ceiling is
+# flagged ExcessExchanges — the signature of unrolled iteration
+# without lineage truncation (the class that produced kcore_prune's
+# 134-Exchange 3^rounds plan before its localCheckpoint fix).  The
+# widest legitimate plans in the registry (text_phrase_merge,
+# graph_triangle_count) carry 28, so 40 leaves headroom while any
+# exponential-unroll regression trips it immediately.  Hard-enforced
+# by tests/test_plan_audit.py.
+EXCHANGE_CEILING = 40
+
 # Queries allowed to show BatchEvalPython/ArrowEvalPython (documented
 # row-UDF escape hatches — parsing layers, not analytics hot paths).
 PY_UDF_WHITELIST: set[str] = {
@@ -148,6 +158,8 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
         flags["_shuffles"] = len(
             re.findall(r"Exchange (hash|range|Single|RoundRobin)", plan)
         )
+        if flags["_shuffles"] > EXCHANGE_CEILING:
+            flags["ExcessExchanges"] = flags["_shuffles"]
         rows.append((name, flags))
     return rows
 
