@@ -1067,10 +1067,18 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     ),
+    capped AS (
+      SELECT user_id, sid, ts, event_id, event_type FROM sess
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                 ORDER BY ts, event_id) <= 64
+    ),
     paths AS (
       SELECT user_id, sid,
-        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-      FROM sess GROUP BY user_id, sid
+        array_to_string(list_transform(
+          list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                     event_type := event_type))),
+          s -> s.event_type), '>') AS path
+      FROM capped GROUP BY user_id, sid
     )
     SELECT path, COUNT(*) AS n_sessions
     FROM paths GROUP BY path
@@ -1086,10 +1094,17 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Order inside a path is pinned by sorting collected (ts, event_id,
     type) structs — array_sort on structs compares field-by-field, so
     the concatenation is deterministic under any aggregation order
-    (collect_list alone would not be; DuckDB's ordered string_agg is
-    the oracle twin).  Sessionization reuses the lag→flag→cumsum
-    composition; per-user windows, corpus-wide path counts partial-
-    aggregate, top-15 with a total-order tiebreak.
+    (collect_list alone would not be; DuckDB sorts the same struct
+    list).  Paths are truncated to the first 64 steps per session:
+    a 30-min-gap session is length-bounded on real behavior, but a
+    bot key streaming events forever never breaks the gap — a
+    row_number pre-filter caps that key's rows BEFORE the collect, so
+    the aggregation buffer is hard-bounded at 64 structs (and 64-step
+    prefixes are a total path identity for any human session).
+    Sessionization
+    reuses the lag→flag→cumsum composition; per-user windows,
+    corpus-wide path counts partial-aggregate, top-15 with a
+    total-order tiebreak.
     """
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1122,8 +1137,17 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("is_start").over(wrun).alias("sid"),
     )
+    # The 64-step cap is a ROW filter BEFORE the collect (row_number
+    # per session), not a slice after it — slicing a collected array
+    # would still build the unbounded array in the aggregation buffer.
+    wsess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    capped = (
+        sess.withColumn("rn", F.row_number().over(wsess))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
     paths = (
-        sess.groupBy("user_id", "sid")
+        capped.groupBy("user_id", "sid")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("ts", "event_id", "event_type"))
@@ -1370,13 +1394,41 @@ def agg_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trailing-window bound for the per-user EWMA folds: the collected
+# array is capped at this many days, anchored on the corpus max day
+# (one scalar aggregate, broadcast).  90 days of 0.75-decay leaves
+# weight 0.75^90 ~ 6e-12 on anything older — a contract bound, not an
+# approximation.  Asserted adversarially by tools/skew_probe.py's
+# one-user-50%-of-events corpus (SCALE.md).
+_EWMA_FOLD_DAYS = 90
+
+
+def _capped_daily(e: DataFrame) -> DataFrame:
+    """Per-(user, day) counts restricted to the trailing
+    _EWMA_FOLD_DAYS window — the shared head of both EWMA queries."""
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    mx = F.broadcast(daily.groupBy().agg(F.max("day").alias("max_day")))
+    return (
+        daily.crossJoin(mx)
+        .filter(F.col("day") > F.date_sub("max_day", _EWMA_FOLD_DAYS))
+        .select("user_id", "day", "cnt")
+    )
+
+
 @query(
     "events_ewma_smoothing",
     oracle="""
-    WITH daily AS (
+    WITH daily0 AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              COUNT(*) AS cnt
       FROM events GROUP BY 1, 2
+    ), mx AS (
+      SELECT MAX(day) AS max_day FROM daily0
+    ), daily AS (
+      SELECT d.user_id, d.day, d.cnt FROM daily0 d CROSS JOIN mx
+      WHERE d.day > max_day - 90
     ), folded AS (
       SELECT user_id, COUNT(*) AS n_days,
         list_reduce(
@@ -1401,16 +1453,21 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: daily counts partial-aggregate; each user's fold is
     over their own observed days only (irregular series — smoothing
-    skips gaps by design, documented), so state per user is days-
-    bounded and the whole computation is one groupBy.  The streaming
-    twin of this recurrence is a stateful running value
+    skips gaps by design, documented), HARD-BOUNDED by the
+    _EWMA_FOLD_DAYS trailing window: the fold array can never exceed
+    90 elements per user regardless of history length, so a bot key
+    with years of daily rows cannot blow up one aggregation buffer
+    (the r6 unbounded-fold hygiene flag; EWMA weight on a day 90+
+    steps back is 0.75^90 ~ 6e-12 — far below double noise at these
+    magnitudes, so the window is a contract formalization, not an
+    approximation knob).  The window anchor is the corpus max day —
+    one scalar aggregate broadcast in-plan.  The streaming twin of
+    this recurrence is a stateful running value
     (applyInPandasWithState holds s_t per key) — here the batch
     replay form.
     """
     e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.count("*").alias("cnt"))
+    daily = _capped_daily(e)
     folded = daily.groupBy("user_id").agg(
         F.count("*").alias("n_days"),
         F.aggregate(
@@ -1655,10 +1712,15 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_ewma_alerts",
     oracle="""
-    WITH daily AS (
+    WITH daily0 AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              COUNT(*) AS cnt
       FROM events GROUP BY 1, 2
+    ), mx AS (
+      SELECT MAX(day) AS max_day FROM daily0
+    ), daily AS (
+      SELECT d.user_id, d.day, d.cnt FROM daily0 d CROSS JOIN mx
+      WHERE d.day > max_day - 90
     ), folded AS (
       SELECT user_id, COUNT(*) AS n_days,
         list_reduce(
@@ -1693,15 +1755,13 @@ def events_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction.  Reports per-user final baseline and alert count.
 
     Scale shape: identical to events_ewma_smoothing (daily partial
-    aggregate + per-user bounded fold); the struct accumulator adds
-    state WIDTH, not extra passes — the pattern for any
-    sequential-scan statistic (drawdown, streaks, CUSUM) expressed as
-    one fold.
+    aggregate + per-user fold hard-bounded at _EWMA_FOLD_DAYS trailing
+    days); the struct accumulator adds state WIDTH, not extra passes —
+    the pattern for any sequential-scan statistic (drawdown, streaks,
+    CUSUM) expressed as one fold.
     """
     e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.count("*").alias("cnt"))
+    daily = _capped_daily(e)
     init = F.struct(
         F.lit(0.0).alias("ewma"),
         F.lit(0).cast("bigint").alias("n_alerts"),
