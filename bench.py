@@ -94,6 +94,13 @@ HEADLINE = [
     "events_rank_sum_test",
     "graph_kcore_prune",
     "text_phrase_search",
+    # round 7 additions: adaptive/capped candidate generation and the
+    # end-to-end binary pretraining export (quality -> dedup -> decon
+    # -> pack -> .bin/.idx shards -> checksummed read-back)
+    "dedup_simhash_adaptive",
+    "dedup_prefix_filter_capped",
+    "dedup_containment_capped",
+    "curation_export_shards",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -134,6 +141,11 @@ SCAN_PARALLELIZE = {
     "text_sparse_cosine_pairs",
     "text_winnowing_pairs",
     "curation_dsir_select",
+    # round 7: per-row CPU-heavy over documents
+    "dedup_simhash_adaptive",
+    "dedup_prefix_filter_capped",
+    "dedup_containment_capped",
+    "curation_export_shards",
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ

@@ -660,3 +660,172 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("score") >= 1.0).alias("selected"),
     )
+
+
+# End-to-end pretraining export: shard checksums are md5 over the
+# comma-joined token-id stream in written order — computed by DuckDB
+# from SQL and by Spark from the BYTES READ BACK off disk, so the
+# oracle match certifies the full chain INCLUDING the binary
+# round-trip, not just the logical plan.
+_EXPORT_VOCAB = 50_000
+_EXPORT_SHARDS = 8
+
+_EXPORT_SQL = f"""
+    WITH stats AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+          AS toks,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+          / greatest(length(text), 1) AS alpha_ratio
+      FROM documents
+    ), quality AS (
+      SELECT * FROM stats WHERE len(toks) >= 10 AND alpha_ratio > 0.5
+    ), deduped AS (
+      SELECT doc_id, toks FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), train0 AS (
+      SELECT doc_id, toks FROM deduped
+      WHERE {_H} % 100 < 80 AND doc_id % 13 <> 0
+    ), shingled AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(toks) - 7, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+               toks[i+6] || ' ' || toks[i+7])) AS sh
+      FROM stats
+    ), eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM shingled
+      WHERE doc_id % 13 = 0
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingled) s
+      JOIN eval_sh e ON s.shingle = e.shingle
+    ), clean AS (
+      SELECT t.doc_id, t.toks FROM train0 t
+      ANTI JOIN contaminated c ON t.doc_id = c.doc_id
+    ), tokenized AS (
+      SELECT doc_id,
+        list_transform(toks,
+          t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+               % {_EXPORT_VOCAB}) AS ids,
+        len(toks) AS n_tokens,
+        {_H} % {_EXPORT_SHARDS} AS shard
+      FROM clean
+    ), packed AS (
+      SELECT *, CAST(floor((SUM(n_tokens) OVER (
+          PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      FROM tokenized
+    )
+    SELECT CAST(shard AS VARCHAR) AS shard,
+      CAST(COUNT(*) AS BIGINT) AS n_seqs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      md5(array_to_string(
+        flatten(list(ids ORDER BY pack_id, doc_id)), ',')) AS checksum
+    FROM packed GROUP BY shard
+    """
+
+
+@query("curation_export_shards", oracle=_EXPORT_SQL)
+def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining last mile as one composed pipeline:
+    quality gate → exact dedup → train-split assignment →
+    8-gram decontamination (against the held-out doc_id%13 eval
+    slice) → deterministic tokenization → per-shard contiguous
+    packing → BINARY token-shard export (sources/shards.
+    write_token_shards, one task per shard, driver-committed
+    manifest) → read-back.
+
+    The returned frame is the per-shard manifest RECONSTRUCTED FROM
+    THE BYTES ON DISK (read_token_shards): (shard, n_seqs, n_tokens,
+    checksum) where checksum = md5 of the comma-joined token stream
+    in written (pack_id, doc_id) order.  The oracle computes the same
+    four columns purely in SQL, so a value match certifies every
+    stage AND the uint16 little-endian round-trip — if the writer
+    dropped, reordered, truncated or wrote a single token id wrong,
+    the checksum diverges.
+
+    Scale shape: every stage is the production operator (hash gates
+    pushable, dedup/decontamination are hash/shingle equi-joins,
+    packing one window per hash shard, one writer task per shard —
+    shard count is the write-parallelism knob).  The checksum
+    aggregation is the VERIFICATION query's cost, not the export's:
+    production calls write_token_shards and trusts the manifest.
+    The export itself is eager (the sink runs when the query is
+    built); re-runs overwrite atomically and re-commit the manifest,
+    so the returned frame always reflects the latest complete export.
+    """
+    import os as _os
+
+    from ..operators.sampling import (
+        decontaminate,
+        hash_bucket,
+        pack_sequences,
+        split_assign,
+    )
+    from ..sources.shards import (
+        read_token_shards,
+        tokenize_ids,
+        write_token_shards,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    n_tokens = T.token_count("text")
+    alpha_ratio = T.alpha_chars("text").cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    quality = d.select("doc_id", "text").filter(
+        (n_tokens >= 10) & (alpha_ratio > 0.5)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy(
+        "doc_id"
+    )
+    deduped = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    train = deduped.filter(
+        (split_assign("doc_id") == "train") & (F.col("doc_id") % 13 != 0)
+    )
+    flagged = decontaminate(
+        train, d.filter(F.col("doc_id") % 13 == 0), "doc_id", "text", n=8
+    ).select("doc_id")
+    clean = train.join(flagged, "doc_id", "anti")
+    toks = tokenize_ids(clean, "doc_id", "text", vocab_size=_EXPORT_VOCAB)
+    sharded = toks.withColumn(
+        "shard", hash_bucket("doc_id", _EXPORT_SHARDS).cast("string")
+    )
+    packed = pack_sequences(
+        sharded, order_col="doc_id", token_count_col="n_tokens",
+        budget=512, partition_col="shard",
+    )
+    root = _os.path.join(
+        "/tmp",
+        "spark_graft_shards_"
+        + _os.path.basename(sf_dir.rstrip("/") or "sf"),
+    )
+    write_token_shards(packed, root, shard_col="shard")
+    rt = read_token_shards(spark, root)
+    flat = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq_idx", "token_ids"))),
+            lambda s: s["token_ids"],
+        )
+    )
+    return rt.groupBy("shard").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum(F.size("token_ids")).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(flat, lambda x: x.cast("string")), ","
+            )
+        ).alias("checksum"),
+    )
