@@ -164,7 +164,46 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
     return rows
 
 
+def audit_executed(sf_dir: str, names: list[str]) -> list[tuple]:
+    """ReusedExchange-aware shuffle counts (VERDICT r6 #8): EXECUTE
+    each query and read its FINAL adaptive plan — static plans can't
+    show runtime exchange reuse (AQE installs ReusedExchange during
+    execution), so the static `_shuffles` number is an upper bound.
+    Reports (planned, reused, effective = planned - reused) per query.
+    Opt-in (`--executed name...`) because it runs the queries, not
+    just plans them."""
+    from sec_edgar_spark.session import get_spark
+    import sec_edgar_spark.queries as Q
+
+    spark = get_spark(
+        app_name="plan-audit-exec", master="local[4]", shuffle_partitions=4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = Q.queries()
+    out = []
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        planned = len(
+            re.findall(r"Exchange (hash|range|Single|RoundRobin)", plan)
+        )
+        reused = plan.count("ReusedExchange")
+        out.append((name, planned, reused, planned - reused))
+    return out
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--executed":
+        sf_dir = "/root/testdata/sf0.001"
+        names = sys.argv[2:]
+        if not names:
+            print("usage: plan_audit.py --executed <query> [query...]")
+            return 2
+        print("query  planned  reused  effective")
+        for name, p, r, e in audit_executed(sf_dir, names):
+            print(f"{name}  {p}  {r}  {e}")
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     rows = audit(sf_dir)
     # OffsetsWindowP and _shuffles are informational — only true
