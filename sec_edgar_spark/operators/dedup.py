@@ -420,6 +420,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def blocked_tokens(
+    dfreq: DataFrame, docs: DataFrame, df_cap_pct: int
+) -> DataFrame:
+    """The 1-column ``(tok)`` frame of tokens whose document frequency
+    EXCEEDS ``df_cap_pct`` percent of the corpus — the complement of
+    the posting df-cap, in its broadcastable form.
+
+    Size bound (corpus-size-independent): Σ df over the vocabulary is
+    the total number of distinct (doc, token) postings
+    <= ndocs·max_doc_len, so at most (100/df_cap_pct)·max_doc_len
+    tokens can each have df > (df_cap_pct/100)·ndocs.  At any corpus
+    size the blocked set is a few hundred stopwords — safe to
+    broadcast, which turns the df cap from a posting-sized shuffle
+    join against dfreq into a broadcast ANTI join (zero shuffle on the
+    posting side).  Integer compare (100·df > pct·ndocs) so both
+    engines prune identical tokens; the corpus count is a 1-row
+    broadcast aggregate, no driver count."""
+    ndocs = F.broadcast(docs.groupBy().agg(F.count("*").alias("ndocs")))
+    return (
+        dfreq.crossJoin(ndocs)
+        .filter(F.lit(100) * F.col("df") > F.lit(df_cap_pct) * F.col("ndocs"))
+        .select("tok")
+    )
+
+
 def prefix_filter_join(
     df: DataFrame,
     id_col: str,
@@ -506,15 +531,22 @@ def prefix_filter_join(
         F.col(id_col), "n", F.explode("prefix").alias("tok")
     )
     if posting_df_cap_pct is not None:
-        ndocs = F.broadcast(docs.groupBy().agg(F.count("*").alias("ndocs")))
-        posting = (
-            posting.join(dfreq, "tok")
-            .crossJoin(ndocs)
-            .filter(
-                F.lit(100) * F.col("df")
-                <= F.lit(posting_df_cap_pct) * F.col("ndocs")
-            )
-            .select(F.col(id_col), "n", "tok")
+        # df <= cap%  ==  NOT df > cap%: anti-join the tiny blocked
+        # (stopword) set, broadcast — zero shuffle on the posting side
+        # vs the posting-sized dfreq equi-join this replaced (see
+        # blocked_tokens for the corpus-size-independent size bound).
+        # df is recomputed from the CACHED docs frame (explode of the
+        # per-doc distinct token lists) so the broadcast subtree reads
+        # the InMemoryRelation, not the raw-scan dfreq chain.
+        dfreq_c = (
+            docs.select(F.explode("toks_ord").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+        )
+        posting = posting.join(
+            F.broadcast(blocked_tokens(dfreq_c, docs, posting_df_cap_pct)),
+            "tok",
+            "anti",
         )
     if posting_len_cap is not None:
         from pyspark.sql import Window

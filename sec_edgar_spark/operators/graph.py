@@ -276,9 +276,21 @@ def kcore_prune(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     )
 
 
-def kcore_fixpoint(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+def kcore_fixpoint(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    assert_rounds: int | None = None,
+) -> DataFrame:
     """Exact k-core: run :func:`kcore_prune` rounds until no node is
     dropped (fixpoint), bounded by ``max_rounds`` as a runaway guard.
+
+    ``assert_rounds``: if set, RAISE when convergence needs more than
+    this many pruning rounds.  The oracle twin of the gate query
+    over-unrolls a fixed number of rounds and relies on idempotence at
+    the fixpoint — valid only when convergence depth <= the unroll, so
+    the gate query pins the unroll here and a deeper graph fails
+    loudly instead of silently diverging from its oracle.
 
     This is the form a production graph pipeline actually needs — the
     fixed-round variant exists for engine-replayable oracle checks;
@@ -295,7 +307,7 @@ def kcore_fixpoint(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct().localCheckpoint()
     n_prev = und.count()
-    for _ in range(max_rounds):
+    for rnd in range(1, max_rounds + 1):
         deg = und.groupBy("s").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("s")
         und = (
@@ -305,6 +317,17 @@ def kcore_fixpoint(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         n = und.count()
         if n == n_prev:
             break
+        # A round that still drops nodes past the pinned unroll means
+        # prune^assert_rounds is NOT the fixpoint (a dropping round
+        # AT the pin is fine — the pin-th prune may be the last one).
+        if assert_rounds is not None and rnd > assert_rounds:
+            raise ValueError(
+                f"kcore_fixpoint: not converged after {rnd} rounds "
+                f"(edge count still dropping {n_prev} -> {n}) but the "
+                f"caller pinned assert_rounds={assert_rounds} — its "
+                "oracle's fixed unroll no longer reaches the fixpoint; "
+                "raise the unroll (and this pin) together"
+            )
         n_prev = n
     return und.groupBy(F.col("s").alias("id")).agg(
         F.count("*").alias("degree")

@@ -105,23 +105,30 @@ def ridge3_solve(stats: DataFrame, lam: int = 1) -> DataFrame:
             for i in range(3)
         ]
 
-    det = _det3(A)
     # Overflow guard: in non-ANSI mode a decimal(38) overflow surfaces
     # as NULL — turn that into a hard error instead of NULL weights.
-    det = F.when(
-        det.isNull(),
-        F.raise_error(
-            F.lit(
-                "ridge3_solve: decimal(38) determinant overflow — "
-                "Gram sums too large (see magnitude bound in docstring); "
-                "center/scale features or shard the fit"
-            )
-        ).cast(_D),
-    ).otherwise(det)
+    # The three NUMERATOR determinants use the same decimal(38)
+    # arithmetic at comparable (X'y-scaled) magnitudes and can overflow
+    # independently of the denominator, so all four are guarded.
+    def _guarded(expr, which):
+        return F.when(
+            expr.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"ridge3_solve: decimal(38) {which} determinant "
+                    "overflow — Gram sums too large (see magnitude "
+                    "bound in docstring); center/scale features or "
+                    "shard the fit"
+                )
+            ).cast(_D),
+        ).otherwise(expr)
+
+    det = _guarded(_det3(A), "denominator")
+    num = [_guarded(_det3(repl(i)), f"numerator[{i}]") for i in range(3)]
     return s.select(
-        (_det3(repl(0)).cast("double") / det.cast("double")).alias("w0"),
-        (_det3(repl(1)).cast("double") / det.cast("double")).alias("w1"),
-        (_det3(repl(2)).cast("double") / det.cast("double")).alias("w2"),
+        (num[0].cast("double") / det.cast("double")).alias("w0"),
+        (num[1].cast("double") / det.cast("double")).alias("w1"),
+        (num[2].cast("double") / det.cast("double")).alias("w2"),
         det.cast("double").alias("det"),
     )
 

@@ -756,9 +756,15 @@ def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard count is the write-parallelism knob).  The checksum
     aggregation is the VERIFICATION query's cost, not the export's:
     production calls write_token_shards and trusts the manifest.
-    The export itself is eager (the sink runs when the query is
-    built); re-runs overwrite atomically and re-commit the manifest,
-    so the returned frame always reflects the latest complete export.
+    SIDE-EFFECTING PIPELINE: the export itself is eager (the sink
+    runs when the query is built); re-runs overwrite atomically and
+    re-commit the manifest, so the returned frame always reflects the
+    latest complete export.  The export root comes from
+    ``spark.sec_edgar.shard_root`` when set; the default is
+    per-process (``/tmp/spark_graft_shards_<pid>/<sf>``), so two
+    concurrent gate runs on the same sf_dir write disjoint roots and
+    cannot interleave one process's overwrite with another's
+    checksum read-back.
     """
     import os as _os
 
@@ -807,10 +813,12 @@ def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         sharded, order_col="doc_id", token_count_col="n_tokens",
         budget=512, partition_col="shard",
     )
+    conf_root = spark.conf.get("spark.sec_edgar.shard_root", None)
     root = _os.path.join(
-        "/tmp",
-        "spark_graft_shards_"
-        + _os.path.basename(sf_dir.rstrip("/") or "sf"),
+        conf_root
+        if conf_root
+        else _os.path.join("/tmp", f"spark_graft_shards_{_os.getpid()}"),
+        _os.path.basename(sf_dir.rstrip("/") or "sf"),
     )
     write_token_shards(packed, root, shard_col="shard")
     rt = read_token_shards(spark, root)

@@ -1265,9 +1265,31 @@ def _containment_pairs(
     )
     if df_cap_pct is not None:
         # Same in-plan df cap as prefix_filter_join's
-        # posting_df_cap_pct: corpus count is a 1-row broadcast,
-        # integer compare so both engines prune identical tokens.
-        ndocs = F.broadcast(docs.groupBy().agg(F.count("*").alias("ndocs")))
+        # posting_df_cap_pct, inverted into its cheap form: "keep
+        # tokens with df <= pct% of corpus" == "drop the BLOCKED
+        # (stopword) set", and the blocked set is provably tiny —
+        # Σdf = total postings <= ndocs·max_doc_len, so at most
+        # (100/pct)·max_doc_len tokens can each exceed pct%·ndocs,
+        # a CORPUS-SIZE-INDEPENDENT bound.  Computing it once and
+        # broadcast-anti-joining BOTH posting sides replaces the two
+        # posting-sized shuffle joins against dfreq + two crossJoins
+        # the earlier form paid (VERDICT r7 #3: these two queries'
+        # 33-Exchange plans were the registry's widest partly from
+        # this duplication); the single broadcast subtree is shared
+        # by both consumers.
+        from ..operators.dedup import blocked_tokens
+
+        # df recomputed from the CACHED docs frame (toks_ord is each
+        # doc's distinct token list, so exploding it and counting is
+        # exactly dfreq) — the broadcast subtree reads the
+        # InMemoryRelation instead of re-running the parquet-scan →
+        # tokenize → distinct → groupBy chain.
+        dfreq_c = (
+            docs.select(F.explode("toks_ord").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+        )
+        blocked = F.broadcast(blocked_tokens(dfreq_c, docs, df_cap_pct))
 
         from pyspark.sql import Window
 
@@ -1275,13 +1297,7 @@ def _containment_pairs(
 
         def _cap(p: DataFrame) -> DataFrame:
             return (
-                p.join(dfreq, "tok")
-                .crossJoin(ndocs)
-                .filter(
-                    F.lit(100) * F.col("df")
-                    <= F.lit(df_cap_pct) * F.col("ndocs")
-                )
-                .select("doc_id", "n", "tok")
+                p.join(blocked, "tok", "anti")
                 .withColumn("rn", F.row_number().over(_w))
                 .filter(F.col("rn") <= _LEN_CAP)
                 .drop("rn")

@@ -1394,25 +1394,33 @@ def agg_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trailing-window bound for the per-user EWMA folds: the collected
-# array is capped at this many days, anchored on the corpus max day
-# (one scalar aggregate, broadcast).  90 days of 0.75-decay leaves
-# weight 0.75^90 ~ 6e-12 on anything older — a contract bound, not an
-# approximation.  Asserted adversarially by tools/skew_probe.py's
-# one-user-50%-of-events corpus (SCALE.md).
+# Fold-buffer bound for the per-user EWMA folds: each user's collected
+# array is capped at their last _EWMA_FOLD_DAYS OBSERVED days (a
+# row_number window per user, not a calendar cutoff).  The fold skips
+# inactive days by design, so the residual-weight argument is in FOLD
+# STEPS: the 91st-most-recent observation carries weight 0.75^90
+# ~ 6e-12 regardless of how sparse the calendar gaps are — a contract
+# bound, not an approximation.  Observed-days (vs the earlier
+# calendar-days form) also keeps sparse users in the output: a user
+# whose last event is >90 days before the corpus max still folds their
+# own trailing history.  Asserted adversarially by
+# tools/fold_skew_probe.py's one-user-50%-of-events corpus (SCALE.md).
 _EWMA_FOLD_DAYS = 90
 
 
 def _capped_daily(e: DataFrame) -> DataFrame:
-    """Per-(user, day) counts restricted to the trailing
-    _EWMA_FOLD_DAYS window — the shared head of both EWMA queries."""
+    """Per-(user, day) counts restricted to each user's last
+    _EWMA_FOLD_DAYS observed days — the shared head of both EWMA
+    queries.  The row_number window shuffles on user_id, the same key
+    the downstream fold aggregates on, so the cap costs no extra
+    exchange."""
     daily = e.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.count("*").alias("cnt"))
-    mx = F.broadcast(daily.groupBy().agg(F.max("day").alias("max_day")))
+    w = Window.partitionBy("user_id").orderBy(F.col("day").desc())
     return (
-        daily.crossJoin(mx)
-        .filter(F.col("day") > F.date_sub("max_day", _EWMA_FOLD_DAYS))
+        daily.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _EWMA_FOLD_DAYS)
         .select("user_id", "day", "cnt")
     )
 
@@ -1424,11 +1432,12 @@ def _capped_daily(e: DataFrame) -> DataFrame:
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              COUNT(*) AS cnt
       FROM events GROUP BY 1, 2
-    ), mx AS (
-      SELECT MAX(day) AS max_day FROM daily0
     ), daily AS (
-      SELECT d.user_id, d.day, d.cnt FROM daily0 d CROSS JOIN mx
-      WHERE d.day > max_day - 90
+      SELECT user_id, day, cnt FROM (
+        SELECT user_id, day, cnt,
+          row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        FROM daily0)
+      WHERE rn <= 90
     ), folded AS (
       SELECT user_id, COUNT(*) AS n_days,
         list_reduce(
@@ -1453,18 +1462,21 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: daily counts partial-aggregate; each user's fold is
     over their own observed days only (irregular series — smoothing
-    skips gaps by design, documented), HARD-BOUNDED by the
-    _EWMA_FOLD_DAYS trailing window: the fold array can never exceed
-    90 elements per user regardless of history length, so a bot key
-    with years of daily rows cannot blow up one aggregation buffer
-    (the r6 unbounded-fold hygiene flag; EWMA weight on a day 90+
-    steps back is 0.75^90 ~ 6e-12 — far below double noise at these
-    magnitudes, so the window is a contract formalization, not an
-    approximation knob).  The window anchor is the corpus max day —
-    one scalar aggregate broadcast in-plan.  The streaming twin of
-    this recurrence is a stateful running value
-    (applyInPandasWithState holds s_t per key) — here the batch
-    replay form.
+    skips gaps by design, documented), HARD-BOUNDED at each user's
+    last _EWMA_FOLD_DAYS OBSERVED days: the fold array can never
+    exceed 90 elements per user regardless of history length, so a
+    bot key with years of daily rows cannot blow up one aggregation
+    buffer (the r6 unbounded-fold hygiene flag).  The bound is in
+    FOLD STEPS — the 91st-most-recent observation would carry weight
+    0.75^90 ~ 6e-12, far below double noise at these magnitudes — so
+    truncation is a contract formalization, not an approximation
+    knob, and it holds for sparse users exactly as for dense ones
+    (the earlier calendar-anchored form dropped users inactive >90
+    days and put real weight ~0.1875 on days just past the cutoff
+    for sparse series).  The streaming twin
+    (streaming/ewma_stream.py) holds the same <=90-observation
+    buffer per key and refolds it, so batch and stream stay
+    bit-identical at ANY history length.
     """
     e = table(spark, sf_dir, "events")
     daily = _capped_daily(e)
@@ -1728,11 +1740,15 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence on this graph takes 2 (asserted in
     tests/test_stats_invariants.py); DuckDB re-evaluates the repeated
     round subtree ~3x per unroll, so the over-unroll is kept minimal
-    (6 rounds measured 49s at sf0.01; 4 rounds ~5s).
+    (6 rounds measured 49s at sf0.01; 4 rounds ~5s).  The idempotence
+    argument is only valid when convergence depth <= the unroll, so
+    the unroll is PINNED via assert_rounds=4: at any gate SF where the
+    trade graph peels deeper, the Spark side raises instead of
+    silently diverging from its oracle.
     """
     from ..operators.graph import kcore_fixpoint
 
-    return kcore_fixpoint(_trade_edges(spark, sf_dir), k=3)
+    return kcore_fixpoint(_trade_edges(spark, sf_dir), k=3, assert_rounds=4)
 
 
 # ORACLE NOTE — struct_pack field order is semantic in DuckDB:
@@ -1749,11 +1765,12 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              COUNT(*) AS cnt
       FROM events GROUP BY 1, 2
-    ), mx AS (
-      SELECT MAX(day) AS max_day FROM daily0
     ), daily AS (
-      SELECT d.user_id, d.day, d.cnt FROM daily0 d CROSS JOIN mx
-      WHERE d.day > max_day - 90
+      SELECT user_id, day, cnt FROM (
+        SELECT user_id, day, cnt,
+          row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        FROM daily0)
+      WHERE rn <= 90
     ), folded AS (
       SELECT user_id, COUNT(*) AS n_days,
         list_reduce(
@@ -1788,8 +1805,9 @@ def events_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction.  Reports per-user final baseline and alert count.
 
     Scale shape: identical to events_ewma_smoothing (daily partial
-    aggregate + per-user fold hard-bounded at _EWMA_FOLD_DAYS trailing
-    days); the struct accumulator adds state WIDTH, not extra passes —
+    aggregate + per-user fold hard-bounded at each user's last
+    _EWMA_FOLD_DAYS observed days); the struct accumulator adds state
+    WIDTH, not extra passes —
     the pattern for any sequential-scan statistic (drawdown, streaks,
     CUSUM) expressed as one fold.
     """

@@ -1163,3 +1163,295 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ridge3_predict(
         feats, w.drop("det"), F.col("x1"), F.col("x2")
     ).select("doc_id", "x1", "x2", "y", "y_hat")
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: cheap candidate generation + exact/cross rerank
+# (round 8).  The production retrieval stack is retrieve-then-rerank:
+# a cheap stage-1 score over the whole corpus selects a small pool,
+# and only pool rows pay the expensive stage-2 scorer.  Stage 2's
+# cost is O(n_queries * POOL), corpus-size-INDEPENDENT — the whole
+# point of the pattern at 100 TB.
+
+_COARSE_DIMS = 8   # stage-1 truncated-embedding prefix (MRL-style)
+_RERANK_POOL = 50  # stage-1 pool size per query
+
+
+def _dot_sql_n(a: str, b: str, dims: int) -> str:
+    """Left-associated explicit dot over the first ``dims`` dims."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dims + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _prefix_dot(a, b, dims: int):
+    """Left-fold double dot over the first ``dims`` elements — the
+    Spark twin of :func:`_dot_sql_n` (bit-identical fold order)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(V.as_double(a), 1, dims),
+            F.slice(V.as_double(b), 1, dims),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+
+
+@query(
+    "ann_rerank_refine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+        sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), stage1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        {_dot_sql_n('q.embedding', 'c.embedding', _COARSE_DIMS)} AS coarse,
+        {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), pool AS (
+      SELECT query_id, neighbor_id, label, coarse, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crk
+        FROM stage1) WHERE crk <= {_RERANK_POOL}
+    )
+    SELECT query_id, neighbor_id, label, coarse, cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM pool) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank with a TRUNCATED-EMBEDDING stage 1
+    (Matryoshka-style, Kusupati et al. NeurIPS'22): stage 1 scores
+    every (query, candidate) pair with an {8}-dim prefix dot product
+    — 8x fewer multiply-adds than the full 64-dim cosine — and keeps
+    a per-query pool of {50}; stage 2 computes the EXACT full-dim
+    cosine only on pool rows and emits top-{10}.
+
+    Scale shape: stage 1 is the brute-force scan shape (queries
+    broadcast, corpus never shuffles) at 1/8 the arithmetic; stage 2
+    touches n_queries x POOL rows — corpus-size-independent.  The
+    candidate's full embedding rides through stage 1 in-row, so the
+    refine step needs NO join back to the corpus; its norm is
+    computed only for pool survivors.  Recall against the exact
+    top-k is measured by ann_rerank_recall.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_nrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+    )
+    stage1 = c.join(
+        broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        "q_emb",
+        "c_emb",
+        "q_nrm",
+        _prefix_dot("q_emb", "c_emb", _COARSE_DIMS).alias("coarse"),
+    )
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse"), "neighbor_id"
+    )
+    pool = (
+        stage1.withColumn("crk", F.row_number().over(wpool))
+        .filter(F.col("crk") <= _RERANK_POOL)
+    )
+    refined = pool.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        "coarse",
+        (
+            V.dot("q_emb", "c_emb") / (F.col("q_nrm") * V.norm("c_emb"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return (
+        refined.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _sign_agree_sql(a: str, b: str) -> str:
+    """64-term sign-agreement count (exact integers)."""
+    terms = " + ".join(
+        f"(CASE WHEN (CAST({a}[{i}] AS DOUBLE) >= 0) = "
+        f"(CAST({b}[{i}] AS DOUBLE) >= 0) THEN 1 ELSE 0 END)"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"(0 + {terms})"
+
+
+@query(
+    "ann_rerank_cross",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+        sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), stage1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
+        {_sign_agree_sql('q.embedding', 'c.embedding')} AS sign_agree
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), pool AS (
+      SELECT query_id, neighbor_id, label, cosine,
+             CAST(sign_agree AS BIGINT) AS sign_agree FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS crk
+        FROM stage1) WHERE crk <= {_RERANK_POOL}
+    )
+    SELECT query_id, neighbor_id, label, cosine, sign_agree,
+      0.5 * cosine + CAST(sign_agree AS DOUBLE) / 128.0 AS rerank_score,
+      CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY 0.5 * cosine + CAST(sign_agree AS DOUBLE) / 128.0 DESC,
+                 neighbor_id) AS rk
+      FROM pool) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-STYLE reranking as a pure in-plan pairwise
+    scorer: stage 1 retrieves a per-query pool of {50} by exact
+    cosine (the bi-encoder pass); stage 2 re-scores each surviving
+    (query, candidate) PAIR with a richer interaction feature —
+    here a frozen linear blend of cosine and per-dimension sign
+    agreement, rerank = 0.5*cos + agree/128 (both coefficients exact
+    binary fractions; agree is an exact integer count, so the blend
+    is bit-identical across engines) — and emits top-{10} by the
+    reranked order.
+
+    This is the plumbing a real cross-encoder drops into: the pair
+    scorer runs ONLY on n_queries x POOL rows (corpus-size-
+    independent), candidates arrive with both vectors colocated
+    in-row (no second corpus pass), and swapping the frozen blend
+    for a learned pairwise model = replacing one expression (or one
+    Arrow-batched Pandas UDF over the same pool frame) — the plan
+    shape does not change.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_nrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+        V.norm("embedding").alias("c_nrm"),
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            V.as_double("q_emb"),
+            V.as_double("c_emb"),
+            lambda x, y: F.when((x >= 0) == (y >= 0), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, p: acc + p,
+    )
+    stage1 = c.join(
+        broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        "q_emb",
+        "c_emb",
+        (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cosine"
+        ),
+    )
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    pool = (
+        stage1.withColumn("crk", F.row_number().over(wpool))
+        .filter(F.col("crk") <= _RERANK_POOL)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "cosine",
+            agree.cast("bigint").alias("sign_agree"),
+        )
+    )
+    score = (
+        F.lit(0.5) * F.col("cosine")
+        + F.col("sign_agree").cast("double") / F.lit(128.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score), "neighbor_id"
+    )
+    return (
+        pool.withColumn("rerank_score", score)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _rerank_recall_oracle() -> str:
+    from .registry import ORACLES
+
+    bf = ORACLES["ann_bruteforce_topk"]
+    rr = ORACLES["ann_rerank_refine"]
+    return f"""
+    WITH bf AS ({bf}), rr AS ({rr})
+    SELECT bf.query_id,
+      CAST(COUNT(rr.neighbor_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(rr.neighbor_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM bf LEFT JOIN rr
+      ON bf.query_id = rr.query_id AND bf.neighbor_id = rr.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@query("ann_rerank_recall", oracle=_rerank_recall_oracle())
+def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the truncated-embedding retrieve + exact rerank
+    pipeline (ann_rerank_refine) against the brute-force ground truth
+    — the shippability metric for the two-stage index, same harness
+    as ann_recall_eval (both sides are the REGISTERED operators and
+    their REGISTERED oracles CTE-composed).  A miss here is a true
+    pair whose 8-dim prefix dot fell outside the stage-1 pool — the
+    knob is _COARSE_DIMS/_RERANK_POOL, the classic recall/compute
+    trade of truncated-embedding retrieval."""
+    from .registry import QUERIES
+
+    bf = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    rr = (
+        QUERIES["ann_rerank_refine"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(broadcast(rr), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / TOP_K).alias("recall"),
+        )
+    )

@@ -1713,3 +1713,114 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pa").cast("bigint").alias("first_pos"),
         )
     )
+
+
+def _calibrate_oracle() -> str:
+    from .registry import ORACLES
+
+    qm = ORACLES["text_quality_model_score"]
+    return f"""
+    WITH qm AS ({qm}), lg AS (
+      SELECT d.source, q.logit_centi
+      FROM qm q JOIN documents d USING (doc_id)
+    ), hist AS (
+      SELECT source, logit_centi, COUNT(*) AS cnt
+      FROM lg GROUP BY source, logit_centi
+    ), cum AS (
+      SELECT source, logit_centi, cnt,
+        SUM(cnt) OVER (
+          PARTITION BY source ORDER BY logit_centi DESC) AS cum
+      FROM hist
+    ), stats AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN logit_centi > 0 THEN cnt ELSE 0 END)
+             AS BIGINT) AS global_kept
+      FROM hist GROUP BY source
+    ), tgt AS (
+      SELECT source, n_docs, global_kept,
+        CAST((n_docs * 40) // 100 AS BIGINT) AS target_kept
+      FROM stats
+    )
+    SELECT t.source, t.n_docs, t.target_kept,
+      MAX(c.logit_centi) AS threshold_centi,
+      CAST(MIN(c.cum) AS BIGINT) AS n_kept,
+      t.global_kept
+    FROM tgt t JOIN cum c
+      ON t.source = c.source AND c.cum >= t.target_kept
+    WHERE t.target_kept >= 1
+    GROUP BY t.source, t.n_docs, t.target_kept, t.global_kept
+    """
+
+
+@query("curation_quality_calibrate", oracle=_calibrate_oracle())
+def curation_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain calibration of the frozen linear quality classifier
+    (RedPajama-2/DCLM practice): a single global threshold keeps very
+    different fractions of each source domain — web text scores lower
+    than curated text wholesale — so production filters calibrate a
+    PER-DOMAIN threshold hitting a uniform target keep rate (here 40%)
+    instead.  For each source this emits the exact threshold: the
+    largest logit t such that >= target documents score >= t, i.e.
+    the target-th largest logit value, plus the actual kept count
+    (ties at the threshold inflate it past the target — reported, not
+    hidden) and the count the UNcalibrated global logit>0 rule would
+    have kept, making the calibration delta visible per domain.
+
+    Engine-exact: logits are exact integer centi-units (composed from
+    the REGISTERED text_quality_model_score operator/oracle pair), the
+    target is integer arithmetic (n*40 DIV 100), and the threshold
+    selection is MAX/MIN over an integer histogram — no percentile
+    interpolation, no float ranks.
+
+    Scale shape: one doc-grain aggregate (the scorer) → one
+    (source, logit) histogram aggregate (map-combined; bounded by the
+    centi-logit value range, NOT the corpus) → a cumulative window and
+    threshold join over HISTOGRAM rows only.  No document-grain window
+    anywhere, so no per-domain sort of the corpus — the shape survives
+    domains of wildly different sizes (the skew case a doc-level
+    row_number calibration would hit).
+    """
+    from .registry import QUERIES
+
+    d = table(spark, sf_dir, "documents")
+    lg = (
+        QUERIES["text_quality_model_score"](spark, sf_dir)
+        .select("doc_id", "logit_centi")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    hist = lg.groupBy("source", "logit_centi").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = Window.partitionBy("source").orderBy(F.desc("logit_centi"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    stats = hist.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("logit_centi") > 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("global_kept"),
+    )
+    tgt = stats.select(
+        "source",
+        "n_docs",
+        "global_kept",
+        F.expr("CAST((n_docs * 40) DIV 100 AS BIGINT)").alias(
+            "target_kept"
+        ),
+    ).filter(F.col("target_kept") >= 1)
+    return (
+        cum.join(F.broadcast(tgt), "source")
+        .filter(F.col("cum") >= F.col("target_kept"))
+        .groupBy("source", "n_docs", "target_kept", "global_kept")
+        .agg(
+            F.max("logit_centi").alias("threshold_centi"),
+            F.min("cum").cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "target_kept",
+            "threshold_centi",
+            "n_kept",
+            "global_kept",
+        )
+    )

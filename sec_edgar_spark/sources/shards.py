@@ -128,7 +128,13 @@ def write_token_shards(
         )
         .collect()  # bounded: one row per SHARD, not per sequence
     )
-    with open(os.path.join(root, "_MANIFEST"), "w") as fh:
+    # Manifest commits atomically (tmp + os.replace), the same
+    # discipline as the .bin/.idx files: an in-place truncate-write
+    # could expose a torn manifest to a concurrent reader, silently
+    # shrinking the visible export.
+    mpath = os.path.join(root, "_MANIFEST")
+    mtmp = mpath + ".tmp"
+    with open(mtmp, "w") as fh:
         for r in sorted(manifest_rows, key=lambda r: r["shard"]):
             fh.write(
                 json.dumps(
@@ -141,6 +147,7 @@ def write_token_shards(
                 )
                 + "\n"
             )
+    os.replace(mtmp, mpath)
     return len(manifest_rows)
 
 

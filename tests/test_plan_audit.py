@@ -36,6 +36,34 @@ def test_no_hard_antipatterns_anywhere(spark):
     assert not errors, errors
 
 
+@pytest.mark.slow
+def test_audit_is_hermetic_under_cache_pollution(spark):
+    """Regression for the r7 order-dependent gate failure: executing a
+    query that .cache()s during construction (the capped dedup joins)
+    used to leave InMemoryRelation entries that rewrote later audited
+    plans — 57 Exchanges polluted vs 33 fresh.  audit() now clears the
+    cache before every plan build, so the counts must be identical
+    cold and after deliberately polluting the session."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import audit
+    import sec_edgar_spark.queries as Q
+
+    targets = ["dedup_prefix_filter_capped", "dedup_containment_capped"]
+    cold = dict(audit("/root/testdata/sf0.001", only=targets))
+    # Pollute: build + execute a cache-using query and leave its cache.
+    Q.queries()["dedup_prefix_filter_capped"](
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    polluted = dict(audit("/root/testdata/sf0.001", only=targets))
+    spark.catalog.clearCache()
+    for name in targets:
+        assert cold[name].get("_shuffles") == polluted[name].get(
+            "_shuffles"
+        ), (name, cold[name], polluted[name])
+
+
 def test_plan_audit_report_is_current():
     """PLAN_AUDIT.md must cover the FULL registry at HEAD — a stale
     report (regenerated before the last queries landed) silently

@@ -78,3 +78,53 @@ def test_out_of_range_ids_rejected_at_write(spark, tmp_path):
     )
     with pytest.raises(Exception, match="out of uint16 range"):
         write_token_shards(df, str(tmp_path / "s"))
+
+
+def test_concurrent_exports_do_not_interfere(spark, tmp_path):
+    """Two concurrent exports of the same data to their own roots (the
+    per-run default of curation_export_shards) must both commit
+    complete, identical manifests — and the manifest itself commits
+    via tmp+os.replace, so no reader can observe a torn _MANIFEST."""
+    import threading
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    toks = tokenize_ids(df, "doc_id", "text", vocab_size=1000).withColumn(
+        "shard", (F.col("doc_id") % 3).cast("string")
+    ).withColumn("pack_id", F.col("doc_id"))
+    roots = [str(tmp_path / "runA"), str(tmp_path / "runB")]
+    errs = []
+
+    def run(root):
+        try:
+            write_token_shards(toks, root)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(r,)) for r in roots]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    mans = [read_manifest(r) for r in roots]
+    assert mans[0] == mans[1]
+    assert sum(e["n_seqs"] for e in mans[0]) == 40
+    for r in roots:
+        assert not os.path.exists(os.path.join(r, "_MANIFEST.tmp"))
+
+
+def test_export_root_is_per_process_and_conf_overridable(spark, tmp_path):
+    """curation_export_shards defaults its root to a pid-suffixed /tmp
+    dir (two concurrent gate processes can't race) and honors
+    spark.sec_edgar.shard_root when set."""
+    custom = str(tmp_path / "custom_root")
+    spark.conf.set("spark.sec_edgar.shard_root", custom)
+    try:
+        from sec_edgar_spark.queries.curation import curation_export_shards
+
+        out = curation_export_shards(spark, SF_DIR)
+        assert os.path.exists(os.path.join(custom, "sf0.001", "_MANIFEST"))
+        assert out.count() > 0
+    finally:
+        spark.conf.unset("spark.sec_edgar.shard_root")

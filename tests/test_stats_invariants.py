@@ -102,3 +102,21 @@ def test_kcore_fixpoint_is_exact_core_and_converges_fast(spark):
         .collect()
     }
     assert fx == unrolled
+
+
+def test_kcore_fixpoint_assert_rounds_raises_on_deep_graphs(spark):
+    """The gate query pins assert_rounds=4 so its oracle's fixed
+    4-round unroll can't silently diverge — verify the guard fires: a
+    path graph peels one layer per round (2-core of a path is empty,
+    reached only after len/2 dropping rounds), so assert_rounds=1 must
+    raise, while an honest unroll bound passes."""
+    import pytest
+
+    from sec_edgar_spark.operators.graph import kcore_fixpoint
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "s long, d long"
+    )
+    with pytest.raises(ValueError, match="not converged after"):
+        kcore_fixpoint(path, k=2, assert_rounds=1).collect()
+    assert kcore_fixpoint(path, k=2, assert_rounds=10).count() == 0

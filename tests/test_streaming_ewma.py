@@ -76,6 +76,65 @@ def test_stream_matches_batch_fold(spark, tmp_path):
         assert rows[uid][1] == ew  # bit-identical fold
 
 
+def test_fold_days_constants_pinned():
+    """The streaming buffer bound must mirror the batch cap."""
+    from sec_edgar_spark.queries.scalepats import _EWMA_FOLD_DAYS
+    from sec_edgar_spark.streaming.ewma_stream import FOLD_DAYS
+
+    assert FOLD_DAYS == _EWMA_FOLD_DAYS == 90
+
+
+def test_parity_past_the_cap(spark, tmp_path):
+    """A 120-observed-day history must converge to the batch semantics:
+    n_days = 90 (the buffer bound) and ewma = the fold over the NEWEST
+    90 observations from a zero seed — i.e. streaming refolds its
+    truncated buffer rather than carrying pre-cap weight, matching
+    scalepats._capped_daily at any history length."""
+    from sec_edgar_spark.streaming.ewma_stream import FOLD_DAYS, ewma_stream
+
+    days = list(range(120))
+    cnts = [(d * 7) % 13 + 1 for d in days]
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [(1, d, c) for d, c in zip(days[:70], cnts[:70])],
+        "user_id long, day_epoch long, cnt long",
+    ).write.parquet(str(feed / "w1"))
+    stream = (
+        spark.readStream.schema("user_id long, day_epoch long, cnt long")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(str(feed) + "/*")
+    )
+    seen = []
+
+    def sink(batch_df, _bid):
+        seen.extend(
+            (r.user_id, r.n_days, r.ewma) for r in batch_df.collect()
+        )
+
+    q = (
+        ewma_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, d, c) for d, c in zip(days[70:], cnts[70:])],
+            "user_id long, day_epoch long, cnt long",
+        ).write.parquet(str(feed / "w2"))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    want = 0.0
+    for c in cnts[-FOLD_DAYS:]:
+        want = want * 0.75 + c * 0.25
+    assert seen[-1] == (1, FOLD_DAYS, want)
+
+
 def test_replayed_days_ignored(spark, tmp_path):
     from sec_edgar_spark.streaming.ewma_stream import ewma_stream
 

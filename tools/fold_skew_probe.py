@@ -130,10 +130,12 @@ def main() -> int:
 
     daily = build_daily(spark, n_rows).localCheckpoint()
     t_un = timed(ewma_fold(daily))
-    mx = F.broadcast(daily.groupBy().agg(F.max("day").alias("max_day")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("day").desc())
     capped_daily = (
-        daily.crossJoin(mx)
-        .filter(F.col("day") > F.date_sub("max_day", _EWMA_FOLD_DAYS))
+        daily.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _EWMA_FOLD_DAYS)
         .select("user_id", "day", "cnt")
     )
     t_cap = timed(ewma_fold(capped_daily))

@@ -30,11 +30,13 @@ sys.path.insert(0, ".")
 # Any plan carrying more data-moving Exchanges than this ceiling is
 # flagged ExcessExchanges — the signature of unrolled iteration
 # without lineage truncation (the class that produced kcore_prune's
-# 134-Exchange 3^rounds plan before its localCheckpoint fix).  The
-# widest legitimate plans in the registry (text_phrase_merge,
-# graph_triangle_count) carry 28, so 40 leaves headroom while any
-# exponential-unroll regression trips it immediately.  Hard-enforced
-# by tests/test_plan_audit.py.
+# 134-Exchange 3^rounds plan before its localCheckpoint fix).
+# Exchanges are counted per unique plan_id (_count_shuffles): cached
+# subtrees reprint under every consumer but execute once, while an
+# exponential unroll instantiates DISTINCT exchanges each round and
+# still trips the gate immediately.  The widest legitimate plan in
+# the registry (text_phrase_merge) carries 28 under this counting,
+# so 40 leaves headroom.  Hard-enforced by tests/test_plan_audit.py.
 EXCHANGE_CEILING = 40
 
 # Queries allowed to show BatchEvalPython/ArrowEvalPython (documented
@@ -73,7 +75,26 @@ TINY_WINDOW_WHITELIST: set[str] = {
 }
 
 
-def audit(sf_dir: str = "/root/testdata/sf0.001"):
+def _count_shuffles(plan: str) -> int:
+    """Data-moving Exchange count, deduplicated by plan_id (cached
+    subtrees reprint under each consumer with identical plan_ids)."""
+    ids = set()
+    extra = 0
+    for m in re.finditer(
+        r"Exchange (?:hash|range|Single|RoundRobin)[^\n]*", plan
+    ):
+        pid = re.search(r"plan_id=(\d+)", m.group(0))
+        if pid:
+            ids.add(pid.group(1))
+        else:
+            extra += 1  # no plan_id printed — count conservatively
+    return len(ids) + extra
+
+
+def audit(sf_dir: str = "/root/testdata/sf0.001", only=None):
+    """Audit the registry's physical plans. ``only`` (iterable of query
+    names) restricts the sweep — used by the hermeticity regression
+    test, which audits the cache-using queries twice."""
     from sec_edgar_spark.session import get_spark
     import sec_edgar_spark.queries as Q
 
@@ -82,7 +103,20 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
     )
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
+    wanted = set(only) if only is not None else None
     for name, fn in sorted(Q.queries().items()):
+        if wanted is not None and name not in wanted:
+            continue
+        # Hermeticity: a cached frame left behind by a previously-run
+        # query (the capped dedup joins .cache() during construction,
+        # and the pytest oracle gate executes queries in the same
+        # session) rewrites later physical plans — InMemoryRelation
+        # scans replace exchanges, or vice versa, so Exchange counts
+        # depended on test order (57 polluted vs 33 fresh for
+        # dedup_containment_capped).  Clear before EVERY plan build so
+        # each count is the fresh-session count regardless of what ran
+        # before — same isolation bench.py applies between timings.
+        spark.catalog.clearCache()
         try:
             plan = (
                 fn(spark, sf_dir)
@@ -154,10 +188,16 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
                         )
         # Shuffle budget: every data-moving Exchange in the plan
         # (broadcast exchanges excluded — they move the small side
-        # once, not the data).
-        flags["_shuffles"] = len(
-            re.findall(r"Exchange (hash|range|Single|RoundRobin)", plan)
-        )
+        # once, not the data).  Counted by UNIQUE plan_id: the
+        # toString reprints a cached subtree's whole build plan under
+        # EVERY InMemoryTableScan that consumes it, with the same
+        # plan_ids — those exchanges execute once, and raw line
+        # counting inflated the two capped dedup joins from 12 real
+        # shuffles to 33 printed ones.  Distinct instantiations of a
+        # repeated subtree get distinct plan_ids and still count
+        # separately (they DO re-execute, modulo runtime
+        # ReusedExchange — see audit_executed for that refinement).
+        flags["_shuffles"] = _count_shuffles(plan)
         if flags["_shuffles"] > EXCHANGE_CEILING:
             flags["ExcessExchanges"] = flags["_shuffles"]
         rows.append((name, flags))
@@ -182,12 +222,11 @@ def audit_executed(sf_dir: str, names: list[str]) -> list[tuple]:
     qs = Q.queries()
     out = []
     for name in names:
+        spark.catalog.clearCache()  # same hermeticity rule as audit()
         df = qs[name](spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        planned = len(
-            re.findall(r"Exchange (hash|range|Single|RoundRobin)", plan)
-        )
+        planned = _count_shuffles(plan)
         reused = plan.count("ReusedExchange")
         out.append((name, planned, reused, planned - reused))
     return out
