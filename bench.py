@@ -101,6 +101,11 @@ HEADLINE = [
     "dedup_prefix_filter_capped",
     "dedup_containment_capped",
     "curation_export_shards",
+    # round 8 additions: the two-stage retrieval family and per-domain
+    # quality calibration
+    "ann_rerank_refine",
+    "ann_rerank_cross",
+    "curation_quality_calibrate",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
