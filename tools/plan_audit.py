@@ -36,8 +36,8 @@ sys.path.insert(0, ".")
 # exponential unroll instantiates DISTINCT exchanges each round and
 # still trips the gate immediately.  The widest legitimate plan in
 # the registry (text_phrase_merge) carries 28 under this counting,
-# so 40 leaves headroom.  Hard-enforced by tests/test_plan_audit.py.
-EXCHANGE_CEILING = 40
+# so 32 leaves headroom.  Hard-enforced by tests/test_plan_audit.py.
+EXCHANGE_CEILING = 32
 
 # Queries allowed to show BatchEvalPython/ArrowEvalPython (documented
 # row-UDF escape hatches — parsing layers, not analytics hot paths).
