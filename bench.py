@@ -106,6 +106,9 @@ HEADLINE = [
     "ann_rerank_refine",
     "ann_rerank_cross",
     "curation_quality_calibrate",
+    "curation_ccnet_buckets",
+    "curation_contamination_report",
+    "curation_mixture_reweight",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

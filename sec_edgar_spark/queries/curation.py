@@ -837,3 +837,282 @@ def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 curation additions: CCNet-style per-domain surprisal
+# bucketing, the contamination REPORT (the flip side of the
+# decontaminate filter), and DoReMi-lite static mixture reweighting.
+
+_TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def _ccnet_oracle() -> str:
+    from .registry import ORACLES
+
+    sp = ORACLES["text_surprisal_score"]
+    return f"""
+    WITH sp AS ({sp}), lg AS (
+      SELECT d.source, s.doc_id, s.bits_total, s.n_tokens
+      FROM sp s JOIN documents d USING (doc_id)
+    ), hist AS (
+      SELECT source, bits_total, n_tokens, COUNT(*) AS cnt
+      FROM lg GROUP BY source, bits_total, n_tokens
+    ), cum AS (
+      SELECT source, bits_total, n_tokens, cnt,
+        SUM(cnt) OVER (
+          PARTITION BY source
+          ORDER BY CAST(bits_total AS DOUBLE) / n_tokens, bits_total,
+                   n_tokens) AS cum
+      FROM hist
+    ), stats AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs
+      FROM hist GROUP BY source
+    ), cuts AS (
+      SELECT source, n_docs,
+        CAST((n_docs * 1) // 3 AS BIGINT) AS c1,
+        CAST((n_docs * 2) // 3 AS BIGINT) AS c2
+      FROM stats
+    )
+    SELECT c.source, c.n_docs,
+      CAST(SUM(CASE WHEN h.cum <= c.c1 THEN h.cnt ELSE 0 END)
+           AS BIGINT) AS n_head,
+      CAST(SUM(CASE WHEN h.cum > c.c1 AND h.cum <= c.c2 THEN h.cnt
+               ELSE 0 END) AS BIGINT) AS n_middle,
+      CAST(SUM(CASE WHEN h.cum > c.c2 THEN h.cnt ELSE 0 END)
+           AS BIGINT) AS n_tail
+    FROM cuts c JOIN cum h ON c.source = h.source
+    WHERE c.n_docs >= 3
+    GROUP BY c.source, c.n_docs
+    """
+
+
+@query("curation_ccnet_buckets", oracle=_ccnet_oracle())
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing PER DOMAIN (Wenzek et
+    al. 2020): rank each source's documents by unigram surprisal
+    (composed from the REGISTERED text_surprisal_score operator — the
+    exact integer floor-log2 form) and split into terciles — head =
+    most-common-word prose (kept wholesale in CCNet), tail = rare-
+    token-heavy junk (dropped or down-sampled).  Emits per-source
+    tercile occupancy; the cuts are exact cumulative-count thresholds
+    (n DIV 3, 2n DIV 3), not interpolated percentiles.
+
+    Determinism: docs order by the exact double ratio
+    bits_total/n_tokens with (bits_total, n_tokens) as integer
+    tie-breaks, so both engines walk the identical cumulative
+    sequence; bucket populations are then exact integers.
+
+    Scale shape: same histogram discipline as
+    curation_quality_calibrate — doc-grain scorer agg, then a
+    (source, bits, ntok) HISTOGRAM agg, cumulative window and bucket
+    sums over HISTOGRAM rows only; no doc-grain window, so a giant
+    domain cannot create a hot sort partition.
+    """
+    from pyspark.sql import Window
+
+    from .registry import QUERIES
+
+    d = table(spark, sf_dir, "documents")
+    lg = (
+        QUERIES["text_surprisal_score"](spark, sf_dir)
+        .select("doc_id", "bits_total", "n_tokens")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    hist = lg.groupBy("source", "bits_total", "n_tokens").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = Window.partitionBy("source").orderBy(
+        (F.col("bits_total").cast("double") / F.col("n_tokens")),
+        "bits_total",
+        "n_tokens",
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    cuts = (
+        hist.groupBy("source")
+        .agg(F.sum("cnt").cast("bigint").alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST((n_docs * 1) DIV 3 AS BIGINT)").alias("c1"),
+            F.expr("CAST((n_docs * 2) DIV 3 AS BIGINT)").alias("c2"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
+    return (
+        cum.join(F.broadcast(cuts), "source")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.sum(F.when(F.col("cum") <= F.col("c1"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_head"),
+            F.sum(
+                F.when(
+                    (F.col("cum") > F.col("c1"))
+                    & (F.col("cum") <= F.col("c2")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_middle"),
+            F.sum(F.when(F.col("cum") > F.col("c2"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tail"),
+        )
+        .select("source", "n_docs", "n_head", "n_middle", "n_tail")
+    )
+
+
+@query(
+    "curation_contamination_report",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(toks) - 7, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+               toks[i+6] || ' ' || toks[i+7])) AS sh
+      FROM tokd
+    ), train_sh AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shingled
+      WHERE doc_id % 13 <> 0
+    ), eval_sh AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shingled
+      WHERE doc_id % 13 = 0
+    )
+    SELECT e.doc_id AS eval_doc_id,
+      CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_contaminating_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs,
+      CAST(COUNT(DISTINCT e.shingle) AS BIGINT) AS n_leaked_shingles
+    FROM eval_sh e JOIN train_sh t ON e.shingle = t.shingle
+    GROUP BY e.doc_id
+    """,
+)
+def curation_contamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark-contamination REPORT — the flip side of the
+    decontaminate filter: for every eval-slice document (doc_id%13=0,
+    the same held-out slice the export pipeline protects), how many
+    TRAIN documents share at least one word 8-gram, how many
+    (eval-shingle, train-doc) overlap pairs exist, and how many
+    distinct eval shingles leaked.  This is the audit artifact a
+    training run ships alongside its decontamination pass (GPT-3
+    appendix-C practice): the filter DROPS contaminated training
+    docs; the report quantifies what the eval set was exposed to.
+
+    Scale shape: distinct per-doc shingle rows on both sides, one
+    hash equi-join on the shingle (eval side is small → AQE
+    broadcasts it), two-level count-distinct aggregate keyed by eval
+    doc.  Identical candidate discipline to decontaminate/
+    dedup_ngram_jaccard — never all-pairs.
+    """
+    from ..operators.dedup import shingle_rows
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", 8)
+    train_sh = sh.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    ).distinct()
+    eval_sh = sh.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    ).distinct()
+    return (
+        eval_sh.join(train_sh, "shingle")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id")
+            .cast("bigint")
+            .alias("n_contaminating_docs"),
+            F.count("*").cast("bigint").alias("n_overlap_pairs"),
+            F.countDistinct("shingle")
+            .cast("bigint")
+            .alias("n_leaked_shingles"),
+        )
+    )
+
+
+@query(
+    "curation_mixture_reweight",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.source, len({_TOKENS_SQL}) AS n_toks
+      FROM documents d
+    ), dom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS domain_tokens
+      FROM tok GROUP BY source
+    ), tot AS (
+      SELECT COUNT(*) AS n_domains, SUM(domain_tokens) AS corpus_tokens
+      FROM dom
+    )
+    SELECT d.source, d.n_docs, d.domain_tokens,
+      CAST((t.corpus_tokens // 2) // t.n_domains AS BIGINT)
+        AS target_tokens,
+      CAST(LEAST(1000000,
+        (((t.corpus_tokens // 2) // t.n_domains) * 1000000)
+          // d.domain_tokens) AS BIGINT) AS rate_ppm,
+      CAST((LEAST(1000000,
+        (((t.corpus_tokens // 2) // t.n_domains) * 1000000)
+          // d.domain_tokens) * d.domain_tokens) // 1000000 AS BIGINT)
+        AS expected_tokens
+    FROM dom d CROSS JOIN tot t
+    """,
+)
+def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture reweighting (the DoReMi/Pile recipe in
+    its deterministic form): given a token budget of HALF the corpus
+    split UNIFORMLY across domains, compute each domain's sampling
+    rate and expected token yield.  Oversized domains are down-sampled
+    (rate < 1); undersized domains are capped at rate 1 (never
+    up-sampled — repetition is a separate, explicit decision).
+
+    All arithmetic is INTEGER: the per-domain target is
+    (corpus_tokens DIV 2) DIV n_domains, the rate is parts-per-million
+    (target*1e6 DIV domain_tokens, capped at 1e6), and expected yield
+    is rate*domain_tokens DIV 1e6 — no float ratios anywhere, so both
+    engines agree exactly and the numbers compose with the exact
+    token-count contract of the export pipeline.
+
+    Scale shape: one map-combined (source) aggregate over the
+    documents scan + a 1-row totals broadcast; output is
+    domain-cardinality.  Swapping uniform shares for trained DoReMi
+    weights = replacing the DIV n_domains literal with a per-domain
+    weight column joined in — the plan shape does not change.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", T.token_count("text").alias("n_toks"))
+    dom = tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("domain_tokens"),
+    )
+    tot = F.broadcast(
+        dom.agg(
+            F.count("*").alias("n_domains"),
+            F.sum("domain_tokens").alias("corpus_tokens"),
+        )
+    )
+    j = dom.crossJoin(tot)
+    target = F.expr(
+        "CAST((corpus_tokens DIV 2) DIV n_domains AS BIGINT)"
+    )
+    rate = F.least(
+        F.lit(1000000).cast("bigint"),
+        F.expr(
+            "CAST((((corpus_tokens DIV 2) DIV n_domains) * 1000000) "
+            "DIV domain_tokens AS BIGINT)"
+        ),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "domain_tokens",
+        target.alias("target_tokens"),
+        rate.alias("rate_ppm"),
+        ((rate * F.col("domain_tokens")) / F.lit(1000000))
+        .cast("bigint")
+        .alias("expected_tokens"),
+    )

@@ -437,7 +437,10 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "ann_pq_adc_topk": 17,
         "ann_rerank_cross": 1,
         "ann_rerank_refine": 1,
+        "curation_ccnet_buckets": 10,
+        "curation_contamination_report": 4,
         "curation_domain_mix": 3,
+        "curation_mixture_reweight": 3,
         "curation_dsir_select": 5,
         "curation_export_shards": 1,
         "curation_keep_best": 3,
