@@ -109,6 +109,9 @@ HEADLINE = [
     "curation_ccnet_buckets",
     "curation_contamination_report",
     "curation_mixture_reweight",
+    "text_tokenizer_fertility",
+    "curation_rho_select",
+    "curation_cluster_balanced_sample",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

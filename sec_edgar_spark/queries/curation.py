@@ -1116,3 +1116,143 @@ def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("expected_tokens"),
     )
+
+
+def _rho_oracle() -> str:
+    from .registry import ORACLES
+
+    sp = ORACLES["text_surprisal_score"]
+    qm = ORACLES["text_quality_model_score"]
+    return f"""
+    WITH sp AS ({sp}), qm AS ({qm})
+    SELECT s.doc_id,
+      CAST((s.bits_total * 1000) // s.n_tokens AS BIGINT)
+        AS surprisal_milli,
+      q.logit_centi,
+      CAST((s.bits_total * 1000) // s.n_tokens + q.logit_centi * 10
+           AS BIGINT) AS learnability_milli,
+      ((s.bits_total * 1000) // s.n_tokens + q.logit_centi * 10
+        >= 12500) AS selected
+    FROM sp s JOIN qm q USING (doc_id)
+    """
+
+
+@query("curation_rho_select", oracle=_rho_oracle())
+def curation_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learnability-gap data selection (RHO-loss-style, Mindermann et
+    al. ICML'22, in its frozen-proxy deployment form): prefer
+    documents that are simultaneously NOVEL under a reference unigram
+    LM (high per-token surprisal — not already-memorized boilerplate)
+    and CLEAN under the quality classifier (high logit — not noise
+    that merely LOOKS novel).  The selection score is a frozen integer
+    blend of the two REGISTERED scorers,
+    learnability = surprisal_milli + 10*logit_centi, with a fixed
+    literal threshold — swapping in real trained holdout/training
+    losses replaces the two input columns, not the plan.
+
+    Exactness: both inputs are exact integers (floor-log2 bits,
+    centi-unit logits), the blend and threshold are integer
+    arithmetic — bit-identical on both engines, no float ranks.
+
+    Scale shape: two doc-grain map-combined aggregates (each one
+    explode + partial agg, the word-count shape) joined on doc_id —
+    AQE picks broadcast vs shuffle; no window, no driver state.
+    """
+    from .registry import QUERIES
+
+    sp = QUERIES["text_surprisal_score"](spark, sf_dir).select(
+        "doc_id", "bits_total", "n_tokens"
+    )
+    qm = QUERIES["text_quality_model_score"](spark, sf_dir).select(
+        "doc_id", "logit_centi"
+    )
+    j = sp.join(qm, "doc_id")
+    surp = F.expr("CAST((bits_total * 1000) DIV n_tokens AS BIGINT)")
+    learn = F.expr(
+        "CAST((bits_total * 1000) DIV n_tokens + logit_centi * 10 "
+        "AS BIGINT)"
+    )
+    return j.select(
+        "doc_id",
+        surp.alias("surprisal_milli"),
+        "logit_centi",
+        learn.alias("learnability_milli"),
+        (learn >= 12500).alias("selected"),
+    )
+
+
+def _cluster_cap_oracle() -> str:
+    from .similarity import _kmeans_cte
+
+    return (
+        _kmeans_cte()
+        + """
+    , sized AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM kassign GROUP BY cell
+    ), kept AS (
+      SELECT a.cell,
+        CASE WHEN
+          (CAST('0x' || substr(md5('s:' || CAST(a.id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 1000000) * s.cluster_size < 30 * 1000000
+        THEN 1 ELSE 0 END AS keep
+      FROM kassign a JOIN sized s USING (cell)
+    )
+    SELECT k.cell, s.cluster_size,
+      CAST(30 AS BIGINT) AS quota,
+      CAST(SUM(k.keep) AS BIGINT) AS n_kept
+    FROM kept k JOIN sized s USING (cell)
+    GROUP BY k.cell, s.cluster_size
+    """
+    )
+
+
+@query("curation_cluster_balanced_sample", oracle=_cluster_cap_oracle())
+def curation_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced corpus sampling (the SemDeDup / DataComp
+    recipe step after semantic clustering): train the deterministic
+    fixed-point k-means (the REGISTERED ml_kmeans_assign operator,
+    k=4), then sample each semantic cluster toward a UNIFORM quota
+    (30 docs) regardless of cluster size — big boilerplate clusters
+    are heavily down-sampled, small rare-topic clusters survive
+    intact.  Per-doc keep decisions are hash-deterministic with rate
+    quota/cluster_size (integer cross-multiplication, no floats):
+    stable across re-runs and partitionings, never rand().
+
+    Emits per-cluster (size, quota, kept) so the rebalancing is
+    auditable; the kept count is binomial around the quota for large
+    clusters and equals the size for clusters under quota (rate
+    capped at 1 by the inequality itself).
+
+    Scale shape: the k-means trainer broadcasts k centroids per
+    iteration (corpus never shuffles for assignment); cluster sizes
+    are a k-row aggregate joined back broadcast; the keep decision is
+    a stateless integer expression — no per-cluster window, so a
+    giant cluster cannot create a hot partition (the reason this is
+    rate-based, not exact-top-C: exact top-C per cluster needs a
+    k-partition doc-grain rank, the skew trap).
+    """
+    from ..operators.kmeans import kmeans_fit_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    assign = kmeans_fit_assign(e, "vec_id", "embedding", k=4, n_iter=2)
+    sized = assign.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    keep = (
+        (
+            T.md5_hash64(F.concat(F.lit("s:"), F.col("id").cast("string")))
+            % 1000000
+        )
+        * F.col("cluster_size")
+        < F.lit(30) * F.lit(1000000)
+    ).cast("int")
+    kept = assign.join(F.broadcast(sized), "cell").select(
+        "cell", "cluster_size", keep.alias("keep")
+    )
+    return kept.groupBy("cell", "cluster_size").agg(
+        F.lit(30).cast("bigint").alias("quota"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+    )

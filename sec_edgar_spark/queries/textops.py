@@ -1824,3 +1824,53 @@ def curation_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_kept",
         )
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT d.source,
+        CAST(len({_TOKENS}) AS BIGINT) AS ws,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+      FROM documents d
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      CAST((SUM(bpe) * 1000000) // GREATEST(SUM(ws), 1) AS BIGINT)
+        AS fertility_ppm
+    FROM t GROUP BY source
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per domain — BPE-ish tokens produced per
+    whitespace word (the compression-efficiency metric every tokenizer
+    report tables per language/domain: high fertility = the tokenizer
+    fragments that domain, inflating training cost per effective
+    word).  Integer parts-per-million ratio of two exact token-count
+    sums, so both engines agree exactly.
+
+    Scale shape: one stateless projection (both token counts are
+    codegen'd regex/split ops fused into the scan) + one map-combined
+    per-source aggregate; output is domain-cardinality.  Swapping in a
+    real tokenizer = swapping the bpe count column for the tokenize
+    kernel's output length — the plan does not change (the same
+    injectable-kernel contract as sources/shards.tokenize_ids).
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        T.token_count("text").cast("bigint").alias("ws"),
+        T.bpe_token_count("text").cast("bigint").alias("bpe"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.expr(
+            "CAST((SUM(bpe) * 1000000) DIV GREATEST(SUM(ws), 1) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )

@@ -438,6 +438,9 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "ann_rerank_cross": 1,
         "ann_rerank_refine": 1,
         "curation_ccnet_buckets": 10,
+        "curation_cluster_balanced_sample": 16,
+        "curation_rho_select": 4,
+        "text_tokenizer_fertility": 1,
         "curation_contamination_report": 4,
         "curation_domain_mix": 3,
         "curation_mixture_reweight": 3,

@@ -66,6 +66,7 @@ TINY_WINDOW_WHITELIST: set[str] = {
     "dedup_semantic",
     "ml_cluster_quality",
     "ann_recall_eval",
+    "curation_cluster_balanced_sample",  # same lloyd_fit seeding frame
     # rank over the top-20 frame AFTER orderBy().limit(20) — a 20-row
     # window (queries/textops.py text_bm25_search)
     "text_bm25_search",
