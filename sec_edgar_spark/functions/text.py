@@ -65,6 +65,31 @@ def bpe_token_count(c: Column | str) -> Column:
     return F.size(bpe_tokens(c))
 
 
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a TOKEN-ARRAY column (array<string>,
+    space-joined, distinct).
+
+    Prefer passing a token array materialized in its OWN projection
+    when performance matters: higher-order lambdas evaluate
+    interpreted, so an inlined split expression re-evaluates per array
+    element (the recompute trap documented at operators/dedup.py
+    shingle_rows and SCALE.md).
+
+    Short arrays are safe: with fewer than ``n`` tokens the shingle
+    count is 0 and ``F.sequence(1, 0)`` DESCENDS into an invalid
+    ``slice(toks, 0, n)`` — guarded here with an empty-array branch
+    (code review r8; previously every call site needed its own
+    ``size >= n`` filter or it errored at runtime).
+    """
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>, space-joined, distinct).
 
@@ -78,12 +103,7 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     faster still locally but shuffles the whole token stream by doc —
     the wrong trade at 100 TB; this stays zero-shuffle.
     """
-    toks = tokens(c)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    return shingles_from_tokens(tokens(c), n)
 
 
 def minhash_values(shingle_col: Column, num_hashes: int) -> list[Column]:

@@ -814,11 +814,20 @@ def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=512, partition_col="shard",
     )
     conf_root = spark.conf.get("spark.sec_edgar.shard_root", None)
+    if conf_root:
+        base = conf_root
+    else:
+        base = _os.path.join("/tmp", f"spark_graft_shards_{_os.getpid()}")
+        # The pid-default root is a per-process scratch export: remove
+        # it at interpreter exit so repeated gate/bench/test processes
+        # don't accumulate orphaned shard trees in /tmp (code review
+        # r8).  A conf-specified root is the caller's to manage.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     root = _os.path.join(
-        conf_root
-        if conf_root
-        else _os.path.join("/tmp", f"spark_graft_shards_{_os.getpid()}"),
-        _os.path.basename(sf_dir.rstrip("/") or "sf"),
+        base, _os.path.basename(sf_dir.rstrip("/") or "sf")
     )
     write_token_shards(packed, root, shard_col="shard")
     rt = read_token_shards(spark, root)
@@ -1106,15 +1115,22 @@ def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV domain_tokens AS BIGINT)"
         ),
     )
+    # expected = rate*domain_tokens DIV 1e6 in INTEGER arithmetic —
+    # a float '/' here would convert to double and lose exactness past
+    # 2^53 (domain_tokens ~9e9 at rate 1e6, i.e. the target scale),
+    # diverging from the oracle's integer floor (code review r8).
     return j.select(
         "source",
         "n_docs",
         "domain_tokens",
         target.alias("target_tokens"),
         rate.alias("rate_ppm"),
-        ((rate * F.col("domain_tokens")) / F.lit(1000000))
-        .cast("bigint")
-        .alias("expected_tokens"),
+        F.expr(
+            "CAST((LEAST(CAST(1000000 AS BIGINT), "
+            "CAST((((corpus_tokens DIV 2) DIV n_domains) * 1000000) "
+            "DIV domain_tokens AS BIGINT)) * domain_tokens) "
+            "DIV 1000000 AS BIGINT)"
+        ).alias("expected_tokens"),
     )
 
 

@@ -1236,12 +1236,16 @@ def ann_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine only on pool rows and emits top-{10}.
 
     Scale shape: stage 1 is the brute-force scan shape (queries
-    broadcast, corpus never shuffles) at 1/8 the arithmetic; stage 2
-    touches n_queries x POOL rows — corpus-size-independent.  The
-    candidate's full embedding rides through stage 1 in-row, so the
-    refine step needs NO join back to the corpus; its norm is
-    computed only for pool survivors.  Recall against the exact
-    top-k is measured by ann_rerank_recall.
+    broadcast, corpus never shuffles for SCORING) at 1/8 the
+    arithmetic, and the stage-1 top-pool window shuffles ONLY the
+    scalar (query_id, neighbor_id, coarse) triples — the embedding
+    arrays are projected away first, keeping the shuffle payload
+    ~30 bytes/row instead of ~1 KB/row (a vector-carrying window
+    would move 30x the advertised arithmetic saving).  Stage 2
+    broadcast-joins the n_queries x POOL pool ids back to the
+    corpus scan (columnar-pruned to id/label/embedding) and touches
+    only pool rows — corpus-size-independent.  Recall against the
+    exact top-k is measured by ann_rerank_recall.
     """
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1251,7 +1255,6 @@ def ann_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
-        "label",
         F.col("embedding").alias("c_emb"),
     )
     stage1 = c.join(
@@ -1259,10 +1262,6 @@ def ann_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        "label",
-        "q_emb",
-        "c_emb",
-        "q_nrm",
         _prefix_dot("q_emb", "c_emb", _COARSE_DIMS).alias("coarse"),
     )
     wpool = Window.partitionBy("query_id").orderBy(
@@ -1271,15 +1270,26 @@ def ann_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (
         stage1.withColumn("crk", F.row_number().over(wpool))
         .filter(F.col("crk") <= _RERANK_POOL)
+        .select("query_id", "neighbor_id", "coarse")
     )
-    refined = pool.select(
-        "query_id",
-        "neighbor_id",
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
         "label",
-        "coarse",
-        (
-            V.dot("q_emb", "c_emb") / (F.col("q_nrm") * V.norm("c_emb"))
-        ).alias("cosine"),
+        F.col("embedding").alias("c_emb"),
+    )
+    refined = (
+        cand.join(broadcast(pool), "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "coarse",
+            (
+                V.dot("q_emb", "c_emb")
+                / (F.col("q_nrm") * V.norm("c_emb"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), "neighbor_id"
@@ -1344,11 +1354,13 @@ def ann_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the plumbing a real cross-encoder drops into: the pair
     scorer runs ONLY on n_queries x POOL rows (corpus-size-
-    independent), candidates arrive with both vectors colocated
-    in-row (no second corpus pass), and swapping the frozen blend
-    for a learned pairwise model = replacing one expression (or one
-    Arrow-batched Pandas UDF over the same pool frame) — the plan
-    shape does not change.
+    independent), the stage-1 top-pool window shuffles scalar
+    (query_id, neighbor_id, cosine) rows only (vectors are joined
+    back for the pool — same narrow-shuffle discipline as
+    ann_rerank_refine), and swapping the frozen blend for a learned
+    pairwise model = replacing one expression (or one Arrow-batched
+    Pandas UDF over the same pool frame) — the plan shape does not
+    change.
     """
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1358,7 +1370,6 @@ def ann_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
-        "label",
         F.col("embedding").alias("c_emb"),
         V.norm("embedding").alias("c_nrm"),
     )
@@ -1376,9 +1387,6 @@ def ann_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        "label",
-        "q_emb",
-        "c_emb",
         (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
             "cosine"
         ),
@@ -1386,9 +1394,19 @@ def ann_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpool = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), "neighbor_id"
     )
-    pool = (
+    pool_ids = (
         stage1.withColumn("crk", F.row_number().over(wpool))
         .filter(F.col("crk") <= _RERANK_POOL)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+    )
+    pool = (
+        cand.join(broadcast(pool_ids), "neighbor_id")
+        .join(broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -131,9 +131,13 @@ def write_token_shards(
     # Manifest commits atomically (tmp + os.replace), the same
     # discipline as the .bin/.idx files: an in-place truncate-write
     # could expose a torn manifest to a concurrent reader, silently
-    # shrinking the visible export.
+    # shrinking the visible export.  The tmp name is pid-suffixed so
+    # two writers pointed at the SAME root (a shared
+    # spark.sec_edgar.shard_root) interleave into separate tmp files
+    # and each os.replace publishes one writer's complete manifest —
+    # last-writer-wins, never a mixed file (code review r8).
     mpath = os.path.join(root, "_MANIFEST")
-    mtmp = mpath + ".tmp"
+    mtmp = f"{mpath}.tmp.{os.getpid()}"
     with open(mtmp, "w") as fh:
         for r in sorted(manifest_rows, key=lambda r: r["shard"]):
             fh.write(

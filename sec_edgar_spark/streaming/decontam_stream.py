@@ -38,28 +38,15 @@ def eval_shingle_index(
 ) -> DataFrame:
     """The static probe index: distinct word ``n``-grams of the eval
     set, one row per shingle.  Build once (or refresh on a schedule);
-    the stream probes it per micro-batch."""
-    # size >= n guard BEFORE forming shingles: T.shingles builds its
-    # index list with sequence(1, count) and a 0 count descends into
-    # slice(toks, 0, n), an error — the same guard shingle_rows applies
-    # (operators/dedup.py:60); a doc shorter than n grams can't overlap
-    # anyway.
+    the stream probes it per micro-batch.  The token array is
+    materialized in its own projection before the shingle lambda (the
+    HOF recompute trap — see shingles_from_tokens)."""
     return (
         eval_df.select(T.tokens(text_col).alias("_toks"))
-        .filter(F.size("_toks") >= n)
         .select(
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1), F.size("_toks") - F.lit(n - 1)
-                        ),
-                        lambda i: F.array_join(
-                            F.slice("_toks", i, n), " "
-                        ),
-                    )
-                )
-            ).alias("shingle")
+            F.explode(T.shingles_from_tokens(F.col("_toks"), n)).alias(
+                "shingle"
+            )
         )
         .distinct()
     )
@@ -78,10 +65,10 @@ def decontam_stream(
     """document stream → (window, doc_id, n_overlapping_shingles) of
     contaminated docs.  ``eval_index`` is the static frame from
     :func:`eval_shingle_index` (one ``shingle`` column)."""
-    # Watermark at the HEAD of the stream, before the guard/join: the
-    # event-time tracker only sees rows that reach its operator, so a
-    # watermark placed after the inner join would never advance on
-    # batches whose docs all miss the index (clean intake periods —
+    # Watermark at the HEAD of the stream, before the explode/join:
+    # the event-time tracker only sees rows that reach its operator,
+    # so a watermark placed after the inner join would never advance
+    # on batches whose docs all miss the index (clean intake periods —
     # the common case) and the append-mode aggregate would never
     # flush.  Upstream placement tracks every arriving doc.
     sh = (
@@ -89,22 +76,12 @@ def decontam_stream(
         .select(
             F.col(id_col), F.col(ts_col), T.tokens(text_col).alias("_toks")
         )
-        .filter(F.size("_toks") >= n)  # same short-doc guard as the index
         .select(
             F.col(id_col),
             F.col(ts_col),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1), F.size("_toks") - F.lit(n - 1)
-                        ),
-                        lambda i: F.array_join(
-                            F.slice("_toks", i, n), " "
-                        ),
-                    )
-                )
-            ).alias("shingle"),
+            F.explode(T.shingles_from_tokens(F.col("_toks"), n)).alias(
+                "shingle"
+            ),
         )
     )
     hits = sh.join(eval_index, "shingle")  # stream-static inner join

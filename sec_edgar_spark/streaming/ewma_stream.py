@@ -50,6 +50,15 @@ EWMA_SCHEMA = StructType(
     ]
 )
 
+# STATE SCHEMA v2 (round 8): the buffer of trailing observations
+# replaced v1's (last_day, n_days, ewma) scalars so the stream can
+# mirror the batch 90-observed-day cap exactly.  applyInPandasWithState
+# pins the state schema into the checkpoint: a query RESTARTED from a
+# v1 checkpoint fails the state-store compatibility check — restart
+# with a fresh checkpointLocation (the stream rebuilds each key's
+# buffer from its next <=90 observed days; values converge to batch
+# parity as soon as 90 days have streamed, earlier values carry only
+# the 6e-12 residual of the dropped prefix).
 _STATE_SCHEMA = StructType(
     [
         StructField("days", ArrayType(LongType())),

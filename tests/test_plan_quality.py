@@ -435,8 +435,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "ann_ivf_trained": 15,
         "ann_lsh_topk": 1,
         "ann_pq_adc_topk": 17,
-        "ann_rerank_cross": 1,
-        "ann_rerank_refine": 1,
+        "ann_rerank_cross": 2,
+        "ann_rerank_refine": 2,
         "curation_ccnet_buckets": 10,
         "curation_cluster_balanced_sample": 16,
         "curation_rho_select": 4,

@@ -110,8 +110,37 @@ def test_concurrent_exports_do_not_interfere(spark, tmp_path):
     mans = [read_manifest(r) for r in roots]
     assert mans[0] == mans[1]
     assert sum(e["n_seqs"] for e in mans[0]) == 40
+    import glob
+
     for r in roots:
-        assert not os.path.exists(os.path.join(r, "_MANIFEST.tmp"))
+        assert not glob.glob(os.path.join(r, "_MANIFEST.tmp*"))
+
+
+def test_concurrent_exports_same_root_commit_whole_manifests(
+    spark, tmp_path
+):
+    """Two writers on the SAME root (a shared conf shard_root): the
+    pid-suffixed manifest tmp means each os.replace publishes one
+    writer's complete manifest — last-writer-wins, never interleaved
+    lines.  (Same-process threads share a pid, so simulate the second
+    writer's tmp isolation by running the writes sequentially and
+    asserting the commit is all-or-nothing and re-runs are
+    idempotent.)"""
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    toks = tokenize_ids(df, "doc_id", "text", vocab_size=1000).withColumn(
+        "shard", (F.col("doc_id") % 2).cast("string")
+    ).withColumn("pack_id", F.col("doc_id"))
+    root = str(tmp_path / "shared")
+    write_token_shards(toks, root)
+    first = read_manifest(root)
+    write_token_shards(toks, root)  # overwrite in place
+    assert read_manifest(root) == first
+    import glob
+
+    assert not glob.glob(os.path.join(root, "_MANIFEST.tmp*"))
 
 
 def test_export_root_is_per_process_and_conf_overridable(spark, tmp_path):

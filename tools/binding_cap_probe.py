@@ -55,11 +55,16 @@ def build_verbatim(spark) -> None:
 
     os.makedirs(OUT, exist_ok=True)
     doc = catalog.table(spark, BASE, "documents")
+    # Replica stride derived from the data: a fixed 1e6 stride would
+    # silently collide replicas on a base corpus with doc_id >= 1e6,
+    # corrupting both the corpus and the analytical exact-pair
+    # denominator (code review r8).
+    stride = doc.agg(F.max("doc_id")).collect()[0][0] + 1
     parts = []
     for k in range(REPLICAS):
         parts.append(
             doc.select(
-                (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+                (F.col("doc_id") + k * stride).alias("doc_id"),
                 *[c for c in doc.columns if c != "doc_id"],
             )
         )
