@@ -112,6 +112,9 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "curation_rho_select",
     "curation_cluster_balanced_sample",
+    "text_bigram_surprisal",
+    "events_cusum_changepoint",
+    "graph_wcc_components",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -172,6 +175,7 @@ BEST_OF_3 = {
     "ml_kmeans_assign",
     "ann_pq_adc_topk",
     "dedup_semantic",
+    "graph_wcc_components",  # convergence loop: same warmup class
 }
 
 

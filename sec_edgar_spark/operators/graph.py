@@ -332,3 +332,97 @@ def kcore_fixpoint(
     return und.groupBy(F.col("s").alias("id")).agg(
         F.count("*").alias("degree")
     )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris large-star: every node connects its STRICTLY LARGER
+    neighbours to the minimum of its closed neighbourhood."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("mv"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris small-star: orient each edge to (larger, smaller); every
+    node connects its smaller-or-equal neighbourhood (itself included)
+    to that neighbourhood's minimum."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    ).distinct()
+    mins = oriented.groupBy("a").agg(F.min("b").alias("mb"))
+    joined = oriented.join(mins, "a")
+    kids = joined.filter(F.col("b") != F.col("mb")).select(
+        F.col("b").alias("u"), F.col("mb").alias("v")
+    )
+    selfs = mins.select(F.col("a").alias("u"), F.col("mb").alias("v"))
+    return kids.unionByName(selfs).distinct()
+
+
+def wcc_star(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the shuffle-optimal WCC for MapReduce-shaped engines.
+
+    Why a second CC alongside :func:`connected_components`:
+    Shiloach–Vishkin keeps a LABEL TABLE joined against the edge list
+    every round, so each round shuffles |E| + |V| rows no matter how
+    far convergence has progressed.  Star contraction rewrites the
+    EDGE LIST itself toward a forest of stars — the working set
+    SHRINKS every round (each large-star hooks whole neighbourhoods
+    onto local minima), which is the property that matters at 100 TB:
+    late rounds touch a fraction of the original edges.  Convergence
+    is O(log² n) rounds worst-case, O(log n) in practice.
+
+    Both star ops are min-AGGREGATES joined back on the grouping key —
+    partial-aggregated, combiner-friendly, skew-safe (a hub node's min
+    is computed map-side; no per-key buffer, unlike a collect_list
+    formulation).  The driver's loop state per round is one count plus
+    one anti-join isEmpty over just-checkpointed partitions — both
+    edge lists are distinct, so equal counts + (new ⊆ old) <=> the
+    edge SET is stable, no row data ever reaches the driver; lineage
+    is cut per round with localCheckpoint so the executed plan stays
+    O(1) deep.
+
+    At the fixpoint the edge list IS the assignment: every edge is
+    (node, component-min) and every center is its component's min, so
+    the result needs no extra propagation pass.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = -1
+    for _ in range(max_rounds):
+        prev_e = e
+        e = _small_star(_large_star(e)).localCheckpoint()
+        n = e.count()
+        if n == n_prev and e.join(prev_e, ["u", "v"], "left_anti").isEmpty():
+            break
+        n_prev = n
+    else:
+        raise ValueError(
+            f"wcc_star: not converged after {max_rounds} rounds"
+        )
+    centers = e.select(F.col("v").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(centers)
+        .distinct()
+    )

@@ -1751,6 +1751,43 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_fixpoint(_trade_edges(spark, sf_dir), k=3, assert_rounds=4)
 
 
+@query(
+    "graph_wcc_components",
+    oracle=f"""
+    WITH RECURSIVE raw AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT s, d FROM raw UNION SELECT d AS s, s AS d FROM raw
+    ), reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id
+    )
+    SELECT id, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def graph_wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the trade graph via alternating
+    large-star/small-star contraction (operators/graph.wcc_star,
+    Kiveris et al. SoCC'14) — the MapReduce-optimal WCC whose working
+    set SHRINKS per round, complementing the label-table
+    Shiloach–Vishkin form the dedup family uses (operators/graph.
+    connected_components) whose per-round shuffle is always |E|+|V|.
+
+    Oracle: exact transitive min-reachability via a recursive CTE — no
+    fixed unroll, no idempotence pin needed (unlike the kcore twins):
+    DuckDB's UNION-recursion runs to ITS fixpoint, so both engines
+    compute the true component minimum independently and the gate
+    compares two genuinely run-to-convergence answers.  The closure is
+    O(sum of component sizes squared) rows, which caps at the gate SFs;
+    at 100 TB only the Spark side runs, and its per-round cost is the
+    star contraction, never a closure.
+    """
+    from ..operators.graph import wcc_star
+
+    return wcc_star(_trade_edges(spark, sf_dir))
+
+
 # ORACLE NOTE — struct_pack field order is semantic in DuckDB:
 # list_reduce lambdas evaluate struct_pack fields SEQUENTIALLY, and a
 # later field's acc.<name> reference sees the value just computed for
@@ -1843,4 +1880,135 @@ def events_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.col("st.ewma").alias("ewma"),
         F.col("st.n_alerts").alias("n_alerts"),
+    )
+
+
+# ORACLE NOTE — this oracle deliberately does NOT mirror the Spark
+# struct-accumulator fold.  Under DuckDB 1.0's grouped vectorized
+# lambda evaluation, a struct_pack field assigned from a rarely-true
+# CASE branch inside list_reduce comes back with ANOTHER GROUP's value
+# (observed: first-crossing days swapped between adjacent user_ids;
+# the identical fold on a single-group input is correct, and the
+# always-assigned cp/mx/c fields are correct even grouped).  So the
+# oracle replays the recurrence as an O(n²)-per-user PREFIX SCAN —
+# C_j re-reduced over each prefix with a single-BIGINT accumulator
+# (no struct, no conditional assignment), crossings read positionally
+# from the C list — which is bounded at n ≤ 90 by the observed-days
+# cap.  Both formulations compute the same recurrence; equality of
+# results is exactly what the gate then checks.
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily0 AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT user_id, day, cnt FROM (
+        SELECT user_id, day, cnt,
+          row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        FROM daily0)
+      WHERE rn <= 90
+    ), pre AS (
+      SELECT user_id, COUNT(*) AS n_days,
+        CAST(SUM(cnt) AS BIGINT) AS total,
+        list_sort(list(struct_pack(day := day, cnt := cnt))) AS lst
+      FROM daily GROUP BY user_id
+    ), cv AS (
+      SELECT user_id, n_days, total, lst,
+        list_transform(generate_series(1, len(lst)), j ->
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_slice(lst, 1, j),
+                s -> 2 * n_days * s.cnt - 3 * total)),
+            (a, b) -> GREATEST(CAST(0 AS BIGINT), a + b))) AS c
+      FROM pre
+    ), marked AS (
+      SELECT user_id, n_days, total, lst, c,
+        list_filter(generate_series(1, len(c)), j ->
+          c[j] >= 4 * total AND
+          (CASE WHEN j = 1 THEN 0 ELSE c[j-1] END) < 4 * total) AS ups
+      FROM cv
+    )
+    SELECT user_id, n_days, total,
+      CAST(len(ups) AS BIGINT) AS n_changepoints,
+      GREATEST(CAST(0 AS BIGINT),
+        CAST(list_max(list_prepend(CAST(0 AS BIGINT), c)) AS BIGINT))
+        AS max_cusum,
+      CASE WHEN len(ups) = 0 THEN DATE '1970-01-01'
+           ELSE lst[ups[1]].day END AS first_cp_day
+    FROM marked WHERE n_days >= 5
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection on each user's day-ordered
+    activity counts — the Page (1954) control chart that catches a
+    SUSTAINED rate shift the per-day EWMA alert misses: the statistic
+    accumulates deviation-above-slack, so five consecutive mildly-hot
+    days fire where no single day would.
+
+    Engine-exact by integer scaling: with n = #days and s = total
+    events for the user, the update is written in units of 2n·counts —
+    C_i = max(0, C_{i-1} + 2·n·cnt_i - 3·s), i.e. deviation from the
+    user's own mean (2·n·cnt - 2·s) minus a half-mean slack (s), with
+    a changepoint when C crosses H = 4·s (two means).  Every quantity
+    is exact int64 (bounded by 2·90²·max_daily_cnt under the 90-day
+    cap), so both engines replay the identical fold — no float
+    thresholds, no variance estimate.  Reports per user: crossing
+    count, the first crossing day, and the max statistic.
+
+    Scale shape: identical to the EWMA folds — daily partial aggregate,
+    per-user buffer hard-bounded at the last _EWMA_FOLD_DAYS observed
+    days (the row_number cap shares the fold's user_id shuffle), one
+    struct-accumulator fold; n and s are sibling aggregates of the
+    same groupBy, so the whole detector is one exchange.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = _capped_daily(e)
+    epoch = F.lit("1970-01-01").cast("date")
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("cp"),
+        F.lit(0).cast("bigint").alias("fd"),
+        F.lit(0).cast("bigint").alias("mx"),
+        F.lit(0).cast("bigint").alias("c"),
+    )
+    pre = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum("cnt").alias("total"),
+        F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("arr"),
+    )
+    n, s = F.col("n_days"), F.col("total")
+
+    def step(acc, x):
+        new_c = F.greatest(
+            F.lit(0).cast("bigint"), acc["c"] + 2 * n * x["cnt"] - 3 * s
+        )
+        crossing = (acc["c"] < 4 * s) & (new_c >= 4 * s)
+        return F.struct(
+            (acc["cp"] + F.when(crossing, 1).otherwise(0)).alias("cp"),
+            # first-crossing day as days-since-epoch (0 = none) — the
+            # accumulator stays all-BIGINT to mirror the oracle (see
+            # the ORACLE NOTE above: nullable DATE lambda fields break
+            # under DuckDB's grouped vectorized evaluation, and a NULL
+            # date would also render 'None' vs 'NaT' at the driver).
+            F.when(
+                (acc["fd"] == 0) & crossing,
+                F.datediff(x["day"], epoch).cast("bigint"),
+            )
+            .otherwise(acc["fd"])
+            .alias("fd"),
+            F.greatest(acc["mx"], new_c).alias("mx"),
+            new_c.alias("c"),
+        )
+
+    folded = pre.select(
+        "user_id", "n_days", "total", F.aggregate("arr", init, step).alias("st")
+    )
+    return folded.filter(F.col("n_days") >= 5).select(
+        "user_id",
+        "n_days",
+        "total",
+        F.col("st.cp").alias("n_changepoints"),
+        F.col("st.mx").alias("max_cusum"),
+        F.date_add(epoch, F.col("st.fd").cast("int")).alias("first_cp_day"),
     )

@@ -856,6 +856,102 @@ def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS} AS a FROM documents
+    ), bg AS (
+      SELECT doc_id,
+        unnest(list_slice(a, 1, len(a) - 1)) AS w1,
+        unnest(list_slice(a, 2, len(a))) AS w2
+      FROM t WHERE len(a) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+    ), voc AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+    ), sc AS (
+      SELECT bg.doc_id,
+        (length(bin(ctx.c1 + voc.v)) - 1)
+          - (length(bin(bc.c12 + 1)) - 1) AS s
+      FROM bg
+      JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+      JOIN ctx ON bg.w1 = ctx.w1
+      CROSS JOIN voc
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(s) AS BIGINT) AS bits_total,
+      CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_cond_surprisal
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (the KenLM/CCNet signal one order up
+    from text_surprisal_score): each document is scored by the mean
+    CONDITIONAL surprisal -log2 p(w2|w1) of its adjacent token pairs
+    under an add-1-smoothed bigram model trained on the corpus itself,
+    p(w2|w1) = (c12 + 1) / (c1 + V).  Context-aware, so it separates
+    plausible-word-salad (good unigrams, incoherent order — scores
+    high) from prose (low), which the unigram scorer cannot.
+
+    Engine-exact: the same integer floor-log2 device as the unigram
+    query — s = bits(c1 + V) - bits(c12 + 1) with bits(x) =
+    length(bin(x)) - 1 is exact integer math on both engines (within
+    1 bit of the true -log2 and monotone in the probability), and the
+    per-doc mean is one double division of two exact integers.  Add-1
+    keeps every count strictly positive so bin() never sees 0.
+
+    Scale shape: bigrams assemble per row (two slices + zip_with, zero
+    shuffle) and explode; the model is ONE (w1,w2) hash agg — the
+    bigram type count, sublinear in corpus size — with context counts
+    c1 derived from it by a second vocab-sized agg (no separate
+    unigram pass over the corpus); scoring joins back on the bigram
+    key (AQE broadcasts the model sides when they fit) and reduces
+    per-doc.  Exactly the surprisal query's join class, one key wider.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("a"))
+    n = F.size("a")
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("a", 1, n - 1),
+                    F.slice("a", 2, n - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = d.select(F.explode(T.tokens("text")).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    bits = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — floor(log2), exact
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            (bits(F.col("c1") + F.col("v")) - bits(F.col("c12") + 1)).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("s").alias("bits_total"),
+        (F.sum("s").cast("double") / F.count("*")).alias("avg_cond_surprisal"),
+    )
+
+
 _BM25_TERMS = ("spark", "vector", "customer")
 # k1=1.2, b=0.75 written as literal factors so both engines compile the
 # identical float-op chain: (tf*2.2) / (tf + 1.2*(0.25 + 0.75*((dl*N)/TT)))

@@ -118,3 +118,73 @@ def test_label_propagation_deterministic_oscillation(spark):
     assert run(1) == {0: 1, 1: 0}   # swap
     assert run(2) == {0: 0, 1: 1}   # swap back
     assert run(1) == run(1)          # deterministic across runs
+
+
+# ---- wcc_star (large-star/small-star contraction) ----------------------
+
+from sec_edgar_spark.operators.graph import wcc_star  # noqa: E402
+
+
+def _wcc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "s long, d long")
+    return {r["id"]: r["component"] for r in wcc_star(edges, **kw).collect()}
+
+
+def test_wcc_star_chain_and_components(spark):
+    got = _wcc(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (100, 101), (101, 102), (200, 201)],
+    )
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        100: 100, 101: 100, 102: 100,
+        200: 200, 201: 200,
+    }
+
+
+def test_wcc_star_agrees_with_pointer_jumping(spark):
+    """Both CC formulations must produce the identical assignment on a
+    graph mixing a chain, a star hub, duplicate and reversed edges."""
+    pairs = (
+        [(i, i + 1) for i in range(10)]
+        + [(50, j) for j in range(51, 60)]
+        + [(3, 2), (2, 3), (55, 50)]
+    )
+    star = _wcc(spark, pairs)
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    pj = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert star == pj
+
+
+def test_wcc_star_chain_converges_in_log_rounds(spark):
+    """Star contraction is O(log n) rounds on the chain — the shape
+    that defeats diameter-bounded propagation.  1024-node chain must
+    converge well within 16 alternating rounds."""
+    n = 1024
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "s long, d long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in wcc_star(edges, max_rounds=16).collect()
+    }
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
+
+
+def test_wcc_star_max_rounds_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "s long, d long"
+    )
+    with pytest.raises(ValueError):
+        wcc_star(edges, max_rounds=1)
+
+
+def test_wcc_star_self_loops_and_singletons(spark):
+    # self-loops are dropped (u != v filter), so a node with ONLY a
+    # self-loop does not appear; the isolated pair is unaffected
+    got = _wcc(spark, [(7, 7), (1, 2)])
+    assert got == {1: 1, 2: 1}

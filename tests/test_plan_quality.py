@@ -491,6 +491,9 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "q5_region_revenue": 1,
         "q9_product_profit": 1,
         "text_bigram_pmi": 4,
+        "text_bigram_surprisal": 6,
+        "events_cusum_changepoint": 2,
+        "graph_wcc_components": 2,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,

@@ -290,3 +290,55 @@ def test_kmeans_fixedpoint_clusters_blobs(spark):
         for r in kmeans_fit_assign(df, "vec_id", "embedding", k=3, n_iter=3).collect()
     }
     assert rerun == got
+
+
+def test_bigram_surprisal_matches_pure_python(spark, tmp_path):
+    """text_bigram_surprisal vs an independent pure-Python bigram-LM
+    on a small corpus: identical n_bigrams / bits_total per doc, and
+    the repetitive doc must score BELOW the shuffled-order doc built
+    from the same token multiset (the context-awareness the unigram
+    scorer lacks — both docs have identical unigram stats)."""
+    import itertools
+    from collections import Counter
+
+    from sec_edgar_spark.queries.textops import text_bigram_surprisal
+
+    docs = [
+        (1, "a b a b a b a b a b a b"),        # repetitive: predictable bigrams
+        (2, "a a b b a b b a a b b a"),        # same tokens, scrambled order
+        (3, "the quick brown fox jumps"),
+        (4, "solo"),                            # 1 token -> excluded
+        (5, "the quick brown fox jumps again"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in text_bigram_surprisal(spark, str(tmp_path)).collect()
+    }
+    assert 4 not in got
+
+    # independent reference model
+    toks = {i: t.split() for i, t in docs}
+    bigrams = Counter(
+        itertools.chain.from_iterable(
+            zip(a, a[1:]) for a in toks.values() if len(a) >= 2
+        )
+    )
+    ctx = Counter()
+    for (w1, _), c in bigrams.items():
+        ctx[w1] += c
+    vocab = len(set(itertools.chain.from_iterable(toks.values())))
+    bits = lambda x: x.bit_length() - 1  # noqa: E731
+
+    for i, a in toks.items():
+        if len(a) < 2:
+            continue
+        ss = [
+            bits(ctx[w1] + vocab) - bits(bigrams[(w1, w2)] + 1)
+            for w1, w2 in zip(a, a[1:])
+        ]
+        assert got[i].n_bigrams == len(ss), i
+        assert got[i].bits_total == sum(ss), i
+    assert got[1].avg_cond_surprisal < got[2].avg_cond_surprisal

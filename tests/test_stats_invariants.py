@@ -120,3 +120,59 @@ def test_kcore_fixpoint_assert_rounds_raises_on_deep_graphs(spark):
     with pytest.raises(ValueError, match="not converged after"):
         kcore_fixpoint(path, k=2, assert_rounds=1).collect()
     assert kcore_fixpoint(path, k=2, assert_rounds=10).count() == 0
+
+
+@skip
+def test_cusum_crossing_iff_statistic_reached_threshold(spark):
+    """n_changepoints >= 1 <=> max_cusum >= H (= 4*total): the first
+    time C reaches H is by definition an upcrossing (C starts at 0 <
+    H); and the epoch sentinel appears exactly on the no-crossing
+    users."""
+    import datetime
+
+    from sec_edgar_spark.queries.scalepats import events_cusum_changepoint
+
+    rows = events_cusum_changepoint(spark, SF_DIR).collect()
+    assert rows, "gate table produced no qualifying users"
+    epoch = datetime.date(1970, 1, 1)
+    for r in rows:
+        crossed = r.n_changepoints >= 1
+        assert crossed == (r.max_cusum >= 4 * r.total), r
+        assert (r.first_cp_day == epoch) == (not crossed), r
+        assert r.max_cusum >= 0
+
+
+def test_cusum_constant_rate_never_alarms_and_shift_fires(spark):
+    """A perfectly uniform user accumulates nothing (2n·cnt - 3s =
+    -n·c < 0 every step); a sustained 9x level shift in the second
+    half must fire, with the first crossing inside the shifted span
+    (with n=20, s=100: shifted days contribute 2·20·9-3·100 = +60 to
+    C, so C crosses H = 4s = 400 on the 7th shifted day)."""
+    import datetime
+
+    from sec_edgar_spark.queries.scalepats import events_cusum_changepoint
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: constant 3 events/day for 20 days
+    for d in range(20):
+        for _ in range(3):
+            rows.append((1, base + datetime.timedelta(days=d)))
+    # user 2: 1/day for 10 days, then 9/day for 10 days
+    for d in range(20):
+        for _ in range(1 if d < 10 else 9):
+            rows.append((2, base + datetime.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        out = {
+            r.user_id: r
+            for r in events_cusum_changepoint(spark, td).collect()
+        }
+    assert out[1].n_changepoints == 0
+    assert out[1].max_cusum == 0
+    assert out[2].n_changepoints >= 1
+    assert out[2].first_cp_day >= datetime.date(2024, 1, 11)
