@@ -115,6 +115,9 @@ HEADLINE = [
     "text_bigram_surprisal",
     "events_cusum_changepoint",
     "graph_wcc_components",
+    "er_match_score",
+    "er_sorted_neighborhood",
+    "er_entity_groups",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

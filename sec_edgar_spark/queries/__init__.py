@@ -19,6 +19,7 @@ from . import multimodal  # noqa: E402,F401
 from . import parsing_q  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import scalepats  # noqa: E402,F401
+from . import entity  # noqa: E402,F401
 
 
 def queries():

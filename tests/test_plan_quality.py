@@ -494,6 +494,9 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "text_bigram_surprisal": 6,
         "events_cusum_changepoint": 2,
         "graph_wcc_components": 2,
+        "er_match_score": 1,
+        "er_sorted_neighborhood": 2,
+        "er_entity_groups": 2,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
