@@ -31,13 +31,14 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from .registry import query
 
-# Match acceptance: score = 1000 - 150*name_dist - min(price_diff, 1000)//10.
-# On the gate corpus name distances within a block are {0, 3..6}, so the
-# 700 floor accepts exactly the name-identical pairs with < $30 price
-# drift — "same product, slightly different listing".
+# Match acceptance: score = 1000 - 150*name_dist - min(price_diff, 3000)//10,
+# accepted when score > 700 (STRICT).  Name-identical pairs are accepted
+# iff price drift < $30.00 (diff 3000 caps the penalty at exactly 300 →
+# score 700, rejected by the strict floor); a 1-edit name costs 150, so
+# it survives only under $15.00 drift; 2+ edits can never reach 701.
 _SCORE_SQL = (
     "1000 - 150 * levenshtein(a.p_name, b.p_name) "
-    "- LEAST(ABS(a.cents - b.cents), 1000) // 10"
+    "- LEAST(ABS(a.cents - b.cents), 3000) // 10"
 )
 
 # Shared keyed projection (first name token = the scaling block part).
@@ -85,7 +86,7 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (
         F.lit(1000)
         - 150 * name_dist
-        - F.expr("LEAST(ABS(cents_a - cents_b), 1000) DIV 10")
+        - F.expr("LEAST(ABS(cents_a - cents_b), 3000) DIV 10")
     ).cast("bigint")
     return (
         a.join(
@@ -113,7 +114,7 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       (row_number() OVER (PARTITION BY partkey_a
                           ORDER BY score DESC, partkey_b) = 1)
         AS is_best_for_a
-    FROM pairs WHERE score >= 700
+    FROM pairs WHERE score > 700
     """,
 )
 def er_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +132,7 @@ def er_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by partkey_a (per-record candidate lists are bounded
     by the block discipline, so the argmax sort is tiny per key).
     """
-    pairs = _scored_pairs(spark, sf_dir).filter(F.col("score") >= 700)
+    pairs = _scored_pairs(spark, sf_dir).filter(F.col("score") > 700)
     w = Window.partitionBy("partkey_a").orderBy(
         F.desc("score"), F.asc("partkey_b")
     )
@@ -227,7 +228,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_ER_PAIRS_SQL},
     accepted AS (
-      SELECT partkey_a, partkey_b FROM pairs WHERE score >= 700
+      SELECT partkey_a, partkey_b FROM pairs WHERE score > 700
     ), edges AS (
       SELECT partkey_a AS s, partkey_b AS d FROM accepted
       UNION
@@ -256,7 +257,7 @@ def er_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     accepted = (
         _scored_pairs(spark, sf_dir)
-        .filter(F.col("score") >= 700)
+        .filter(F.col("score") > 700)
         .select(F.col("partkey_a").alias("s"), F.col("partkey_b").alias("d"))
     )
     return wcc_star(accepted).select(

@@ -1,18 +1,19 @@
 """Stateful streaming CUSUM — the per-key running form of
 queries/scalepats.events_cusum_changepoint.
 
-Same state discipline as ewma_stream: each key holds the trailing
-buffer of its last <= 90 OBSERVED (day, count) pairs (the batch cap),
-merges each micro-batch's observations in day order, truncates to the
-newest 90, and REFOLDS from zero.  The refold here is mandatory, not
-just convenient: the batch detector's slack and threshold are derived
-from the WINDOW's own statistics (n = buffer length, s = buffer sum —
-C_i = max(0, C_{i-1} + 2·n·cnt_i - 3·s), crossing at 4·s), so every
-new observation reprices every earlier step — no O(1) online update
-exists for the windowed form.  The refold is <= 90 integer
-multiply-adds per key per batch, and because every quantity is exact
-int64, streaming output equals the batch query's BIT-FOR-BIT at any
-history length (parity-tested on the real parquet and past the cap).
+Same state discipline as ewma_stream, owned by the shared
+streaming/daily_buffer.py machine: the trailing buffer of each key's
+last <= 90 OBSERVED (day, count) pairs (the batch cap), merged in day
+order per micro-batch, truncated to the newest 90, REFOLDED from
+zero.  The refold here is mandatory, not just convenient: the batch
+detector's slack and threshold are derived from the WINDOW's own
+statistics (n = buffer length, s = buffer sum — C_i = max(0, C_{i-1}
++ 2·n·cnt_i - 3·s), crossing at 4·s), so every new observation
+reprices every earlier step — no O(1) online update exists for the
+windowed form.  The refold is <= 90 integer multiply-adds per key per
+batch, and because every quantity is exact int64, streaming output
+equals the batch query's BIT-FOR-BIT at any history length
+(parity-tested on the real parquet and past the cap).
 
 The first-crossing day is reported as days-since-epoch (long) —
 states and Arrow batches stay integer-typed end to end; the batch
@@ -28,15 +29,9 @@ key's last folded day is ignored (replay tolerance).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (
-    ArrayType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
-# Mirror of queries/scalepats._EWMA_FOLD_DAYS (pinned equal by test).
-FOLD_DAYS = 90
+from .daily_buffer import FOLD_DAYS, buffered_daily_stream  # noqa: F401
 
 CUSUM_SCHEMA = StructType(
     [
@@ -46,13 +41,6 @@ CUSUM_SCHEMA = StructType(
         StructField("n_changepoints", LongType()),
         StructField("max_cusum", LongType()),
         StructField("first_cp_day", LongType()),  # days since epoch, 0 = none
-    ]
-)
-
-_STATE_SCHEMA = StructType(
-    [
-        StructField("days", ArrayType(LongType())),
-        StructField("cnts", ArrayType(LongType())),
     ]
 )
 
@@ -86,8 +74,6 @@ def cusum_stream(daily: DataFrame) -> DataFrame:
     the same trailing window."""
     import pandas as pd
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: F401
-
     def emit(user_id, days, cnts):
         n, s, n_cp, mx, fd = _refold(days, cnts)
         return pd.DataFrame(
@@ -101,40 +87,4 @@ def cusum_stream(daily: DataFrame) -> DataFrame:
             }
         )
 
-    def fn(key, pdf_iter, state: GroupState):
-        (user_id,) = key
-        if state.exists:
-            days, cnts = state.get
-            days, cnts = list(days), list(cnts)
-        else:
-            days, cnts = [], []
-        rows = []
-        for pdf in pdf_iter:
-            rows.append(pdf[["day_epoch", "cnt"]])
-        if not rows:
-            # Timed-out key: emit current state unchanged (same guard
-            # as ewma_stream — unreachable under NoTimeout).
-            state.update((days, cnts))
-            yield emit(user_id, days, cnts)
-            return
-        last_day = days[-1] if days else -1
-        obs = pd.concat(rows).sort_values("day_epoch")
-        for day, cnt in zip(obs["day_epoch"], obs["cnt"]):
-            if day <= last_day:
-                continue  # replayed/duplicate day — already folded
-            days.append(int(day))
-            cnts.append(int(cnt))
-            last_day = int(day)
-        if len(days) > FOLD_DAYS:
-            days = days[-FOLD_DAYS:]
-            cnts = cnts[-FOLD_DAYS:]
-        state.update((days, cnts))
-        yield emit(user_id, days, cnts)
-
-    return daily.groupBy("user_id").applyInPandasWithState(
-        fn,
-        outputStructType=CUSUM_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf="NoTimeout",
-    )
+    return buffered_daily_stream(daily, emit, CUSUM_SCHEMA)

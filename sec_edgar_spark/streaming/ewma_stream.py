@@ -30,17 +30,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     LongType,
     StructField,
     StructType,
 )
 
-# Mirror of queries/scalepats._EWMA_FOLD_DAYS (not imported — the
-# streaming module stays importable without the batch query layer;
-# tests pin the two constants equal).
-FOLD_DAYS = 90
+# Buffer discipline (merge/replay/truncate) lives in the shared
+# daily_buffer machine; FOLD_DAYS re-exported from there mirrors
+# queries/scalepats._EWMA_FOLD_DAYS (not imported — the streaming
+# module stays importable without the batch query layer; tests pin
+# the two constants equal).
+from .daily_buffer import FOLD_DAYS, buffered_daily_stream  # noqa: F401
 
 EWMA_SCHEMA = StructType(
     [
@@ -59,12 +60,7 @@ EWMA_SCHEMA = StructType(
 # buffer from its next <=90 observed days; values converge to batch
 # parity as soon as 90 days have streamed, earlier values carry only
 # the 6e-12 residual of the dropped prefix).
-_STATE_SCHEMA = StructType(
-    [
-        StructField("days", ArrayType(LongType())),
-        StructField("cnts", ArrayType(LongType())),
-    ]
-)
+# (the schema itself is daily_buffer.BUFFER_STATE_SCHEMA)
 
 
 def ewma_stream(daily: DataFrame, alpha_num: int = 1, alpha_den: int = 4) -> DataFrame:
@@ -76,67 +72,22 @@ def ewma_stream(daily: DataFrame, alpha_num: int = 1, alpha_den: int = 4) -> Dat
     count over its capped daily frame."""
     import pandas as pd
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     a = alpha_num / alpha_den
     b = 1.0 - a
 
-    def refold(days: list, cnts: list) -> float:
+    def refold(cnts: list) -> float:
         s = 0.0
         for c in cnts:
             s = s * b + float(c) * a
         return s
 
-    def fn(key, pdf_iter, state: GroupState):
-        (user_id,) = key
-        if state.exists:
-            days, cnts = state.get
-            days, cnts = list(days), list(cnts)
-        else:
-            days, cnts = [], []
-        rows = []
-        for pdf in pdf_iter:
-            rows.append(pdf[["day_epoch", "cnt"]])
-        if not rows:
-            # Timed-out key (empty batch iterator): pd.concat([])
-            # raises, so emit the current state unchanged instead of
-            # crashing the query.  Unreachable under NoTimeout but a
-            # hard crash if a timeout is ever configured.
-            state.update((days, cnts))
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "n_days": [len(days)],
-                    "ewma": [refold(days, cnts)],
-                }
-            )
-            return
-        last_day = days[-1] if days else -1
-        obs = pd.concat(rows).sort_values("day_epoch")
-        for day, cnt in zip(obs["day_epoch"], obs["cnt"]):
-            if day <= last_day:
-                continue  # replayed/duplicate day — already folded
-            days.append(int(day))
-            cnts.append(int(cnt))
-            last_day = int(day)
-        # Hard buffer bound: keep only the newest FOLD_DAYS
-        # observations — the batch cap, mirrored.
-        if len(days) > FOLD_DAYS:
-            days = days[-FOLD_DAYS:]
-            cnts = cnts[-FOLD_DAYS:]
-        state.update((days, cnts))
-        yield pd.DataFrame(
+    def emit(user_id, days, cnts):
+        return pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_days": [len(days)],
-                "ewma": [refold(days, cnts)],
+                "ewma": [refold(cnts)],
             }
         )
 
-    return daily.groupBy("user_id").applyInPandasWithState(
-        fn,
-        outputStructType=EWMA_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf="NoTimeout",
-    )
+    return buffered_daily_stream(daily, emit, EWMA_SCHEMA)

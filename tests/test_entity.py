@@ -28,7 +28,7 @@ def test_match_score_one_best_per_record(spark):
         assert len(best) == 1, a
         top = max(group, key=lambda r: (r.score, -r.partkey_b))
         assert best[0].partkey_b == top.partkey_b
-        assert all(r.score >= 700 for r in group)
+        assert all(r.score > 700 for r in group)
 
 
 @skip
@@ -74,17 +74,16 @@ def test_sorted_neighborhood_bounded_fanout(spark):
 
 
 def test_entity_groups_transitive_merge(spark, tmp_path):
-    """A matches B and B matches C (A, C prices too far apart to match
-    directly) must still merge into ONE entity via the closure."""
+    """A matches B and B matches C while the DIRECT (A, C) pair is
+    REJECTED — only the transitive closure can merge all three, so a
+    broken er_entity_groups that merely unions accepted pairs fails
+    here.  Name chain with edit distances A-B = B-C = 1 but A-C = 2:
+    score(A,C) = 1000 - 300 - 50 = 650 <= 700 (rejected), while the
+    adjacent pairs score 850 - 50 = 800 (accepted)."""
     rows = [
-        # same name/type/size; prices chain: 0<->1 diff $5, 1<->2 diff
-        # $5, 0<->2 diff $10 (1000 cents -> score 900, still a match;
-        # stretch to force 0<->2 rejection: use $9.99 steps so the
-        # direct pair caps out)  score(0,2) = 1000 - 0 - 1000//10 = 900
-        # -> accepted anyway; transitivity still exercised by shape.
         (10, "red widget", "ECONOMY", 7, 900.00),
-        (20, "red widget", "ECONOMY", 7, 905.00),
-        (30, "red widget", "ECONOMY", 7, 910.00),
+        (20, "red widgeta", "ECONOMY", 7, 905.00),
+        (30, "red widgetab", "ECONOMY", 7, 910.00),
         # different first token: never a candidate
         (40, "blue widget", "ECONOMY", 7, 900.00),
     ]
@@ -94,7 +93,18 @@ def test_entity_groups_transitive_merge(spark, tmp_path):
     )
     df.write.parquet(str(tmp_path / "part.parquet"))
 
-    from sec_edgar_spark.queries.entity import er_entity_groups
+    from sec_edgar_spark.queries.entity import (
+        er_entity_groups,
+        er_match_score,
+    )
+
+    # precondition of the scenario: the direct (10, 30) pair really is
+    # rejected while the two adjacent pairs are accepted
+    accepted = {
+        (r.partkey_a, r.partkey_b)
+        for r in er_match_score(spark, str(tmp_path)).collect()
+    }
+    assert accepted == {(10, 20), (20, 30)}
 
     ent = {
         r.p_partkey: r.entity

@@ -100,3 +100,64 @@ def test_refold_matches_manual_scan():
     assert n_cp == 1
     assert fd == 216  # 7th shifted day: ceil(400/60) = 7 -> day index 16
     assert mx == 600
+
+
+def test_parity_past_the_cap(spark, tmp_path):
+    """A 120-observed-day history must converge to the batch
+    semantics: the buffer truncates to the newest 90 observations and
+    the detector refolds with the TRUNCATED window's own (n, s) — the
+    window-repriced recurrence, checked against _refold over exactly
+    cnts[-90:]."""
+    from sec_edgar_spark.streaming.cusum_stream import (
+        FOLD_DAYS,
+        _refold,
+        cusum_stream,
+    )
+
+    days = list(range(120))
+    cnts = [(d * 7) % 13 + 1 for d in days]
+    # spike the tail so the detector actually fires inside the window
+    cnts[-10:] = [40] * 10
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [(1, d, c) for d, c in zip(days[:70], cnts[:70])],
+        "user_id long, day_epoch long, cnt long",
+    ).write.parquet(str(feed / "w1"))
+    stream = (
+        spark.readStream.schema("user_id long, day_epoch long, cnt long")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(str(feed) + "/*")
+    )
+    seen = []
+
+    def sink(batch_df, _bid):
+        seen.extend(
+            (
+                r.user_id, r.n_days, r.total, r.n_changepoints,
+                r.max_cusum, r.first_cp_day,
+            )
+            for r in batch_df.collect()
+        )
+
+    q = (
+        cusum_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, d, c) for d, c in zip(days[70:], cnts[70:])],
+            "user_id long, day_epoch long, cnt long",
+        ).write.parquet(str(feed / "w2"))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    n, s, n_cp, mx, fd = _refold(days[-FOLD_DAYS:], cnts[-FOLD_DAYS:])
+    assert n == FOLD_DAYS
+    assert n_cp >= 1  # the spike fires within the truncated window
+    assert seen[-1] == (1, n, s, n_cp, mx, fd)
