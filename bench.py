@@ -118,6 +118,8 @@ HEADLINE = [
     "er_match_score",
     "er_sorted_neighborhood",
     "er_entity_groups",
+    "er_match_score_capped",
+    "text_trigram_search",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -1970,3 +1970,77 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((SUM(bpe) * 1000000) DIV GREATEST(SUM(ws), 1) AS BIGINT)"
         ).alias("fertility_ppm"),
     )
+
+
+# Substring-search needles (literal constants so both engines compile
+# the same scan; the trigram set is derived from them at plan-build).
+_TRGM_PATTERNS = ("sort table", "stream spark window")
+
+
+def _trgm_oracle() -> str:
+    parts = []
+    for pat in _TRGM_PATTERNS:
+        n = len(pat)
+        parts.append(f"""
+        SELECT '{pat}' AS pattern, doc_id,
+          CAST(instr(text, '{pat}') AS BIGINT) AS first_pos,
+          CAST((length(text) - length(replace(text, '{pat}', ''))) // {n}
+               AS BIGINT) AS n_occurrences
+        FROM documents WHERE text LIKE '%{pat}%'""")
+    return " UNION ALL ".join(parts)
+
+
+@query("text_trigram_search", oracle=_trgm_oracle())
+def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index substring search (the pg_trgm / code-search
+    pattern): instead of scanning every document's full text per
+    needle, each doc is reduced to its DISTINCT character trigrams,
+    candidate docs are those containing ALL of a needle's trigrams
+    (posting-list intersection via one hash agg with an exact count
+    condition), and only candidates pay the exact contains() verify.
+    The oracle is the brute-force LIKE scan — the gate proves the
+    index path returns byte-identical results to the full scan.
+
+    Scale shape: the trigram explode is a map stage bounded by text
+    length; the needle's trigram set is a plan literal (isin — no join
+    against a query table needed); the agg groups by doc_id with an
+    integer count condition; the verify joins candidates (tiny) back
+    to the doc scan on doc_id.  At 100 TB the posting table would be
+    materialized once and shared across needles — here each needle's
+    branch shares the one scan and the union preserves that shape.
+    Selectivity discipline: candidates = docs matching all |needle|-2
+    trigrams, a superset of true matches only where trigrams reorder
+    (verified away); no candidate blowup because trigram df is
+    vocabulary-shaped, not corpus-shaped.
+    """
+    d = table(spark, sf_dir, "documents")
+    trgm = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    )
+    posting = d.select("doc_id", F.explode(trgm).alias("tg"))
+    out = None
+    for pat in _TRGM_PATTERNS:
+        n = len(pat)
+        q_trgms = sorted({pat[i : i + 3] for i in range(n - 2)})
+        cand = (
+            posting.filter(F.col("tg").isin(q_trgms))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("tg").alias("k"))
+            .filter(F.col("k") == len(q_trgms))
+            .select("doc_id")
+        )
+        hits = (
+            d.join(cand, "doc_id")
+            .filter(F.col("text").contains(pat))
+            .select(
+                F.lit(pat).alias("pattern"),
+                "doc_id",
+                F.instr("text", pat).cast("bigint").alias("first_pos"),
+                F.expr(
+                    f"CAST((length(text) - length(replace(text, '{pat}', ''))) "
+                    f"DIV {n} AS BIGINT)"
+                ).alias("n_occurrences"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -112,3 +112,51 @@ def test_entity_groups_transitive_merge(spark, tmp_path):
     }
     assert ent == {10: 10, 20: 10, 30: 10}
     assert 40 not in ent
+
+
+@skip
+def test_capped_equals_uncapped_when_cap_does_not_bind(spark):
+    """At every gate SF the largest block is far under _BLOCK_CAP, so
+    the capped query must return EXACTLY er_match_score's rows; on an
+    oversized-block corpus it must return the subset that excludes the
+    hot block entirely."""
+    from sec_edgar_spark.queries.entity import (
+        er_match_score,
+        er_match_score_capped,
+    )
+
+    plain = {
+        tuple(r) for r in er_match_score(spark, SF_DIR).collect()
+    }
+    capped = {
+        tuple(r) for r in er_match_score_capped(spark, SF_DIR).collect()
+    }
+    assert plain == capped and plain
+
+
+def test_capped_drops_only_hot_blocks(spark, tmp_path):
+    """A 70-row single-name hot block is excluded wholesale; a 2-row
+    healthy block in the same corpus still matches."""
+    rows = [
+        (i, "red widget", "ECONOMY", 7, 900.00 + i * 0.01) for i in range(70)
+    ] + [
+        (100, "blue bolt", "SMALL", 3, 910.00),
+        (101, "blue bolt", "SMALL", 3, 912.00),
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_type string, "
+        "p_size int, p_retailprice double"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    from sec_edgar_spark.queries.entity import (
+        er_match_score,
+        er_match_score_capped,
+    )
+
+    capped = er_match_score_capped(spark, str(tmp_path)).collect()
+    assert {(r.partkey_a, r.partkey_b) for r in capped} == {(100, 101)}
+    # ...while the uncapped twin pays the full hot-block join
+    plain = er_match_score(spark, str(tmp_path)).collect()
+    assert len(plain) > 1000  # 70-row block -> C(70,2) accepted pairs
+    # capped output is a subset of the uncapped output
+    assert {tuple(r) for r in capped} <= {tuple(r) for r in plain}

@@ -1,6 +1,14 @@
 """Streaming CUSUM: day-ordered waves of the real events parquet
 produce bit-identical detector output to the batch query; the buffer
 bound mirrors the batch cap."""
+# Feed discipline: every wave is written as ONE file (coalesce(1)) so
+# the file stream delivers it as one in-order micro-batch — a
+# multi-file wave can split across batches under load, arrive in file
+# order, and the streams' replay tolerance (day <= last folded day is
+# dropped) would then silently lose the out-of-order days.  The
+# modules' input contract ("per-day counts arrive complete and in day
+# order per key") is exactly this.
+
 
 import datetime
 import os
@@ -30,7 +38,7 @@ def test_stream_matches_batch_detector(spark, tmp_path):
     lo = daily.agg(F.min("day_epoch")).collect()[0][0]
     hi = daily.agg(F.max("day_epoch")).collect()[0][0]
     mid = (lo + hi) // 2
-    daily.filter(F.col("day_epoch") <= mid).write.parquet(str(feed / "w1"))
+    daily.filter(F.col("day_epoch") <= mid).coalesce(1).write.parquet(str(feed / "w1"))
 
     stream = (
         spark.readStream.schema("user_id long, day_epoch long, cnt long")
@@ -56,7 +64,7 @@ def test_stream_matches_batch_detector(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        daily.filter(F.col("day_epoch") > mid).write.parquet(str(feed / "w2"))
+        daily.filter(F.col("day_epoch") > mid).coalesce(1).write.parquet(str(feed / "w2"))
         q.processAllAvailable()
         assert q.exception() is None
     finally:
@@ -122,7 +130,7 @@ def test_parity_past_the_cap(spark, tmp_path):
     spark.createDataFrame(
         [(1, d, c) for d, c in zip(days[:70], cnts[:70])],
         "user_id long, day_epoch long, cnt long",
-    ).write.parquet(str(feed / "w1"))
+    ).coalesce(1).write.parquet(str(feed / "w1"))
     stream = (
         spark.readStream.schema("user_id long, day_epoch long, cnt long")
         .option("maxFilesPerTrigger", "1000")
@@ -151,7 +159,7 @@ def test_parity_past_the_cap(spark, tmp_path):
         spark.createDataFrame(
             [(1, d, c) for d, c in zip(days[70:], cnts[70:])],
             "user_id long, day_epoch long, cnt long",
-        ).write.parquet(str(feed / "w2"))
+        ).coalesce(1).write.parquet(str(feed / "w2"))
         q.processAllAvailable()
         assert q.exception() is None
     finally:

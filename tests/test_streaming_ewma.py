@@ -1,6 +1,14 @@
 """Streaming EWMA: day-ordered waves of the real events parquet
 produce bit-identical values to the batch sorted fold; replayed days
 are ignored."""
+# Feed discipline: every wave is written as ONE file (coalesce(1)) so
+# the file stream delivers it as one in-order micro-batch — a
+# multi-file wave can split across batches under load, arrive in file
+# order, and the streams' replay tolerance (day <= last folded day is
+# dropped) would then silently lose the out-of-order days.  The
+# modules' input contract ("per-day counts arrive complete and in day
+# order per key") is exactly this.
+
 
 import os
 
@@ -35,7 +43,7 @@ def test_stream_matches_batch_fold(spark, tmp_path):
         for r in daily.agg(F.min("day_epoch")).collect()
     ], [r[0] for r in daily.agg(F.max("day_epoch")).collect()]
     mid = (lo[0] + hi[0]) // 2
-    daily.filter(F.col("day_epoch") <= mid).write.parquet(str(feed / "w1"))
+    daily.filter(F.col("day_epoch") <= mid).coalesce(1).write.parquet(str(feed / "w1"))
 
     stream = (
         spark.readStream.schema("user_id long, day_epoch long, cnt long")
@@ -59,7 +67,7 @@ def test_stream_matches_batch_fold(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        daily.filter(F.col("day_epoch") > mid).write.parquet(str(feed / "w2"))
+        daily.filter(F.col("day_epoch") > mid).coalesce(1).write.parquet(str(feed / "w2"))
         q.processAllAvailable()
         assert q.exception() is None
     finally:
@@ -98,7 +106,7 @@ def test_parity_past_the_cap(spark, tmp_path):
     spark.createDataFrame(
         [(1, d, c) for d, c in zip(days[:70], cnts[:70])],
         "user_id long, day_epoch long, cnt long",
-    ).write.parquet(str(feed / "w1"))
+    ).coalesce(1).write.parquet(str(feed / "w1"))
     stream = (
         spark.readStream.schema("user_id long, day_epoch long, cnt long")
         .option("maxFilesPerTrigger", "1000")
@@ -123,7 +131,7 @@ def test_parity_past_the_cap(spark, tmp_path):
         spark.createDataFrame(
             [(1, d, c) for d, c in zip(days[70:], cnts[70:])],
             "user_id long, day_epoch long, cnt long",
-        ).write.parquet(str(feed / "w2"))
+        ).coalesce(1).write.parquet(str(feed / "w2"))
         q.processAllAvailable()
         assert q.exception() is None
     finally:
@@ -142,7 +150,7 @@ def test_replayed_days_ignored(spark, tmp_path):
     b = spark.createDataFrame(
         [(1, 10, 4), (1, 11, 8)], "user_id long, day_epoch long, cnt long"
     )
-    b.write.parquet(str(feed / "w1"))
+    b.coalesce(1).write.parquet(str(feed / "w1"))
     stream = (
         spark.readStream.schema("user_id long, day_epoch long, cnt long")
         .option("maxFilesPerTrigger", "1000")
@@ -168,7 +176,7 @@ def test_replayed_days_ignored(spark, tmp_path):
         spark.createDataFrame(
             [(1, 11, 999), (1, 12, 4)],
             "user_id long, day_epoch long, cnt long",
-        ).write.parquet(str(feed / "w2"))
+        ).coalesce(1).write.parquet(str(feed / "w2"))
         q.processAllAvailable()
         assert q.exception() is None
     finally:
