@@ -120,6 +120,8 @@ HEADLINE = [
     "er_entity_groups",
     "er_match_score_capped",
     "text_trigram_search",
+    "events_acf_lags",
+    "audit_k_anonymity",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

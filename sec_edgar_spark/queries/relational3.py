@@ -880,3 +880,72 @@ def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return s.select(F.explode(checks).alias("r")).select("r.*")
+
+
+# k-anonymity threshold: equivalence classes smaller than this leak.
+_KANON_K = 12
+
+
+@query(
+    "audit_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS class_size,
+           CAST(0 AS BIGINT) AS gen_level, FALSE AS suppressed
+    FROM cls WHERE n >= {_KANON_K}
+    UNION ALL
+    SELECT c_nationkey, '*' AS c_mktsegment, CAST(SUM(n) AS BIGINT),
+           CAST(1 AS BIGINT), SUM(n) < {_KANON_K}
+    FROM cls WHERE n < {_KANON_K} GROUP BY 1
+    """,
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit with one generalization step (local recoding)
+    — the privacy gate a dataset passes before quasi-identifiers ship:
+    every (nation, market-segment) equivalence class must hold at
+    least k={_K} records; classes below k generalize the segment away
+    ('*') and re-test at the coarser (nation, *) level, and classes
+    that STILL leak are marked suppressed — the standard
+    generalize-then-suppress ladder (Sweeney's k-anonymity, computed
+    bottom-up from exact class counts).
+
+    Scale shape: one QI-keyed aggregate over the scan (output is
+    vocabulary-shaped: |nations|x|segments| classes), pinned so the
+    pass/violate split doesn't re-scan the fact table; the rollup
+    re-aggregates only the violating classes.  At any corpus size the
+    post-scan frames are class-count-shaped.
+    """
+    c = table(spark, sf_dir, "customer")
+    cls = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .cache()
+    )
+    ok = cls.filter(F.col("n") >= _KANON_K).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").alias("class_size"),
+        F.lit(0).cast("bigint").alias("gen_level"),
+        F.lit(False).alias("suppressed"),
+    )
+    rolled = (
+        cls.filter(F.col("n") < _KANON_K)
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").alias("class_size"))
+        .select(
+            "c_nationkey",
+            F.lit("*").alias("c_mktsegment"),
+            F.col("class_size").cast("bigint"),
+            F.lit(1).cast("bigint").alias("gen_level"),
+            (F.col("class_size") < _KANON_K).alias("suppressed"),
+        )
+    )
+    return ok.unionByName(rolled)
+
+
+audit_k_anonymity.__doc__ = audit_k_anonymity.__doc__.replace(
+    "{_K}", str(_KANON_K)
+)

@@ -2012,3 +2012,126 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.mx").alias("max_cusum"),
         F.date_add(epoch, F.col("st.fd").cast("int")).alias("first_cp_day"),
     )
+
+
+# ACF lag horizon: correlations are reported for lags 1.._ACF_MAX_LAG.
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "events_acf_lags",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT datediff('day', DATE '1970-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily0
+    ), days AS (
+      SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    ), daily AS (
+      SELECT d.day, COALESCE(c.cnt, 0) AS c
+      FROM days d LEFT JOIN daily0 c ON d.day = c.day
+    ), lags AS (
+      SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag
+    ), pairs AS (
+      SELECT l.lag, x.c AS cx, y.c AS cy
+      FROM lags l, daily x, daily y WHERE y.day = x.day + l.lag
+    ), s AS (
+      SELECT lag, COUNT(*) AS m,
+        SUM(CAST(cx AS HUGEINT)) AS sx, SUM(CAST(cy AS HUGEINT)) AS sy,
+        SUM(CAST(cx AS HUGEINT) * cy) AS sxy,
+        SUM(CAST(cx AS HUGEINT) * cx) AS sxx,
+        SUM(CAST(cy AS HUGEINT) * cy) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+      CAST(m * sxy - sx * sy AS DOUBLE) AS cov_num,
+      CASE WHEN (m * sxx - sx * sx) = 0 OR (m * syy - sy * sy) = 0
+           THEN NULL
+           ELSE ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                             * CAST(m * syy - sy * sy AS DOUBLE)), 9)
+      END AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the gap-filled daily event-count series at
+    lags 1..7 — the seasonality/trend diagnostic a pipeline runs
+    before picking rollup windows or alerting baselines (a weekly
+    cycle shows as an acf peak at lag 7).
+
+    Engine-exactness: every moment (Σx, Σxy, Σx², pair count) is an
+    exact integer — DECIMAL(38,0) here, HUGEINT in the oracle — and
+    each lag's Pearson correlation over the aligned overlap is formed
+    from those integers with DOUBLE used only for the final
+    sqrt/divide on already-exact operands (correctly-rounded IEEE ops
+    on identical inputs), then rounded to 9 places like the other
+    float-emitting gates.  Exact while Σc²·T < 10^38 — at 10^9
+    events/day for a century the products sit near 10^27, thirty
+    orders under the bound.
+
+    Scale shape: the raw scan collapses to ONE day-grained partial
+    aggregate (series-shaped, T rows); the day spine is a single-row
+    sequence() explode; the lag fan-out is a 7-row broadcast; the
+    self-alignment is an equi-join on day+lag between two T-row
+    frames; the final agg is 7 groups.  Nothing downstream of the
+    first aggregate is corpus-shaped, so the plan's cost is the scan.
+    """
+    e = table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    # The day-grained aggregate is referenced three times (bounds,
+    # x side, y side); without a pin each reference re-executes the
+    # parquet scan — 4 fact scans where one suffices.  The frame is
+    # series-shaped (T rows), so pinning it is free at any corpus
+    # size; same device as the dedup posting caches.
+    daily0 = (
+        e.groupBy(
+            F.datediff(F.date_trunc("day", "ts").cast("date"), epoch)
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    bounds = daily0.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = days.join(daily0, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).alias("c")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    x = daily.crossJoin(broadcast(lags)).select(
+        "lag", (F.col("day") + F.col("lag")).alias("ydy"), F.col("c").alias("cx")
+    )
+    y = daily.select(F.col("day").alias("ydy"), F.col("c").alias("cy"))
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    s = (
+        x.join(y, "ydy")
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(d18("cx")).alias("sx"),
+            F.sum(d18("cy")).alias("sy"),
+            F.sum(d18("cx") * d18("cy")).alias("sxy"),
+            F.sum(d18("cx") * d18("cx")).alias("sxx"),
+            F.sum(d18("cy") * d18("cy")).alias("syy"),
+        )
+    )
+    md = F.col("m").cast("decimal(18,0)")
+    num = md * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = md * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = md * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "lag",
+        F.col("m").alias("n_pairs"),
+        num.cast("double").alias("cov_num"),
+        F.when((den1 == 0) | (den2 == 0), F.lit(None)).otherwise(
+            F.round(
+                num.cast("double")
+                / F.sqrt(den1.cast("double") * den2.cast("double")),
+                9,
+            )
+        ).alias("acf"),
+    ).orderBy("lag")

@@ -499,6 +499,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "er_entity_groups": 2,
         "er_match_score_capped": 3,
         "text_trigram_search": 4,
+        "events_acf_lags": 3,
+        "audit_k_anonymity": 2,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
