@@ -122,6 +122,11 @@ HEADLINE = [
     "text_trigram_search",
     "events_acf_lags",
     "audit_k_anonymity",
+    "agg_weighted_percentiles",
+    "curation_curriculum_order",
+    "text_type_token_ratio",
+    "curation_length_histogram",
+    "events_trend_mannkendall",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -222,3 +222,57 @@ def parallel_ntile(df: DataFrame, order_by: list[str], k: int) -> DataFrame:
         .withColumn("bucket", bucket.cast("int"))
         .drop("_total")
     )
+
+
+def grouped_weighted_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cw",
+) -> DataFrame:
+    """Running weighted total within each group over a UNIQUE total
+    order, computed in parallel — the scale-safe replacement for
+    ``sum(w).over(Window.partitionBy(G).orderBy(K))`` when the group
+    cardinality is SMALL (a 3-value flag column caps that window at
+    3 tasks regardless of cluster size; the weighted-percentile probe
+    measured it 3.8x at 10x for exactly this reason).
+
+    Same two-phase device as :func:`global_rank`, generalized to
+    grouped weighted sums:
+    1. range-repartition on (group, order) + pin ONE materialization
+       (the offsets subtree and the final pass must see the same
+       partition boundaries);
+    2. per-(partition, group) weight totals — a P×|G| frame — cumsum
+       per group across partitions into start offsets, broadcast
+       back, added to the partition-local running sum.
+
+    (group_cols + order_cols) must be a unique key (callers append
+    tiebreaks); uniqueness makes the running total independent of
+    where the range partitioner cuts.  Adds ``out_col``.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = (
+        df.repartitionByRange(parts, *group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    psums = sorted_df.groupBy("_pid", *group_cols).agg(
+        F.sum(weight_col).alias("_pw")
+    )
+    woff = Window.partitionBy(*group_cols).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = psums.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_pw").over(woff), F.lit(0)).alias("_off"),
+    )
+    wloc = Window.partitionBy("_pid", *group_cols).orderBy(
+        *order_cols
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        sorted_df.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, F.sum(weight_col).over(wloc) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

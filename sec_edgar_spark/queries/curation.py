@@ -1272,3 +1272,55 @@ def curation_cluster_balanced_sample(
         F.lit(30).cast("bigint").alias("quota"),
         F.sum("keep").cast("bigint").alias("n_kept"),
     )
+
+
+# Curriculum difficulty-bucket width (tokens per bucket step).
+_CURR_BUCKET_TOKENS = 16
+
+
+@query(
+    "curation_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+          // {_CURR_BUCKET_TOKENS} AS bucket,
+        md5(CAST(doc_id AS VARCHAR)) AS shuf
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+      CAST(row_number() OVER (ORDER BY bucket, shuf, doc_id) AS BIGINT)
+        AS ord
+    FROM scored
+    """,
+)
+def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: a single global training ordinal that
+    presents short (easy) documents before long (hard) ones, with a
+    deterministic md5 shuffle INSIDE each difficulty bucket so no
+    secondary signal (ingest order, doc_id locality) leaks into the
+    schedule — the curriculum-learning export order.
+
+    The interesting part at 100 TB is the global ordinal itself:
+    ``row_number() OVER (ORDER BY ...)`` funnels the corpus through
+    one task, so this query composes the two-phase global ranker
+    (operators/relational.py global_rank: range-repartition + P-row
+    offset broadcast) — every partition ranks in parallel and the
+    per-partition offsets come from a P-row frame.  The order key
+    (bucket, md5, doc_id) is unique, which is the ranker's
+    determinism precondition.
+    """
+    from ..operators.relational import global_rank
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        (T.token_count("text").cast("bigint") / _CURR_BUCKET_TOKENS)
+        .cast("bigint")
+        .alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuf"),
+    )
+    return (
+        global_rank(scored, ["bucket", "shuf", "doc_id"])
+        .select("doc_id", "bucket", F.col("rn").cast("bigint").alias("ord"))
+    )

@@ -2017,11 +2017,10 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ACF lag horizon: correlations are reported for lags 1.._ACF_MAX_LAG.
 _ACF_MAX_LAG = 7
 
-
-@query(
-    "events_acf_lags",
-    oracle=f"""
-    WITH daily0 AS (
+# Shared oracle CTE: the gap-filled daily event-count series
+# (day = days since epoch, c = count, missing days = 0).
+_DAILY_SERIES_SQL = """
+    daily0 AS (
       SELECT datediff('day', DATE '1970-01-01',
                       CAST(date_trunc('day', ts) AS DATE)) AS day,
              COUNT(*) AS cnt
@@ -2033,7 +2032,37 @@ _ACF_MAX_LAG = 7
     ), daily AS (
       SELECT d.day, COALESCE(c.cnt, 0) AS c
       FROM days d LEFT JOIN daily0 c ON d.day = c.day
-    ), lags AS (
+    )"""
+
+
+def _gapfilled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, c): the gap-filled daily event-count series.  The
+    day-grained aggregate is cached — it is referenced multiple times
+    by every series consumer (bounds + alignment sides) and without
+    the pin each reference re-executes the fact scan.  Series-shaped
+    (T rows), so pinning is free at any corpus size."""
+    e = table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily0 = (
+        e.groupBy(
+            F.datediff(F.date_trunc("day", "ts").cast("date"), epoch)
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    bounds = daily0.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return days.join(daily0, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).alias("c")
+    )
+
+
+@query(
+    "events_acf_lags",
+    oracle=f"""
+    WITH {_DAILY_SERIES_SQL}, lags AS (
       SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag
     ), pairs AS (
       SELECT l.lag, x.c AS cx, y.c AS cy
@@ -2080,27 +2109,7 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames; the final agg is 7 groups.  Nothing downstream of the
     first aggregate is corpus-shaped, so the plan's cost is the scan.
     """
-    e = table(spark, sf_dir, "events")
-    epoch = F.lit("1970-01-01").cast("date")
-    # The day-grained aggregate is referenced three times (bounds,
-    # x side, y side); without a pin each reference re-executes the
-    # parquet scan — 4 fact scans where one suffices.  The frame is
-    # series-shaped (T rows), so pinning it is free at any corpus
-    # size; same device as the dedup posting caches.
-    daily0 = (
-        e.groupBy(
-            F.datediff(F.date_trunc("day", "ts").cast("date"), epoch)
-            .cast("bigint")
-            .alias("day")
-        )
-        .agg(F.count("*").alias("cnt"))
-        .cache()
-    )
-    bounds = daily0.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    daily = days.join(daily0, "day", "left").select(
-        "day", F.coalesce("cnt", F.lit(0)).alias("c")
-    )
+    daily = _gapfilled_daily(spark, sf_dir)
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     x = daily.crossJoin(broadcast(lags)).select(
         "lag", (F.col("day") + F.col("lag")).alias("ydy"), F.col("c").alias("cx")
@@ -2135,3 +2144,104 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("acf"),
     ).orderBy("lag")
+
+
+@query(
+    "events_trend_mannkendall",
+    oracle=f"""
+    WITH {_DAILY_SERIES_SQL}, pairs AS (
+      SELECT CASE WHEN y.c > x.c THEN 1 WHEN y.c < x.c THEN -1 ELSE 0 END
+        AS sgn
+      FROM daily x, daily y WHERE x.day < y.day
+    ), s AS (
+      SELECT SUM(CAST(sgn AS BIGINT)) AS s_stat FROM pairs
+    ), nrow AS (
+      SELECT COUNT(*) AS n FROM daily
+    ), ties AS (
+      SELECT COALESCE(SUM(CAST(t * (t - 1) * (2 * t + 5) AS BIGINT)), 0)
+        AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY c) g WHERE t > 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(s_stat AS BIGINT) AS s_stat,
+      CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+      CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term = 0 THEN NULL
+        WHEN s_stat > 0 THEN ROUND((CAST(s_stat AS DOUBLE) - 1)
+          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                 / 18.0), 9)
+        WHEN s_stat < 0 THEN ROUND((CAST(s_stat AS DOUBLE) + 1)
+          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                 / 18.0), 9)
+        ELSE 0.0 END AS z
+    FROM s, nrow, ties
+    """,
+)
+def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the gap-filled daily event-count
+    series — the standard NONPARAMETRIC monotone-trend detector (is
+    traffic drifting up or down, without assuming a distribution).
+    It is exactly the engine-replayable member of the trend-test
+    family: the statistic S = Σ_{{i<j}} sign(c_j − c_i) is a pure
+    integer, and the tie-corrected variance is the exact integer
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over 18 — DOUBLE enters only at
+    the final z (continuity-corrected, rounded to 9 like every other
+    float-emitting gate).
+
+    Scale shape: the pair frame is T² of the SERIES length (T days —
+    independent of corpus size; the corpus only feeds the one
+    day-grained aggregate, pinned once by the shared series head), so
+    the quadratic pairing is bounded by the calendar, not the data:
+    a decade is ~6.7M sign comparisons.  Tie groups are a c-keyed agg
+    on the T-row frame.
+    """
+    daily = _gapfilled_daily(spark, sf_dir)
+    x = daily.select(F.col("day").alias("dx"), F.col("c").alias("cx"))
+    y = daily.select(F.col("day").alias("dy"), F.col("c").alias("cy"))
+    sgn = (
+        F.when(F.col("cy") > F.col("cx"), 1)
+        .when(F.col("cy") < F.col("cx"), -1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    s = (
+        x.join(broadcast(y), F.col("dx") < F.col("dy"))
+        .agg(F.sum(sgn).alias("s_stat"))
+    )
+    nrow = daily.agg(F.count("*").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count("*").alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum((t * (t - 1) * (2 * t + 5)).cast("bigint")), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("bigint")
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    z = (
+        F.when(var18 == 0, F.lit(None).cast("double"))
+        .when(
+            F.col("s_stat") > 0,
+            F.round((F.col("s_stat").cast("double") - 1) / sd, 9),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            F.round((F.col("s_stat").cast("double") + 1) / sd, 9),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(broadcast(nrow))
+        .crossJoin(broadcast(ties))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            var18.alias("var18"),
+            z.alias("z"),
+        )
+    )

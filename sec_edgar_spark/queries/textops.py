@@ -2044,3 +2044,111 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+@query(
+    "text_type_token_ratio",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS}) AS tok FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+      CAST(COUNT(DISTINCT tok) * 1000000 // COUNT(*) AS BIGINT) AS ttr_ppm
+    FROM tok GROUP BY source
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity) per source — the
+    vocabulary-richness quality signal: template/boilerplate-heavy
+    sources score low (few types, many tokens), diverse prose scores
+    high.  Integer ppm so the ratio is engine-exact.
+
+    Scale shape: one explode + a distinct-agg on (source, tok) — the
+    distinct count partial-aggregates map-side (Expand + two-level
+    HashAggregate), never collecting a vocabulary anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens("text")).alias("tok"))
+    return tok.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_types"),
+        F.expr(
+            "CAST(COUNT(DISTINCT tok) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
+
+
+@query(
+    "curation_length_histogram",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT n_tok,
+        CASE WHEN n_tok = 0 THEN 0
+             ELSE length(bin(CAST(n_tok AS BIGINT)))
+        END AS bucket
+      FROM lens
+    ), hist AS (
+      SELECT bucket, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS token_mass
+      FROM b GROUP BY bucket
+    ), tot AS (SELECT SUM(token_mass) AS t FROM hist)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      CAST(CASE WHEN bucket = 0 THEN 0 ELSE 2**(bucket-1) END AS BIGINT)
+        AS bucket_lo,
+      CAST(n_docs AS BIGINT) AS n_docs, token_mass,
+      CAST(token_mass * 1000000 // t AS BIGINT) AS mass_share_ppm
+    FROM hist CROSS JOIN tot
+    """,
+)
+def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram with token-mass shares —
+    the planning signal behind sequence-packing efficiency (how much
+    of the corpus's token mass sits in docs shorter than the context
+    window decides the packing strategy and the truncation loss).
+
+    The bucket is the INTEGER bit-length of the token count (the
+    adaptive-SimHash device: ``length(bin(n))`` on both engines), so
+    bucket b spans [2^(b-1), 2^b) exactly with no float log anywhere;
+    mass shares are integer ppm.
+
+    Scale shape: per-doc token count is a map-side expression, the
+    histogram is a bit-length-keyed aggregate (≤ 64 groups at any
+    corpus size), the total is a 1-row broadcast.
+    """
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        T.token_count("text").cast("bigint").alias("n_tok")
+    ).select(
+        "n_tok",
+        F.when(F.col("n_tok") == 0, 0)
+        .otherwise(F.length(F.bin("n_tok")))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    # hist is referenced twice (total + shares); pinned so the
+    # tokenizing corpus scan runs once (≤64 rows, free to cache).
+    hist = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("token_mass"),
+    ).cache()
+    tot = hist.agg(F.sum("token_mass").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.when(F.col("bucket") == 0, F.lit(0))
+        .otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))")
+        )
+        .cast("bigint")
+        .alias("bucket_lo"),
+        "n_docs",
+        "token_mass",
+        F.expr("CAST(token_mass * 1000000 DIV t AS BIGINT)").alias(
+            "mass_share_ppm"
+        ),
+    )

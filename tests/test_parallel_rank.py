@@ -56,3 +56,29 @@ def test_global_rank_no_single_partition_window(spark):
     )
     # the data-sized window is partitioned by _pid
     assert "partitionspec=[_pid" in plan.replace(" ", "").lower() or "_pid" in plan
+
+
+def test_grouped_weighted_cumsum_matches_naive_window(spark):
+    """The two-phase grouped running sum equals the naive
+    single-window-per-group form on a unique total order, across
+    groups with very different sizes."""
+    from sec_edgar_spark.operators.relational import grouped_weighted_cumsum
+
+    rows = [
+        ("a", i, (i * 7) % 5 + 1) for i in range(200)
+    ] + [("b", i, (i * 3) % 4 + 1) for i in range(17)] + [("c", 0, 9)]
+    df = spark.createDataFrame(rows, "g string, k long, w long")
+    got = {
+        (r.g, r.k): r.cw
+        for r in grouped_weighted_cumsum(df, ["g"], ["k"], "w").collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.k): r.cw
+        for r in df.withColumn("cw", F.sum("w").over(w)).collect()
+    }
+    assert got == want and len(got) == 218

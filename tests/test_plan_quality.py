@@ -501,6 +501,11 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "text_trigram_search": 4,
         "events_acf_lags": 3,
         "audit_k_anonymity": 2,
+        "agg_weighted_percentiles": 3,
+        "curation_curriculum_order": 3,
+        "text_type_token_ratio": 2,
+        "curation_length_histogram": 2,
+        "events_trend_mannkendall": 5,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
