@@ -127,6 +127,7 @@ HEADLINE = [
     "text_type_token_ratio",
     "curation_length_histogram",
     "events_trend_mannkendall",
+    "agg_selfjoin_size_estimate",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

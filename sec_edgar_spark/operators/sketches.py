@@ -134,3 +134,20 @@ def hll_estimate(weights: DataFrame, group_cols: list[str]) -> DataFrame:
     return regs.groupBy(*group_cols).agg(
         (F.lit(HLL_NUMERATOR) / F.sum("w")).alias("hll_estimate")
     )
+
+
+def countmin_self_join_size(sketch: DataFrame) -> DataFrame:
+    """Self-join size estimate from a count-min sketch: per hash row
+    the sum of squared bucket counts over-estimates F₂ = Σ_v f(v)²
+    (the exact self-join cardinality) by the collision cross-terms;
+    the min over the D rows is the classic CM/AMS second-moment
+    estimate — the quantity a planner uses to size a self-join or
+    detect key skew WITHOUT an exact frequency table.
+
+    One row out: ``cms_estimate``.  Sums run in DECIMAL(38,0): bucket
+    counts near 10^9 square to 10^18 per cell, so int64 would overflow
+    at warehouse scale while 38 digits holds to ~10^19 rows per cell.
+    """
+    sq = F.col("cnt").cast("decimal(38,0)")
+    per_row = sketch.groupBy("row").agg(F.sum(sq * sq).alias("s"))
+    return per_row.agg(F.min("s").alias("cms_estimate"))

@@ -1038,3 +1038,67 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.lit(2), F.lit(1)).alias("p50_cents"),
         pick(F.lit(4), F.lit(3)).alias("p75_cents"),
     )
+
+
+def _selfjoin_oracle(depth: int = 4, width: int = 256) -> str:
+    h = "CAST('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 15) AS BIGINT)"
+    return f"""
+    WITH keys AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+    ), probes AS (
+      SELECT j, {h} % {width} AS bucket
+      FROM keys CROSS JOIN (SELECT unnest(range({depth})) AS j)
+    ), sketch AS (
+      SELECT j, bucket, COUNT(*) AS cnt FROM probes GROUP BY 1, 2
+    ), est AS (
+      SELECT MIN(s) AS cms_estimate FROM (
+        SELECT j, SUM(CAST(cnt AS HUGEINT) * cnt) AS s
+        FROM sketch GROUP BY j)
+    ), ex AS (
+      SELECT SUM(CAST(c AS HUGEINT) * c) AS exact_size FROM (
+        SELECT COUNT(*) AS c FROM keys GROUP BY k)
+    )
+    SELECT CAST(exact_size AS BIGINT) AS exact_size,
+      CAST(cms_estimate AS BIGINT) AS cms_estimate,
+      CAST(cms_estimate * 1000000 // exact_size AS BIGINT) AS over_ppm
+    FROM ex, est
+    """
+
+
+@query("agg_selfjoin_size_estimate", oracle=_selfjoin_oracle())
+def agg_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality estimation from a count-min sketch — the
+    classic AMS/CM second-moment application: F₂ = Σ_v f(v)² is what a
+    planner needs to size ``lineitem ⋈ lineitem ON l_partkey`` (or to
+    detect key skew before choosing a join strategy), and the sketch
+    answers it from D×W bounded cells instead of an exact per-key
+    frequency table.  Row-wise Σ cnt² over-estimates F₂ by collision
+    cross-terms; min over the D rows is the estimate.  Alongside the
+    exact answer the query emits the over-estimate ratio in ppm — on
+    the fixed md5 hash family the whole structure is deterministic, so
+    the oracle replays the sketch (and its collisions) bit-for-bit.
+
+    Scale shape: sketch build = one map-side-combined groupBy into
+    ≤ D×W cells; exact F₂ (emitted for the gate's comparison) is one
+    key-grained aggregate; nothing corpus-shaped survives either.
+    """
+    from ..operators.sketches import countmin_build, countmin_self_join_size
+
+    li = table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").cast("string").alias("k"))
+    sketch = countmin_build(keys, "k", depth=4, width=256)
+    est = countmin_self_join_size(sketch)
+    c = F.col("c").cast("decimal(38,0)")
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(c * c).alias("exact_size"))
+    )
+    return exact.crossJoin(broadcast(est)).select(
+        F.col("exact_size").cast("bigint").alias("exact_size"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        F.expr(
+            "CAST(CAST(cms_estimate AS DECIMAL(38,0)) * 1000000"
+            " DIV exact_size AS BIGINT)"
+        ).alias("over_ppm"),
+    )
