@@ -128,6 +128,7 @@ HEADLINE = [
     "curation_length_histogram",
     "events_trend_mannkendall",
     "agg_selfjoin_size_estimate",
+    "ann_lsh_multiprobe_topk",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

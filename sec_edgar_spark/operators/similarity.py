@@ -416,3 +416,56 @@ def group_cosine_pairs(
         )
 
     return base.groupBy("g").applyInPandas(score, out_schema)
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Multi-probe sign-bit LSH (Lv et al., VLDB'07): each query
+    probes its own bucket PLUS every Hamming-1 perturbation of it —
+    the buckets a near-neighbor most likely fell into when one
+    hyperplane's sign disagreed.  Recall approaches multi-table LSH
+    with ONE stored table: the corpus is hashed and bucketed once,
+    only the (tiny) query side fans out |planes|+1 probes.
+
+    Candidate uniqueness is structural: a corpus vector lives in
+    exactly one bucket and the probe set is distinct buckets, so no
+    (query, neighbor) pair is scored twice — no dedup stage needed.
+    """
+    keyed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        V.norm(vec_col).alias("c_nrm"),
+        V.random_projection_sign_bits(vec_col, planes).alias("bucket"),
+    )
+    qb = F.col("q_bucket")
+    probe_set = F.array(
+        qb, *[qb.bitwiseXOR(F.lit(2 ** b)) for b in range(len(planes))]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        V.norm(vec_col).alias("q_nrm"),
+        V.random_projection_sign_bits(vec_col, planes).alias("q_bucket"),
+    ).select(
+        "query_id", "q_emb", "q_nrm", F.explode(probe_set).alias("bucket")
+    )
+    scored = keyed.join(
+        broadcast(q), "bucket"
+    ).filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1473,3 +1473,53 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding,
+        sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+        {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+        xor(q.bucket, flip) AS bucket
+      FROM keyed q CROSS JOIN (
+        SELECT unnest([CAST(0 AS BIGINT){"".join(f", CAST({2**b} AS BIGINT)" for b in range(len(LSH_PLANES)))}]) AS flip
+      )
+      WHERE q.vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+        {_dot_sql('p.q_emb', 'c.embedding')} / (p.q_nrm * c.nrm) AS cosine
+      FROM probes p JOIN keyed c
+        ON p.bucket = c.bucket AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): the query probes
+    its sign-bit bucket plus all 8 Hamming-1 perturbations, recovering
+    most of the recall that single-bucket LSH loses to one flipped
+    hyperplane — WITHOUT a second stored table (the corpus hashes and
+    buckets once; only the broadcast-sized query side fans out ×9).
+    Candidates stay an equi-join on the bucket key and are unique by
+    construction (a corpus vector lives in exactly one bucket).
+
+    Recall ⊇ ann_lsh_topk's on the same planes (probe set is a strict
+    superset — asserted in tests/test_similarity_invariants.py); plane
+    constants are inlined into the oracle so the approximate path is
+    value-checked, collisions and all.
+    """
+    from ..operators.similarity import lsh_multiprobe_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), LSH_PLANES, k=TOP_K
+    ).select("query_id", "neighbor_id", "cosine", "rk")
