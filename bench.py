@@ -129,6 +129,8 @@ HEADLINE = [
     "events_trend_mannkendall",
     "agg_selfjoin_size_estimate",
     "ann_lsh_multiprobe_topk",
+    "events_trend_theilsen",
+    "agg_trimmed_mean",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -1102,3 +1102,93 @@ def agg_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV exact_size AS BIGINT)"
         ).alias("over_ppm"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem
+    ), hist AS (
+      SELECT flag, price_cents, COUNT(*) AS h
+      FROM base GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, price_cents, h,
+        SUM(h) OVER (PARTITION BY flag ORDER BY price_cents
+                     ROWS UNBOUNDED PRECEDING) AS cw,
+        SUM(h) OVER (PARTITION BY flag) AS n
+      FROM hist
+    ), kept AS (
+      SELECT flag, price_cents, n,
+        GREATEST(LEAST(cw, n - n // 10) - GREATEST(cw - h, n // 10),
+                 0) AS keep
+      FROM cum
+    )
+    SELECT flag, CAST(MAX(n) AS BIGINT) AS n_rows,
+      CAST(SUM(keep) AS BIGINT) AS n_kept,
+      CAST(SUM(CAST(price_cents AS HUGEINT) * keep) AS DOUBLE)
+        / CAST(SUM(keep) AS DOUBLE) AS trimmed_mean_cents
+    FROM kept GROUP BY flag
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean per group (drop the lowest and highest
+    decile of ROWS, average the middle 80%) — the robust location
+    estimate a metrics pipeline uses where a plain mean is
+    outlier-hostage and a median wastes data.
+
+    Same scalable shape as agg_weighted_percentiles: collapse to a
+    value histogram (map-side-combined hash agg), run the cumulative
+    window over the price DOMAIN, then compute each value's surviving
+    multiplicity as the overlap of its rank interval (cw−h, cw] with
+    the kept band (n/10, n−n/10] — pure integer clamps, so the trim
+    is exact at any tie structure.  The mean divides two exact
+    integers in DOUBLE at the very end.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    hist = base.groupBy("flag", "price_cents").agg(
+        F.count("*").alias("h")
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "price_cents",
+        "h",
+        F.sum("h").over(wcum).alias("cw"),
+        F.sum("h").over(wtot).alias("n"),
+    )
+    lo = F.expr("n DIV 10")
+    kept = cum.select(
+        "flag",
+        "price_cents",
+        "n",
+        F.greatest(
+            F.least(F.col("cw"), F.col("n") - lo)
+            - F.greatest(F.col("cw") - F.col("h"), lo),
+            F.lit(0),
+        ).alias("keep"),
+    )
+    pc = F.col("price_cents").cast("decimal(38,0)")
+    return kept.groupBy("flag").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        (
+            F.sum(pc * F.col("keep").cast("decimal(38,0)")).cast("double")
+            / F.sum("keep").cast("double")
+        ).alias("trimmed_mean_cents"),
+    )

@@ -2245,3 +2245,63 @@ def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+@query(
+    "events_trend_theilsen",
+    oracle=f"""
+    WITH {_DAILY_SERIES_SQL}, pairs AS (
+      SELECT y.c - x.c AS dy, y.day - x.day AS dx,
+        CAST(y.c - x.c AS DOUBLE) / CAST(y.day - x.day AS DOUBLE) AS slope
+      FROM daily x, daily y WHERE x.day < y.day
+    ), ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, dy, dx) AS rn,
+        COUNT(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, ROUND(slope, 9) AS sen_slope
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of the gap-filled daily event-count
+    series — the median of all pairwise slopes, the rank-based
+    companion to Mann-Kendall (events_trend_mannkendall answers "is
+    there a monotone trend?", this answers "how steep?", immune to
+    ~29% outlier contamination where an OLS slope is not).
+
+    Determinism: each slope is ONE IEEE division of two exact
+    integers (bit-identical in both engines); the median element is
+    selected by rank over the total order (slope, dy, dx) — rows that
+    tie on the full key carry the same slope value, so the selected
+    VALUE is deterministic even where the tie order is not.
+
+    Scale shape: the pair frame is calendar²-bounded (T² of the
+    series length, like Mann-Kendall); the median rank is computed by
+    the two-phase global ranker (range repartition + P-row offsets —
+    no single-partition window over the pair frame), and the corpus
+    feeds only the one pinned day-grained aggregate.
+    """
+    from ..operators.relational import global_rank
+
+    daily = _gapfilled_daily(spark, sf_dir)
+    x = daily.select(F.col("day").alias("dxd"), F.col("c").alias("cx"))
+    y = daily.select(F.col("day").alias("dyd"), F.col("c").alias("cy"))
+    pairs = x.join(broadcast(y), F.col("dxd") < F.col("dyd")).select(
+        (F.col("cy") - F.col("cx")).alias("dy"),
+        (F.col("dyd") - F.col("dxd")).alias("dx"),
+        (
+            (F.col("cy") - F.col("cx")).cast("double")
+            / (F.col("dyd") - F.col("dxd")).cast("double")
+        ).alias("slope"),
+    )
+    ranked = global_rank(pairs, ["slope", "dy", "dx"])
+    n = ranked.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(broadcast(n))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round("slope", 9).alias("sen_slope"),
+        )
+    )

@@ -508,6 +508,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "events_trend_mannkendall": 5,
         "agg_selfjoin_size_estimate": 5,
         "ann_lsh_multiprobe_topk": 1,
+        "events_trend_theilsen": 5,
+        "agg_trimmed_mean": 2,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
