@@ -131,6 +131,8 @@ HEADLINE = [
     "ann_lsh_multiprobe_topk",
     "events_trend_theilsen",
     "agg_trimmed_mean",
+    "ann_matryoshka_recall",
+    "graph_ppr_seeded",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -426,3 +426,72 @@ def wcc_star(
         .unionByName(centers)
         .distinct()
     )
+
+
+def ppr_int(
+    edges: DataFrame,
+    is_seed,
+    iters: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank in integer micro-units: identical
+    arithmetic to :func:`pagerank_int` except ALL teleport mass (and
+    all initial mass) goes to the SEED set — ``is_seed`` is a
+    Column-builder ``id_col -> BooleanColumn`` evaluated as a pure
+    expression, so the seed set is plan-replayable by an oracle.  The
+    result ranks nodes by proximity to the seeds (the random surfer
+    restarts AT a seed), the standard similarity-to-a-set score behind
+    "more like these" retrieval and seed-expansion labeling.
+
+    Same per-round scale shape as pagerank_int (one node-partitioned
+    join + one partial agg, lineage cut per round); mass conservation
+    in integer units is inherited (floor-division dust excepted).
+    """
+    fwd = edges.select(F.col(edges.columns[0]).alias("s"),
+                       F.col(edges.columns[1]).alias("d"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct().localCheckpoint()
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    nodes = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("seed", is_seed(F.col("id")))
+        .localCheckpoint()
+    )
+    ns = nodes.filter(F.col("seed")).count()
+    if ns == 0:
+        return nodes.select("id", F.lit(0).cast("bigint").alias("rank"))
+    tele = (15 * scale // 100) // ns
+    r0 = scale // ns
+    ranks = nodes.select(
+        "id",
+        F.when(F.col("seed"), F.lit(r0)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks["id"] == deg["s"])
+            .select(ranks["id"].alias("cid"),
+                    F.expr("rank DIV deg").alias("contrib"))
+        )
+        inflow = (
+            sym.join(contrib, sym["s"] == F.col("cid"))
+            .groupBy("d")
+            .agg(F.sum("contrib").alias("s_in"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["id"] == inflow["d"], "left")
+            .select(
+                "id",
+                (
+                    F.when(F.col("seed"), F.lit(tele)).otherwise(F.lit(0))
+                    + F.expr("85 * COALESCE(s_in, 0) DIV 100")
+                )
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

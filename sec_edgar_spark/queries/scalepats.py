@@ -2305,3 +2305,87 @@ def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("slope", 9).alias("sen_slope"),
         )
     )
+
+
+def _ppr_round(prev: str, out: str) -> str:
+    """One personalized-PageRank round as SQL (mirrors
+    operators/graph.ppr_int: teleport only at seeds)."""
+    return f"""
+    {out} AS (
+      SELECT n.id,
+             (CASE WHEN n.seed THEN tele.t ELSE 0 END)
+               + (85 * COALESCE(i.s_in, 0)) // 100 AS rank
+      FROM nodes n
+      CROSS JOIN tele
+      LEFT JOIN (
+        SELECT e.d AS id, SUM(c.contrib) AS s_in
+        FROM edges e
+        JOIN (SELECT r.id, r.rank // dg.deg AS contrib
+              FROM {prev} r JOIN deg dg ON r.id = dg.s) c
+          ON e.s = c.id
+        GROUP BY e.d
+      ) i ON n.id = i.id
+    )"""
+
+
+@query(
+    "graph_ppr_seeded",
+    oracle=f"""
+    WITH raw AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT s, d FROM raw UNION SELECT d AS s, s AS d FROM raw
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS id, s < 100 AS seed FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes WHERE seed),
+    tele AS (
+      SELECT ((15 * {_PR_SCALE}::BIGINT) // 100) // n AS t,
+             {_PR_SCALE}::BIGINT // n AS r0
+      FROM nn
+    ),
+    r0 AS (
+      SELECT id, CASE WHEN seed THEN tele.r0 ELSE 0 END AS rank
+      FROM nodes CROSS JOIN tele
+    ),
+    {_ppr_round("r0", "r1")},
+    {_ppr_round("r1", "r2")},
+    {_ppr_round("r2", "r3")}
+    SELECT id, CAST(rank AS BIGINT) AS rank
+    FROM r3 WHERE id >= 100 ORDER BY rank DESC, id LIMIT 20
+    """,
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (customers with key
+    < 100) on the trade graph — "more like these": the random surfer
+    restarts at a SEED, so rank measures proximity to the seed set
+    (seed-expansion retrieval / lookalike labeling), not global
+    influence.  Top-20 NON-seed nodes so the answer is the expansion,
+    not the seeds themselves.  Integer micro-units as in
+    graph_pagerank — bit-identical across engines and layouts; the
+    oracle unrolls the same three rounds with the seed-conditional
+    teleport (operators/graph.ppr_int).
+
+    Scale shape: identical to graph_pagerank per round; the seed flag
+    is a pure expression on the node id, so personalization adds zero
+    data movement.
+    """
+    from ..operators.graph import ppr_int
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    ).select("l_orderkey", "l_suppkey")
+    raw = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = ppr_int(raw, lambda c: c < 100, iters=3, scale=_PR_SCALE)
+    return (
+        ranks.filter(F.col("id") >= 100)
+        .orderBy(F.desc("rank"), "id")
+        .limit(20)
+    )

@@ -1523,3 +1523,108 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multiprobe_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), LSH_PLANES, k=TOP_K
     ).select("query_id", "neighbor_id", "cosine", "rk")
+
+
+# Matryoshka prefix length: the truncated index keeps the first
+# MRL_DIM of EMB_DIM dimensions.
+MRL_DIM = 16
+
+
+def _dot_sql_dims(a: str, b: str, d: int) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, d + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _mrl_oracle() -> str:
+    from .registry import ORACLES
+
+    bf = ORACLES["ann_bruteforce_topk"]
+    return f"""
+    WITH bf AS ({bf}), n AS (
+      SELECT vec_id, embedding,
+        sqrt({_dot_sql_dims('embedding', 'embedding', MRL_DIM)}) AS nrm
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {_dot_sql_dims('q.embedding', 'c.embedding', MRL_DIM)}
+          / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), trunc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {TOP_K}
+    )
+    SELECT bf.query_id,
+      CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(t.neighbor_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM bf LEFT JOIN trunc t
+      ON bf.query_id = t.query_id AND bf.neighbor_id = t.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@query("ann_matryoshka_recall", oracle=_mrl_oracle())
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: recall@10 of a brute-force
+    index built on only the FIRST 16 of 64 embedding dimensions,
+    against the full-dimension ground truth — the measurement behind
+    MRL-style tiered retrieval (coarse search in the cheap prefix,
+    exact rescoring in full dimension), which cuts index bytes and
+    dot-product FLOPs 4x at 100 TB IF the prefix preserves neighbors.
+    On matryoshka-trained embeddings this recall is high; on these
+    isotropic gaussian vectors the prefix carries 1/4 of the signal —
+    the eval reports exactly how much neighbor structure survives
+    either way (the metric is the deliverable, not a fixed verdict).
+
+    Scale shape: both sides are the broadcast-query brute-force shape
+    (corpus never shuffles, only n_queries×k rows survive); the
+    truncated side's dot product folds 16 components instead of 64.
+    """
+    from .registry import QUERIES
+
+    bf = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("emb16")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb16").alias("q_emb"),
+        V.norm("emb16").alias("q_nrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb16").alias("c_emb"),
+        V.norm("emb16").alias("c_nrm"),
+    )
+    scored = c.join(
+        broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (V.dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    trunc = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(broadcast(trunc), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            (F.count("hit").cast("double") / TOP_K).alias("recall"),
+        )
+    )

@@ -510,6 +510,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "ann_lsh_multiprobe_topk": 1,
         "events_trend_theilsen": 5,
         "agg_trimmed_mean": 2,
+        "ann_matryoshka_recall": 2,
+        "graph_ppr_seeded": 0,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
