@@ -133,6 +133,7 @@ HEADLINE = [
     "agg_trimmed_mean",
     "ann_matryoshka_recall",
     "graph_ppr_seeded",
+    "multimodal_audio_energy",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -178,6 +179,8 @@ SCAN_PARALLELIZE = {
     "dedup_prefix_filter_capped",
     "dedup_containment_capped",
     "curation_export_shards",
+    # round 8: per-row WAV synthesis fold + numpy PCM decode
+    "multimodal_audio_energy",
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ

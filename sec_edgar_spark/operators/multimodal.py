@@ -332,3 +332,95 @@ def resize_images(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def wav_pcm16(blob: bytes | None):
+    """Mono int16 PCM samples from a RIFF/WAVE blob (numpy array), or
+    None if the blob is not well-formed 16-bit PCM.  The chunk walk
+    mirrors :func:`wav_meta`; this is the first kernel in the family
+    that reads the SAMPLE BYTES, not just headers."""
+    import numpy as np
+
+    if not blob or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    bits = None
+    data = None
+    i = 12
+    n = len(blob)
+    while i + 8 <= n:
+        cid = blob[i : i + 4]
+        clen = int.from_bytes(blob[i + 4 : i + 8], "little")
+        body = blob[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen % 2)
+    if bits != 16 or data is None:
+        return None
+    return np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("peak_frame", LongType()),
+        StructField("peak_energy", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame, blob_col: str = "blob", frame: int = 256
+) -> DataFrame:
+    """Per-document PCM frame-energy pass: decode int16 samples
+    (numpy, Arrow-batched), square-sum per ``frame``-sample window,
+    emit exact integer totals and the peak frame (ties to the lower
+    index).  This is the real decode-and-compute multimodal shape —
+    the same mapInPandas stage a loudness/VAD/spectral kernel runs in;
+    all outputs are exact int64 (|s| < 2^15 so a frame's energy is
+    < 2^38), which is what makes the pass oracle-checkable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                s = wav_pcm16(bytes(b) if b is not None else None)
+                if s is None or len(s) == 0:
+                    out.append((doc_id, 0, 0, None, None))
+                    continue
+                sq = s.astype(np.int64) ** 2
+                n_frames = (len(sq) + frame - 1) // frame
+                pad = n_frames * frame - len(sq)
+                if pad:
+                    sq = np.concatenate([sq, np.zeros(pad, dtype=np.int64)])
+                per = sq.reshape(n_frames, frame).sum(axis=1)
+                peak = int(per.argmax())  # argmax returns FIRST max: tie→lower
+                out.append(
+                    (
+                        doc_id,
+                        n_frames,
+                        int(sq.sum()),
+                        peak,
+                        int(per[peak]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "total_energy",
+                    "peak_frame",
+                    "peak_energy",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        run, schema=AUDIO_ENERGY_SCHEMA
+    )

@@ -251,3 +251,98 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 1000 + 1 AS n FROM documents
+    ), samp AS (
+      SELECT doc_id, i, i // 256 AS frame,
+        CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS s
+      FROM (
+        SELECT doc_id, i, (doc_id * 31 + i * 7) % 65536 AS u
+        FROM docs, LATERAL (SELECT unnest(range(n)) AS i)
+      )
+    ), frames AS (
+      SELECT doc_id, frame, SUM(s * s) AS e
+      FROM samp GROUP BY 1, 2
+    ), peak AS (
+      SELECT doc_id, frame AS peak_frame, e AS peak_energy
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY e DESC, frame) AS rk
+        FROM frames
+      ) WHERE rk = 1
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(e) AS BIGINT) AS total_energy
+      FROM frames GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_frames, t.total_energy,
+      CAST(p.peak_frame AS BIGINT) AS peak_frame,
+      CAST(p.peak_energy AS BIGINT) AS peak_energy
+    FROM tot t JOIN peak p ON t.doc_id = p.doc_id
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM frame-energy pass — the first multimodal query that reads
+    SAMPLE BYTES, not just headers: well-formed 16-bit-PCM WAVE blobs
+    (samples are the deterministic int16 stream
+    u_i = (doc_id·31 + i·7) mod 2^16, two's-complement decoded) are
+    built with codegen'd byte expressions, then the production
+    Arrow-batched kernel (operators/multimodal.audio_frame_energy:
+    numpy '<i2' frombuffer → squared sums per 256-sample frame)
+    recovers exact integer frame energies, the peak frame, and the
+    total.  The oracle replays the sample arithmetic directly — a
+    value match certifies the byte layout, the chunk walk, the numpy
+    decode, and the framing all at once.
+
+    Scale shape: one mapInPandas stage over the blob column (the same
+    stage a loudness/VAD/spectral kernel occupies); everything after
+    it is per-doc rows.  Blobs here are ≤2 KB; a real corpus streams
+    the same plan with bigger batches.
+    """
+    from ..operators.multimodal import audio_frame_energy
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n_samples = F.col("doc_id") % 1000 + 1
+    channels = F.lit(1)
+    rate = F.lit(16000)
+    bits = 16
+    block_align = channels * (bits // 8)
+    byte_rate = rate * block_align
+    data_len = n_samples * block_align
+
+    def le(col, nbytes):
+        be_hex = F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+        parts = [
+            F.unhex(F.substring(be_hex, 2 * i + 1, 2))
+            for i in reversed(range(nbytes))
+        ]
+        return F.concat(*parts)
+
+    # sample bytes: fold the per-sample LE hex, one unhex at the end
+    u = lambda i: (F.col("doc_id") * 31 + i * 7) % 65536  # noqa: E731
+    le_hex = lambda c: F.concat(  # noqa: E731
+        F.substring(F.lpad(F.hex(c.cast("long")), 4, "0"), 3, 2),
+        F.substring(F.lpad(F.hex(c.cast("long")), 4, "0"), 1, 2),
+    )
+    data_hex = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n_samples - 1), lambda i: le_hex(u(i))),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    fmt_chunk = F.concat(
+        F.lit(b"fmt "), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(channels, 2), le(rate, 4),
+        le(byte_rate, 4), le(block_align, 2), le(F.lit(bits), 2),
+    )
+    data_chunk = F.concat(F.lit(b"data"), le(data_len, 4), F.unhex(data_hex))
+    riff_len = F.lit(4 + 8 + 16 + 8) + data_len
+    blob = F.concat(
+        F.lit(b"RIFF"), le(riff_len, 4), F.lit(b"WAVE"), fmt_chunk, data_chunk
+    )
+    media = d.select("doc_id", blob.alias("blob"))
+    return audio_frame_energy(media, "blob", frame=256)

@@ -512,6 +512,7 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "agg_trimmed_mean": 2,
         "ann_matryoshka_recall": 2,
         "graph_ppr_seeded": 0,
+        "multimodal_audio_energy": 0,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
