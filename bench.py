@@ -134,6 +134,8 @@ HEADLINE = [
     "ann_matryoshka_recall",
     "graph_ppr_seeded",
     "multimodal_audio_energy",
+    "agg_kmv_distinct",
+    "curation_corpus_summary",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

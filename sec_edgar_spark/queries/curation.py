@@ -1324,3 +1324,54 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_rank(scored, ["bucket", "shuf", "doc_id"])
         .select("doc_id", "bucket", F.col("rn").cast("bigint").alias("ord"))
     )
+
+
+@query(
+    "curation_corpus_summary",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> ''))) AS BIGINT) AS n_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+      CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*)
+        AS BIGINT) AS dup_ratio_ppm,
+      CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> ''))) // COUNT(*) AS BIGINT)
+        AS mean_doc_tokens
+    FROM documents
+    """,
+)
+def curation_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one pass: corpus size (docs, tokens,
+    chars), composition cardinalities (languages, sources), and the
+    exact-duplicate ratio (1 − unique text hashes / docs, integer
+    ppm) — the one-row summary a curation pipeline publishes next to
+    every snapshot so downstream consumers can diff corpus health
+    release-over-release (pairs with curation_snapshot_diff).
+
+    Scale shape: ONE aggregate over the scan; the three distinct-aggs
+    share a single Expand + two-level hash aggregate (the same shape
+    as profile_lineitem), and text dedup counts md5 digests, never
+    shuffling the texts themselves.
+    """
+    d = table(spark, sf_dir, "documents")
+    ntok = F.sum(T.token_count("text").cast("bigint"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        ntok.alias("n_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+        F.expr(
+            "CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("dup_ratio_ppm"),
+        F.expr(
+            "CAST(SUM(CAST(size(filter(split(text, '\\\\s+'), t -> t != ''))"
+            " AS BIGINT)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_doc_tokens"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import table
+from ..functions import text as T
 from .registry import query
 
 
@@ -1191,4 +1192,70 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(pc * F.col("keep").cast("decimal(38,0)")).cast("double")
             / F.sum("keep").cast("double")
         ).alias("trimmed_mean_cents"),
+    )
+
+
+# KMV sketch size (bottom-k minimum hash values).
+_KMV_K = 64
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                           1, 15) AS BIGINT) AS h
+      FROM lineitem
+    ), bottomk AS (
+      SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K}
+    ), kth AS (
+      SELECT MAX(h) AS hk, COUNT(*) AS k FROM bottomk
+    ), ex AS (
+      SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem
+    )
+    SELECT CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      CAST(CASE WHEN k < {_KMV_K} THEN k
+           ELSE (CAST(k - 1 AS HUGEINT) * 1152921504606846976) // hk END AS BIGINT)
+        AS kmv_estimate,
+      CAST(hk AS BIGINT) AS kth_min_hash
+    FROM ex, kth
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+    third member of the sketch family (CMS = frequencies, HLL =
+    distincts via register maxima, KMV = distincts via order
+    statistics): keep the k smallest hash values; the k-th smallest
+    estimates the hash density, so n̂ = (k−1)·2^60 / h_(k) on the
+    md5-derived 60-bit hash space.  Bottom-k sketches are also the
+    mergeable basis for distinct SAMPLING (the k survivors are a
+    uniform sample of the distinct keys) and set-resemblance.
+
+    Under k distinct keys the sketch IS the exact answer (the CASE
+    branch) — both engines replay the identical rule, and the
+    estimate is one integer floor-division of exact integers.
+
+    Scale shape: dedupe by hash (map-side combined), then a global
+    bottom-k — TakeOrdered, never a full sort: each partition keeps
+    its k smallest, the driver merges P·k values.  The exact count
+    rides the same scan for the gate's comparison.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    h = T.md5_hash64(F.col("l_partkey").cast("string"))
+    hashed = li.select(h.alias("h")).distinct()
+    bottomk = hashed.orderBy("h").limit(_KMV_K)
+    kth = bottomk.agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact_distinct"))
+    return exact.crossJoin(broadcast(kth)).select(
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.when(F.col("k") < _KMV_K, F.col("k").cast("decimal(38,0)"))
+        .otherwise(
+            # (k-1)·2^60 exceeds int64 — exact in DECIMAL(38,0)
+            F.expr(
+                "CAST(k - 1 AS DECIMAL(38,0)) * 1152921504606846976 DIV hk"
+            )
+        )
+        .cast("bigint")
+        .alias("kmv_estimate"),
+        F.col("hk").cast("bigint").alias("kth_min_hash"),
     )

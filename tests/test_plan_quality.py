@@ -513,6 +513,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "ann_matryoshka_recall": 2,
         "graph_ppr_seeded": 0,
         "multimodal_audio_energy": 0,
+        "agg_kmv_distinct": 3,
+        "curation_corpus_summary": 2,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
