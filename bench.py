@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_audio_energy",
     "agg_kmv_distinct",
     "curation_corpus_summary",
+    "events_session_entry_exit",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

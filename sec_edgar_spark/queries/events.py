@@ -1300,3 +1300,98 @@ def events_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_a.cast("bigint").alias("u_a"),
         z.alias("z"),
     )
+
+
+@query(
+    "events_session_entry_exit",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        MIN(struct_pack(ts := ts, event_id := event_id,
+                        event_type := event_type)).event_type AS entry_type,
+        MAX(struct_pack(ts := ts, event_id := event_id,
+                        event_type := event_type)).event_type AS exit_type
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bounces,
+      CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS BIGINT) AS bounce_ppm,
+      CAST(SUM(n_events) AS BIGINT) AS total_events,
+      CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_same_exit
+    FROM per_session GROUP BY entry_type
+    """,
+)
+def events_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-page analytics: per session ENTRY event type — the
+    landing surface — session counts, bounce share (single-event
+    sessions, integer ppm), total event volume, and how often the
+    session also EXITS on that type.  The funnel/bounce report a
+    product team reads next to events_top_paths.
+
+    Entry/exit are argmin/argmax by (ts, event_id) expressed as
+    MIN/MAX over a (ts, event_id, event_type) struct — one aggregate,
+    no extra window pass, identical lexicographic semantics on both
+    engines (the event_id tiebreak makes the struct order total).
+
+    Scale shape: the session assembly is the standard lag→flag→cumsum
+    partitioned by user (no global sort); per-session and per-entry
+    aggregates are hash aggs; output is event-type-cardinality rows.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_s("ts") - epoch_s(F.lag("ts").over(w)) > 30 * 60),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_start").over(wrun).alias("session_id"),
+    )
+    st = F.struct("ts", "event_id", "event_type")
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(st).getField("event_type").alias("entry_type"),
+        F.max(st).getField("event_type").alias("exit_type"),
+    )
+    bounce = F.sum((F.col("n_events") == 1).cast("long"))
+    return per_session.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.sum((F.col("entry_type") == F.col("exit_type")).cast("long"))
+        .cast("bigint")
+        .alias("n_same_exit"),
+    )
