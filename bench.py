@@ -137,6 +137,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "curation_corpus_summary",
     "events_session_entry_exit",
+    "events_attribution_linear",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

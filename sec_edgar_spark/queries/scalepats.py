@@ -2389,3 +2389,119 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "id")
         .limit(20)
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, ts AS touch_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), cand AS (
+      SELECT p.event_id, t.touch_type, t.touch_ts,
+        ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY t.touch_ts DESC, t.touch_type) AS rn,
+        COUNT(*) OVER (PARTITION BY p.event_id) AS n
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+        AND t.touch_ts <= p.ts
+        AND p.ts - t.touch_ts <= INTERVAL 7 DAY
+    ), credited AS (
+      SELECT touch_type,
+        1000000 // n + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END
+          AS credit
+      FROM cand
+    ), attributed AS (
+      SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        CAST(SUM(credit) AS BIGINT) AS credit_ppm
+      FROM credited GROUP BY touch_type
+    ), none_row AS (
+      SELECT '(none)' AS touch_type,
+        CAST(COUNT(*) AS BIGINT) AS n_touches,
+        CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm
+      FROM purchases p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM touches t
+        WHERE t.user_id = p.user_id AND t.touch_ts <= p.ts
+          AND p.ts - t.touch_ts <= INTERVAL 7 DAY)
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM none_row
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: every purchase
+    splits 1,000,000 ppm of conversion credit equally across ALL its
+    click/view touches in the 7-day lookback; the integer-division
+    remainder goes to the MOST RECENT touch so each conversion's
+    credit sums to exactly 1,000,000 (credit is conserved — the
+    invariant last-touch attribution gets for free and linear models
+    usually fudge with floats).  Untouched purchases surface as the
+    '(none)' row carrying their full credit.
+
+    Scale shape: candidate generation is the banded interval join
+    (operators/interval.range_join: tolerance-width integer bins,
+    3-bin probe equi-join — never a theta join; the oracle IS the
+    theta join, pinning the band semantics); per-purchase counts ride
+    one window partitioned by event_id; the '(none)' side is an
+    anti-join on the same candidates.
+    """
+    from ..operators.interval import range_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    from ..functions.scalars import epoch_s
+
+    cand = range_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="touch_ts",
+        tolerance_s=7 * 86400,
+        suffix="",
+    ).filter(epoch_s("touch_ts") <= epoch_s("ts"))
+    # cand feeds both the credit pass and the '(none)' anti-join;
+    # pinned so the interval join (and its two event scans) runs once.
+    cand = cand.cache()
+    wn = Window.partitionBy("event_id")
+    wr = Window.partitionBy("event_id").orderBy(
+        F.desc("touch_ts"), "touch_type"
+    )
+    credited = cand.select(
+        "event_id",
+        "touch_type",
+        F.count("*").over(wn).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "touch_type",
+        (
+            F.expr("1000000 DIV n")
+            + F.when(F.col("rn") == 1, F.expr("1000000 % n")).otherwise(0)
+        ).alias("credit"),
+    )
+    attributed = credited.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.sum("credit").cast("bigint").alias("credit_ppm"),
+    )
+    none_row = (
+        purchases.join(
+            cand.select("event_id").distinct(), "event_id", "left_anti"
+        )
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.col("c").cast("bigint").alias("n_touches"),
+            (F.col("c") * 1000000).cast("bigint").alias("credit_ppm"),
+        )
+    )
+    return attributed.unionByName(none_row)
