@@ -138,6 +138,7 @@ HEADLINE = [
     "curation_corpus_summary",
     "events_session_entry_exit",
     "events_attribution_linear",
+    "text_langid_confusion",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

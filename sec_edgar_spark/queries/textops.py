@@ -2152,3 +2152,51 @@ def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mass_share_ppm"
         ),
     )
+
+
+def _langid_confusion_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH pred AS ({ORACLES["text_lang_id"]}),
+    cells AS (
+      SELECT lang, lang_guess, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    ), marg AS (
+      SELECT lang, SUM(n) AS tot FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.lang_guess, CAST(c.n AS BIGINT) AS n,
+      c.lang = c.lang_guess AS correct,
+      CAST(c.n * 1000000 // m.tot AS BIGINT) AS row_share_ppm
+    FROM cells c JOIN marg m ON c.lang = m.lang
+    """
+
+
+@query("text_langid_confusion", oracle=_langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    stopword-argmax language identifier against the corpus's labeled
+    ``lang`` column — per (true, predicted) cell the count and its
+    share of the true language's row (integer ppm).  The
+    model-evaluation surface every quality classifier in the pipeline
+    needs, expressed over the REGISTERED operator (both engines
+    compose the registered langid plan/SQL, so the eval checks exactly
+    what text_lang_id ships).
+
+    Scale shape: the langid pass is one token explode + conditional
+    sums; the matrix is a (|langs|+1)² cell aggregate; marginals are a
+    |langs|-row join.
+    """
+    from .registry import QUERIES
+
+    from pyspark.sql.functions import broadcast
+
+    pred = QUERIES["text_lang_id"](spark, sf_dir).select("lang", "lang_guess")
+    cells = pred.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    marg = cells.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return cells.join(broadcast(marg), "lang").select(
+        "lang",
+        "lang_guess",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("lang") == F.col("lang_guess")).alias("correct"),
+        F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("row_share_ppm"),
+    )

@@ -517,6 +517,7 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "curation_corpus_summary": 2,
         "events_session_entry_exit": 2,
         "events_attribution_linear": 5,
+        "text_langid_confusion": 5,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
