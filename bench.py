@@ -139,6 +139,8 @@ HEADLINE = [
     "events_session_entry_exit",
     "events_attribution_linear",
     "text_langid_confusion",
+    "audit_sampler_uniformity",
+    "audit_quality_length_bias",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

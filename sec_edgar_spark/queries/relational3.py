@@ -1259,3 +1259,82 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kmv_estimate"),
         F.col("hk").cast("bigint").alias("kth_min_hash"),
     )
+
+
+# Sampler-uniformity buckets.
+_UNIF_B = 16
+
+
+@query(
+    "audit_sampler_uniformity",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+             % {_UNIF_B} AS bucket
+      FROM lineitem
+    ), o AS (
+      SELECT bucket, COUNT(*) AS obs FROM b GROUP BY bucket
+    ), n AS (SELECT SUM(obs) AS n FROM o)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      CAST({_UNIF_B} AS BIGINT) AS n_buckets,
+      CAST(SUM(CAST({_UNIF_B} * obs - n AS HUGEINT)
+               * ({_UNIF_B} * obs - n)) AS DOUBLE)
+        / ({_UNIF_B} * CAST(n AS DOUBLE)) AS chi2,
+      CAST(MAX(obs) - MIN(obs) AS BIGINT) AS bucket_spread
+    FROM o CROSS JOIN n GROUP BY n
+    """,
+)
+def audit_sampler_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the repo's own sampling primitive: every deterministic
+    sample in the battery keys on an md5-derived hash (splits,
+    stratified/temperature sampling, bootstrap) — this query measures
+    whether that hash actually spreads rows uniformly, as the
+    chi-square statistic of the 16-bucket histogram against uniform
+    (plus the raw max−min bucket spread).  χ² = Σ(B·o−n)² / (B·n) is
+    formed from exact integers (HUGEINT/DECIMAL(38): (B·o−n)² can
+    pass int64 at warehouse row counts) with ONE double division —
+    engine-exact, like every other float-emitting gate.  Expected
+    value under uniformity ≈ B−1 = 15; a sampler bug (biased hash,
+    truncated key) shows up as χ² orders of magnitude larger.
+
+    Scale shape: one bucket-keyed aggregate (16 groups), a 1-row
+    total, and a 16-row reduction.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    h = T.md5_hash64(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    o = (
+        li.select((h % _UNIF_B).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("obs"))
+    )
+    n = o.agg(F.sum("obs").alias("n"))
+    dev = (
+        F.lit(_UNIF_B) * F.col("obs") - F.col("n")
+    ).cast("decimal(38,0)")
+    return (
+        o.crossJoin(broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.lit(_UNIF_B).cast("bigint").alias("n_buckets"),
+            (
+                F.sum(dev * dev).cast("double")
+                / (F.lit(_UNIF_B) * F.col("n").cast("double"))
+            ).alias("chi2"),
+            (F.max("obs") - F.min("obs")).cast("bigint").alias(
+                "bucket_spread"
+            ),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            "n_buckets",
+            "chi2",
+            "bucket_spread",
+        )
+    )

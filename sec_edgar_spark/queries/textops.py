@@ -2200,3 +2200,85 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == F.col("lang_guess")).alias("correct"),
         F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("row_share_ppm"),
     )
+
+
+def _bias_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH qm AS ({ORACLES["text_quality_model_score"]}),
+    joined AS (
+      SELECT d.source,
+        CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                             t -> t <> '')) AS HUGEINT) AS x,
+        CAST(q.logit_centi AS HUGEINT) AS y
+      FROM documents d JOIN qm q ON d.doc_id = q.doc_id
+    ), s AS (
+      SELECT source, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM joined GROUP BY source
+    )
+    SELECT source, CAST(m AS BIGINT) AS n_docs,
+      CAST(m * sxy - sx * sy AS DOUBLE) AS cov_num,
+      CASE WHEN (m * sxx - sx * sx) = 0 OR (m * syy - sy * sy) = 0
+           THEN NULL
+           ELSE ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                             * CAST(m * syy - sy * sy AS DOUBLE)), 9)
+      END AS corr
+    FROM s
+    """
+
+
+@query("audit_quality_length_bias", oracle=_bias_oracle())
+def audit_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias audit of the quality classifier: the Pearson correlation
+    between a document's TOKEN COUNT and its quality logit, per source
+    — the standard check that a "quality" filter isn't just a length
+    filter in disguise (a classifier that mostly ranks long documents
+    high silently skews the surviving corpus toward long-form
+    sources).  Composes the REGISTERED scorer on both engines; the
+    correlation uses the same exact-integer-moments device as
+    events_acf_lags (one IEEE sqrt/divide at the end, rounded to 9).
+
+    Scale shape: the scorer's token explode + partial agg, one
+    source-keyed moment aggregate, source-cardinality output.
+    """
+    from pyspark.sql.functions import broadcast as _b  # noqa: F401
+    from .registry import QUERIES
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").cast("long").alias("x")
+    )
+    q = QUERIES["text_quality_model_score"](spark, sf_dir).select(
+        "doc_id", F.col("logit_centi").alias("y")
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    s = (
+        d.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(d18("x")).alias("sx"),
+            F.sum(d18("y")).alias("sy"),
+            F.sum(d18("x") * d18("y")).alias("sxy"),
+            F.sum(d18("x") * d18("x")).alias("sxx"),
+            F.sum(d18("y") * d18("y")).alias("syy"),
+        )
+    )
+    md = F.col("m").cast("decimal(18,0)")
+    num = md * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = md * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = md * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "source",
+        F.col("m").cast("bigint").alias("n_docs"),
+        num.cast("double").alias("cov_num"),
+        F.when((den1 == 0) | (den2 == 0), F.lit(None)).otherwise(
+            F.round(
+                num.cast("double")
+                / F.sqrt(den1.cast("double") * den2.cast("double")),
+                9,
+            )
+        ).alias("corr"),
+    )

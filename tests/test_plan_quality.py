@@ -518,6 +518,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "events_session_entry_exit": 2,
         "events_attribution_linear": 5,
         "text_langid_confusion": 5,
+        "audit_sampler_uniformity": 4,
+        "audit_quality_length_bias": 2,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
