@@ -141,6 +141,8 @@ HEADLINE = [
     "text_langid_confusion",
     "audit_sampler_uniformity",
     "audit_quality_length_bias",
+    "dedup_cluster_size_histogram",
+    "events_interarrival_percentiles",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -1342,3 +1342,71 @@ def _containment_pairs(
         .select("small_id", "big_id", contain.alias("containment"))
         .filter(F.col("containment") >= _CONT_T)
     )
+
+
+def _cluster_hist_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH comp AS ({ORACLES["dedup_connected_components"]}),
+    sizes AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    ), clustered AS (
+      SELECT COUNT(*) AS n_clustered FROM comp
+    ), total AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), hist AS (
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+      FROM sizes GROUP BY sz
+      UNION ALL
+      SELECT 1, n_docs - n_clustered FROM total, clustered
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+      CAST(SUM(n_clusters * cluster_size) AS BIGINT) AS n_docs
+    FROM hist GROUP BY cluster_size
+    """
+
+
+@query("dedup_cluster_size_histogram", oracle=_cluster_hist_oracle())
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup story at a glance: the near-duplicate CLUSTER SIZE
+    distribution (how many singletons, pairs, triples, …, and the doc
+    mass in each bucket) — the number a curation run reports to decide
+    whether dedup is worth its cost and whether keep-best is dropping
+    1% or 30% of the corpus.  Composes the REGISTERED LSH-components
+    operator on both engines; unclustered documents enter as size-1
+    clusters so the doc mass always sums to the corpus.
+
+    Scale shape: component sizes are a component-keyed aggregate over
+    the components output; the histogram is a size-keyed aggregate
+    (≤ log-ish distinct sizes); the singleton row is two 1-row counts.
+    """
+    from .registry import QUERIES
+
+    from pyspark.sql.functions import broadcast
+
+    comp = QUERIES["dedup_connected_components"](spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    d = table(spark, sf_dir, "documents")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters")
+    )
+    n_clustered = comp.agg(F.count("*").alias("n_clustered"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    singles = n_docs.crossJoin(broadcast(n_clustered)).select(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        (F.col("n_docs") - F.col("n_clustered")).alias("n_clusters"),
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(
+            F.sum("n_clusters").cast("bigint").alias("n_clusters"),
+            F.sum(F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

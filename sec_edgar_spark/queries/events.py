@@ -1395,3 +1395,78 @@ def events_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_same_exit"),
     )
+
+
+@query(
+    "events_interarrival_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+        CAST(date_diff('second',
+          LAG(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s
+      FROM events
+    ), g AS (
+      SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL
+    ), hist AS (
+      SELECT event_type, gap_s, COUNT(*) AS h
+      FROM g GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, gap_s, h,
+        SUM(h) OVER (PARTITION BY event_type ORDER BY gap_s
+                     ROWS UNBOUNDED PRECEDING) AS cw,
+        SUM(h) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      MIN(CASE WHEN 2 * cw >= n THEN gap_s END) AS p50_s,
+      MIN(CASE WHEN 10 * cw >= 9 * n THEN gap_s END) AS p90_s,
+      MIN(CASE WHEN 100 * cw >= 99 * n THEN gap_s END) AS p99_s
+    FROM cum GROUP BY event_type
+    """,
+)
+def events_interarrival_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact inter-arrival-time percentiles per event type (per-user
+    gaps between consecutive events of the same type) — the
+    measurement that justifies a sessionization gap threshold or a
+    watermark delay: p50/p90/p99 of the gap distribution, not a
+    guessed 30 minutes.
+
+    Same scalable shape as agg_weighted_percentiles: gaps come from a
+    (user, type)-partitioned lag window (high-cardinality key —
+    scales out); the corpus then collapses to a (type, gap-seconds)
+    VALUE HISTOGRAM, the cumulative window runs over the gap domain,
+    and the percentile picks are integer cross-multiplications.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = e.select(
+        "event_type",
+        (epoch_s("ts") - epoch_s(F.lag("ts").over(w))).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    hist = gaps.groupBy("event_type", "gap_s").agg(F.count("*").alias("h"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "gap_s",
+        F.sum("h").over(wcum).alias("cw"),
+        F.sum("h").over(wtot).alias("n"),
+    )
+    pick = lambda a, b: F.min(  # noqa: E731
+        F.when(a * F.col("cw") >= b * F.col("n"), F.col("gap_s"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        pick(F.lit(2), F.lit(1)).alias("p50_s"),
+        pick(F.lit(10), F.lit(9)).alias("p90_s"),
+        pick(F.lit(100), F.lit(99)).alias("p99_s"),
+    )

@@ -520,6 +520,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "text_langid_confusion": 5,
         "audit_sampler_uniformity": 4,
         "audit_quality_length_bias": 2,
+        "dedup_cluster_size_histogram": 5,
+        "events_interarrival_percentiles": 3,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
