@@ -143,6 +143,8 @@ HEADLINE = [
     "audit_quality_length_bias",
     "dedup_cluster_size_histogram",
     "events_interarrival_percentiles",
+    "graph_degree_histogram",
+    "curation_token_budget_select",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

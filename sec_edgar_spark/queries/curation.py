@@ -1375,3 +1375,97 @@ def curation_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)) DIV COUNT(*) AS BIGINT)"
         ).alias("mean_doc_tokens"),
     )
+
+
+def _budget_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH qm AS ({ORACLES["text_quality_model_score"]}),
+    scored AS (
+      SELECT d.doc_id,
+        GREATEST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                 t -> t <> '')), 1) AS n_tok,
+        CAST(floor(CAST(q.logit_centi * 1000000 AS DOUBLE)
+                   / GREATEST(len(list_filter(
+                       string_split_regex(d.text, '\\s+'),
+                       t -> t <> '')), 1)) AS BIGINT) AS ratio
+      FROM documents d JOIN qm q ON d.doc_id = q.doc_id
+    ), budget AS (
+      SELECT SUM(n_tok) // 10 AS b FROM scored
+    ), cum AS (
+      SELECT doc_id, n_tok, ratio,
+        SUM(n_tok) OVER (ORDER BY ratio DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      CAST(ratio AS BIGINT) AS ratio,
+      CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum CROSS JOIN budget WHERE cum_tokens <= b
+    """
+
+
+@query("curation_token_budget_select", oracle=_budget_oracle())
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained selection: fill 10% of the corpus's
+    token budget with the best quality-per-token documents (greedy
+    knapsack by density — the optimal fractional-knapsack order) —
+    how a pretraining run actually spends a fixed token budget, as
+    opposed to a fixed document count.
+
+    Determinism: the density key floor(logit·10⁶ / tokens) is one
+    IEEE division + floor of exact integers (identical both engines —
+    integer `//` semantics DIVERGE between the engines on negative
+    logits, so the floor is taken explicitly); the greedy order is
+    totally ordered by (density, doc_id).
+
+    Scale shape: the running token total along the global greedy
+    order uses the two-phase grouped cumulative sum
+    (operators/relational.grouped_weighted_cumsum with a constant
+    group — range-repartition + P-row offsets, NO single-partition
+    window over the corpus); the budget is a 1-row broadcast.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ..operators.relational import grouped_weighted_cumsum
+    from .registry import QUERIES
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(T.token_count("text").cast("long"), F.lit(1)).alias(
+            "n_tok"
+        ),
+    )
+    q = QUERIES["text_quality_model_score"](spark, sf_dir).select(
+        "doc_id", "logit_centi"
+    )
+    scored = d.join(q, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.floor(
+            (F.col("logit_centi") * 1000000).cast("double") / F.col("n_tok")
+        )
+        .cast("bigint")
+        .alias("ratio"),
+    )
+    budget = scored.agg(
+        F.expr("SUM(n_tok) DIV 10").cast("bigint").alias("b")
+    )
+    cum = grouped_weighted_cumsum(
+        scored.withColumn("_g", F.lit(1)),
+        ["_g"],
+        [F.col("ratio").desc(), F.col("doc_id").asc()],
+        "n_tok",
+        out_col="cum_tokens",
+    )
+    return (
+        cum.crossJoin(broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("b"))
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            "ratio",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )

@@ -2505,3 +2505,63 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attributed.unionByName(none_row)
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH raw AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT s, d FROM raw UNION SELECT d AS s, s AS d FROM raw
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    b AS (
+      SELECT deg, length(bin(CAST(deg AS BIGINT))) AS bucket FROM deg
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      CAST(2 ** (bucket - 1) AS BIGINT) AS degree_lo,
+      CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(SUM(deg) AS BIGINT) AS edge_endpoints
+    FROM b GROUP BY bucket
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trade graph in power-of-two buckets
+    (the bit-length device again — no float log) — the first thing to
+    look at before ANY graph algorithm at scale: a heavy power-law
+    tail is what makes k-core/label-prop/PageRank skew-sensitive, and
+    this histogram is the evidence for (or against) salting hot
+    nodes.  Buckets carry node counts AND edge-endpoint mass so the
+    skew's share of WORK (not just of nodes) is visible.
+
+    Scale shape: symmetrized-edge degree count (one node-keyed agg),
+    then a ≤64-bucket histogram.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    ).select("l_orderkey", "l_suppkey")
+    raw = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("s"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("d"),
+        )
+        .distinct()
+    )
+    sym = raw.unionByName(
+        raw.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    b = deg.select(
+        "deg", F.length(F.bin(F.col("deg").cast("bigint"))).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))"
+               " AS BIGINT)").alias("degree_lo"),
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum("deg").cast("bigint").alias("edge_endpoints"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "degree_lo", "n_nodes", "edge_endpoints",
+    )

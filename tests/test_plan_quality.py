@@ -522,6 +522,8 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "audit_quality_length_bias": 2,
         "dedup_cluster_size_histogram": 5,
         "events_interarrival_percentiles": 3,
+        "graph_degree_histogram": 5,
+        "curation_token_budget_select": 5,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
