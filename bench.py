@@ -145,6 +145,7 @@ HEADLINE = [
     "events_interarrival_percentiles",
     "graph_degree_histogram",
     "curation_token_budget_select",
+    "emb_norm_outliers",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -1628,3 +1628,57 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+@query(
+    "emb_norm_outliers",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), ranked AS (
+      SELECT nrm, ROW_NUMBER() OVER (ORDER BY nrm, vec_id) AS rn,
+        COUNT(*) OVER () AS n
+      FROM normed
+    ), med AS (
+      SELECT nrm AS m FROM ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT vec_id, ROUND(nrm, 9) AS nrm, ROUND(m, 9) AS median_nrm,
+      (nrm < 0.5 * m OR nrm > 2.0 * m) AS is_outlier
+    FROM normed CROSS JOIN med
+    """,
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate on the registry: flag vectors whose L2
+    norm leaves [0.5·median, 2·median] — degenerate (near-zero) or
+    exploded embeddings that poison cosine retrieval.  The operator
+    form (operators/similarity.norm_outliers) uses the mergeable
+    approx-median for production; THIS gate pins the semantics with an
+    EXACT lower median selected by rank via the two-phase global
+    ranker, so both engines pick the identical element (approx-median
+    tie behavior is engine-specific and can't be value-checked).
+
+    Scale shape: one norm projection, the median rank via
+    range-repartition + P-row offsets (no single-partition window),
+    and a 1-row broadcast back over the norms.
+    """
+    from ..operators.relational import global_rank
+
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.norm("embedding").alias("nrm"))
+    ranked = global_rank(normed, ["nrm", "vec_id"])
+    n = ranked.agg(F.count("*").alias("n"))
+    med = (
+        ranked.crossJoin(broadcast(n))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("nrm").alias("m"))
+    )
+    return normed.crossJoin(broadcast(med)).select(
+        "vec_id",
+        F.round("nrm", 9).alias("nrm"),
+        F.round("m", 9).alias("median_nrm"),
+        (
+            (F.col("nrm") < 0.5 * F.col("m"))
+            | (F.col("nrm") > 2.0 * F.col("m"))
+        ).alias("is_outlier"),
+    )

@@ -524,6 +524,7 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "events_interarrival_percentiles": 3,
         "graph_degree_histogram": 5,
         "curation_token_budget_select": 5,
+        "emb_norm_outliers": 5,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
