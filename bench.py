@@ -146,6 +146,7 @@ HEADLINE = [
     "graph_degree_histogram",
     "curation_token_budget_select",
     "emb_norm_outliers",
+    "agg_kmv_resemblance",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map

@@ -1338,3 +1338,98 @@ def audit_sampler_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_spread",
         )
     )
+
+
+@query(
+    "agg_kmv_resemblance",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '5-LOW'
+    ), u AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+        a.k IS NOT NULL AS in_a, b.k IS NOT NULL AS in_b,
+        CAST('0x' || substr(md5(CAST(COALESCE(a.k, b.k) AS VARCHAR)),
+             1, 15) AS BIGINT) AS h
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    ), bottomk AS (
+      SELECT in_a, in_b FROM u ORDER BY h, k LIMIT {_KMV_K}
+    ), est AS (
+      SELECT COUNT(*) AS kk,
+        SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_both
+      FROM bottomk
+    ), ex AS (
+      SELECT SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS inter,
+        COUNT(*) AS uni
+      FROM u
+    )
+    SELECT CAST(uni AS BIGINT) AS union_size,
+      CAST(inter AS BIGINT) AS intersection_size,
+      CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_ppm,
+      CAST(n_both * 1000000 // kk AS BIGINT) AS kmv_jaccard_ppm
+    FROM ex, est
+    """,
+)
+def agg_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set resemblance from the bottom-k sketch (Broder): the Jaccard
+    similarity of two part-key sets (urgent-order parts vs low-
+    priority-order parts) estimated as the fraction of the UNION's k
+    minimum hash values that belong to both sets — the device behind
+    MinHash itself, here in its sketch-comparison form (two stored
+    bottom-k sketches answer resemblance without touching the data
+    again).  Emitted next to the exact Jaccard so the gate
+    value-checks both the estimate and its error.
+
+    Scale shape: two distinct key sets (map-combined), one full outer
+    join on the key, a TakeOrdered bottom-k of the union, two 1-row
+    reductions.  In production the two bottom-k sketches are tiny
+    persisted artifacts; the full outer join here exists only to also
+    produce the exact answer for the gate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def side(prio: str, name: str) -> DataFrame:
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(F.col("o_orderpriority") == prio)
+            .select(F.col("l_partkey").alias("k"))
+            .distinct()
+            .withColumn(name, F.lit(True))
+        )
+
+    a = side("1-URGENT", "in_a")
+    b = side("5-LOW", "in_b")
+    u = (
+        a.join(b, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+            T.md5_hash64(F.col("k").cast("string")).alias("h"),
+        )
+    )
+    bottomk = u.orderBy("h", "k").limit(_KMV_K)
+    est = bottomk.agg(
+        F.count("*").alias("kk"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("both"),
+    )
+    ex = u.agg(
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("inter"),
+        F.count("*").alias("uni"),
+    )
+    return ex.crossJoin(broadcast(est)).select(
+        F.col("uni").cast("bigint").alias("union_size"),
+        F.col("inter").cast("bigint").alias("intersection_size"),
+        F.expr("CAST(inter * 1000000 DIV uni AS BIGINT)").alias(
+            "jaccard_ppm"
+        ),
+        F.expr("CAST(both * 1000000 DIV kk AS BIGINT)").alias(
+            "kmv_jaccard_ppm"
+        ),
+    )

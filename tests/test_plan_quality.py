@@ -525,6 +525,7 @@ def test_headline_shuffle_counts_pinned_exactly(spark):
         "graph_degree_histogram": 5,
         "curation_token_budget_select": 5,
         "emb_norm_outliers": 5,
+        "agg_kmv_resemblance": 5,
         "text_bm25_search": 7,
         "text_fingerprint": 1,
         "text_ngram_novelty": 3,
