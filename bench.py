@@ -147,6 +147,11 @@ HEADLINE = [
     "curation_token_budget_select",
     "emb_norm_outliers",
     "agg_kmv_resemblance",
+    # round 9 additions: hybrid retrieval fusion and the image
+    # sample-byte kernel
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_weighted",
+    "multimodal_image_tile_luminance",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -194,6 +199,11 @@ SCAN_PARALLELIZE = {
     "curation_export_shards",
     # round 8: per-row WAV synthesis fold + numpy PCM decode
     "multimodal_audio_energy",
+    # round 9: per-row BMP synthesis fold + numpy pixel decode; the
+    # hybrid arms include BM25's token explode over documents
+    "multimodal_image_tile_luminance",
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_weighted",
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ
@@ -336,6 +346,31 @@ def main() -> int:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Persist the full per-query record next to the repo (VERDICT r8
+    # #2: the driver artifact truncates its tail to 2000 chars, so
+    # round-over-round per-query comparisons need a repo-side record).
+    # Adds git SHA + 1-min loadavg so a noisy-host number is legible
+    # as such later.  Stdout contract above is unchanged.
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 — bench must not die on metadata
+        sha = None
+    local = dict(out)
+    local["git_sha"] = sha or "unknown"
+    local["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(local, fh, indent=1)
+        fh.write("\n")
     return 0
 
 

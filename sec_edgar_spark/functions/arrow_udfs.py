@@ -27,16 +27,22 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("bigint")
 def digit_sum(x: pd.Series) -> pd.Series:
-    """Vectorized decimal digit sum of a non-negative integer column
-    (Arrow scalar UDF — one numpy pass per batch, never per row)."""
+    """Vectorized decimal digit sum of an integer column (Arrow scalar
+    UDF — one numpy pass per batch, never per row).  NULL inputs stay
+    NULL (not 0); negative inputs sum the digits of the magnitude
+    (numpy's floored // with sign-flipping % would otherwise produce
+    garbage on negatives)."""
     import numpy as np
 
-    v = x.to_numpy(dtype="int64", na_value=0).copy()
+    null_mask = x.isna()
+    v = np.abs(x.to_numpy(dtype="int64", na_value=0)).copy()
     out = np.zeros_like(v)
     while (v > 0).any():
         out += v % 10
         v //= 10
-    return pd.Series(out)
+    res = pd.Series(out)
+    res[null_mask.to_numpy()] = None
+    return res
 
 
 @pandas_udf("bigint")

@@ -66,8 +66,13 @@ def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> C
     The planes are compile-time constants (deterministic, seeded
     upstream), so the bucket id is a pure expression: bit b = 1 iff
     dot(a, plane_b) >= 0.  The plane matrix is ONE nested-array
-    literal.
+    literal.  At most 62 planes: bit weights are int64 2**b literals.
     """
+    if len(planes) > 62:
+        raise ValueError(
+            f"random_projection_sign_bits supports at most 62 planes "
+            f"(int64 bit weights), got {len(planes)}"
+        )
     emb = as_double(a)
     parr = F.lit([[float(x) for x in p] for p in planes])
     weights = F.lit([2**b for b in range(len(planes))]).cast("array<bigint>")

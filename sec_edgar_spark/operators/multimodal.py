@@ -424,3 +424,102 @@ def audio_frame_energy(
     return df.select("doc_id", blob_col).mapInPandas(
         run, schema=AUDIO_ENERGY_SCHEMA
     )
+
+
+def bmp_pixels(blob: bytes | None):
+    """Top-down H×W×3 RGB uint8 array from an uncompressed 24-bit BMP
+    blob (numpy), or None if the blob is not well-formed BI_RGB 24bpp.
+    Handles the real layout traps: 4-byte row padding, bottom-up row
+    order, and BGR channel order — the second kernel in the family
+    that reads SAMPLE bytes (images), after the WAV PCM one."""
+    import numpy as np
+
+    if not blob or len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    off = int.from_bytes(blob[10:14], "little")
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    stride = ((3 * width + 3) // 4) * 4
+    data = blob[off : off + stride * h]
+    if len(data) < stride * h:
+        return None
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : 3 * width].reshape(h, width, 3)
+    if height > 0:  # positive height = bottom-up storage
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1]  # BGR → RGB
+
+
+IMAGE_LUMINANCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tiles", LongType()),
+        StructField("total_lum", LongType()),
+        StructField("peak_tile", LongType()),
+        StructField("peak_lum", LongType()),
+    ]
+)
+
+
+def image_tile_luminance(
+    df: DataFrame, blob_col: str = "blob", tile: int = 8
+) -> DataFrame:
+    """Per-image tiled luminance pass: decode 24-bit BMP pixels (numpy,
+    Arrow-batched), integer Rec.709 luminance per pixel
+    (2126·R + 7152·G + 722·B — weights ×10⁴ so everything stays exact
+    int64), sum per ``tile``×``tile`` tile (row-major tile ids,
+    partial edge tiles zero-padded), and emit the total, the tile
+    count, and the peak tile (ties to the lower tile id).  Same
+    mapInPandas shape as audio_frame_energy — the stage a real
+    thumbnail/blur/OCR-precheck kernel occupies; exact int64 outputs
+    are what make the pass oracle-checkable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                rgb = bmp_pixels(bytes(b) if b is not None else None)
+                if rgb is None or rgb.size == 0:
+                    out.append((doc_id, 0, 0, None, None))
+                    continue
+                lum = (
+                    2126 * rgb[:, :, 0].astype(np.int64)
+                    + 7152 * rgb[:, :, 1].astype(np.int64)
+                    + 722 * rgb[:, :, 2].astype(np.int64)
+                )
+                h, w = lum.shape
+                th = (h + tile - 1) // tile
+                tw = (w + tile - 1) // tile
+                padded = np.zeros((th * tile, tw * tile), dtype=np.int64)
+                padded[:h, :w] = lum
+                per = (
+                    padded.reshape(th, tile, tw, tile)
+                    .sum(axis=(1, 3))
+                    .reshape(-1)
+                )  # row-major tile ids
+                peak = int(per.argmax())  # first max: tie → lower id
+                out.append(
+                    (doc_id, th * tw, int(lum.sum()), peak, int(per[peak]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_tiles",
+                    "total_lum",
+                    "peak_tile",
+                    "peak_lum",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        run, schema=IMAGE_LUMINANCE_SCHEMA
+    )

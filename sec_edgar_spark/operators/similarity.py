@@ -437,6 +437,11 @@ def lsh_multiprobe_topk(
     exactly one bucket and the probe set is distinct buckets, so no
     (query, neighbor) pair is scored twice — no dedup stage needed.
     """
+    if len(planes) > 62:
+        raise ValueError(
+            f"lsh_multiprobe_topk supports at most 62 hyperplanes "
+            f"(bucket ids are int64 bit weights 2**b), got {len(planes)}"
+        )
     keyed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),

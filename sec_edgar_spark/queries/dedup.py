@@ -824,6 +824,7 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
     from ..operators import dedup as D
     from ..operators.graph import connected_components
+    from ..operators.reporting import keep_best_selection
 
     d = table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(
@@ -834,20 +835,13 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
-    scored = (
-        d.select("doc_id", T.token_count("text").cast("int").alias("n_tokens"))
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-            "n_tokens",
-        )
+    scored = d.select(
+        "doc_id", T.token_count("text").cast("int").alias("n_tokens")
     )
-    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .select("doc_id", "component", "n_tokens", (F.col("rn") == 1).alias("keep"))
-    )
+    # Derivation is the persist-and-derive operator: at 100 TB `comp`
+    # would be a persisted component-bucketed scan paid for once
+    # (operators/reporting docstring), not this inline recompute.
+    return keep_best_selection(comp, scored, score_col="n_tokens")
 
 
 def _triangle_oracle() -> str:
@@ -1381,32 +1375,22 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: component sizes are a component-keyed aggregate over
     the components output; the histogram is a size-keyed aggregate
     (≤ log-ish distinct sizes); the singleton row is two 1-row counts.
+
+    Production shape at 100 TB: the components pipeline is the COST —
+    persist it ONCE (bucketed on ``component``,
+    operators/bucketing.write_bucketed) and derive this histogram (and
+    keep-best, and every other dedup report) from the persisted scan:
+    operators/reporting.cluster_size_histogram accepts any components
+    frame, and over a component-bucketed scan its component-keyed
+    aggregate runs with zero Exchange (plan-asserted in
+    tests/test_bucketing.py).  This gate query recomputes components
+    inline only because the gate is one-shot.
     """
     from .registry import QUERIES
-
-    from pyspark.sql.functions import broadcast
+    from ..operators.reporting import cluster_size_histogram
 
     comp = QUERIES["dedup_connected_components"](spark, sf_dir).select(
         "doc_id", "component"
     )
     d = table(spark, sf_dir, "documents")
-    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
-    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
-        F.count("*").alias("n_clusters")
-    )
-    n_clustered = comp.agg(F.count("*").alias("n_clustered"))
-    n_docs = d.agg(F.count("*").alias("n_docs"))
-    singles = n_docs.crossJoin(broadcast(n_clustered)).select(
-        F.lit(1).cast("bigint").alias("cluster_size"),
-        (F.col("n_docs") - F.col("n_clustered")).alias("n_clusters"),
-    )
-    return (
-        hist.unionByName(singles)
-        .groupBy("cluster_size")
-        .agg(
-            F.sum("n_clusters").cast("bigint").alias("n_clusters"),
-            F.sum(F.col("n_clusters") * F.col("cluster_size"))
-            .cast("bigint")
-            .alias("n_docs"),
-        )
-    )
+    return cluster_size_histogram(comp, d)

@@ -1682,3 +1682,155 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("nrm") > 2.0 * F.col("m"))
         ).alias("is_outlier"),
     )
+
+
+def _hybrid_arms_oracle() -> str:
+    """CTE-compose the two REGISTERED arm oracles (the ann_recall_eval
+    pattern): text arm = text_bm25_search's top-20 (doc_id, rk), vector
+    arm = ann_bruteforce_topk's query_id=0 top-10 (neighbor_id, rk).
+    Ranks coalesce to 0 ("not retrieved by this arm") so the fused
+    frame carries no nullable ints through the comparator."""
+    from .registry import ORACLES
+
+    return f"""
+    WITH bm AS ({ORACLES["text_bm25_search"]}),
+    ann AS ({ORACLES["ann_bruteforce_topk"]}),
+    txt AS (SELECT doc_id, rk AS bm25_rk FROM bm),
+    vec AS (SELECT neighbor_id AS doc_id, rk AS cos_rk FROM ann
+            WHERE query_id = 0),
+    arms AS (
+      SELECT COALESCE(txt.doc_id, vec.doc_id) AS doc_id,
+             CAST(COALESCE(txt.bm25_rk, 0) AS BIGINT) AS bm25_rk,
+             CAST(COALESCE(vec.cos_rk, 0) AS BIGINT) AS cos_rk
+      FROM txt FULL OUTER JOIN vec ON txt.doc_id = vec.doc_id
+    )
+    """
+
+
+def _hybrid_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _hybrid_arms_oracle: compose the two REGISTERED
+    arm queries and full-outer-join their (tiny, ≤ top-K-sized) rank
+    frames on doc_id."""
+    from .registry import QUERIES
+
+    bm = QUERIES["text_bm25_search"](spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("bm25_rk")
+    )
+    ann = (
+        QUERIES["ann_bruteforce_topk"](spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("cos_rk"))
+    )
+    return bm.join(ann, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("bm25_rk", F.lit(0)).cast("bigint").alias("bm25_rk"),
+        F.coalesce("cos_rk", F.lit(0)).cast("bigint").alias("cos_rk"),
+    )
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=_hybrid_arms_oracle()
+    + """
+    , fused AS (
+      SELECT doc_id, bm25_rk, cos_rk,
+        (CASE WHEN bm25_rk > 0 THEN 1000000 // (60 + bm25_rk) ELSE 0 END)
+        + (CASE WHEN cos_rk > 0 THEN 1000000 // (60 + cos_rk) ELSE 0 END)
+          AS rrf_ppm
+      FROM arms
+    )
+    SELECT doc_id, bm25_rk, cos_rk, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= 10
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time hybrid retrieval, reciprocal-rank fusion (VERDICT r8
+    #6): fuse the REGISTERED BM25 arm (lexical) and the REGISTERED
+    brute-force cosine arm (semantic) for one request — RRF score
+    Σ 1e6 div (60 + rank), exact integer ppm so both engines agree
+    bit-for-bit, k=60 the standard RRF damping (Cormack et al.).  A
+    document missing from one arm simply contributes 0 — RRF's
+    defining robustness over score-scale mismatch.
+
+    Scale shape: each arm is the registered operator's own shape
+    (corpus-parallel scoring, top-K survives); fusion touches only the
+    two K-sized rank frames, so its full outer join and final top-10
+    are constant-size regardless of corpus.  At 100 TB the arms run
+    once each and the fusion is free.
+    """
+    arms = _hybrid_arms(spark, sf_dir)
+    rrf = (
+        F.when(
+            F.col("bm25_rk") > 0,
+            F.expr("1000000 div (60 + bm25_rk)"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("cos_rk") > 0,
+            F.expr("1000000 div (60 + cos_rk)"),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    fused = arms.select("doc_id", "bm25_rk", "cos_rk", rrf.alias("rrf_ppm"))
+    w = Window.orderBy(F.desc("rrf_ppm"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_ppm"), "doc_id")
+        .limit(10)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+    )
+
+
+@query(
+    "retrieval_hybrid_weighted",
+    oracle=_hybrid_arms_oracle()
+    + """
+    , fused AS (
+      SELECT doc_id, bm25_rk, cos_rk,
+        (CASE WHEN bm25_rk > 0
+              THEN (600000 * (20 - bm25_rk + 1)) // 20 ELSE 0 END)
+        + (CASE WHEN cos_rk > 0
+                THEN (400000 * (10 - cos_rk + 1)) // 10 ELSE 0 END)
+          AS fused_ppm
+      FROM arms
+    )
+    SELECT doc_id, bm25_rk, cos_rk, CAST(fused_ppm AS BIGINT) AS fused_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY fused_ppm DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= 10
+    """,
+)
+def retrieval_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sum hybrid fusion (the other standard production
+    shape): per-arm rank-normalized relevance in exact integer ppm —
+    arm contribution = weight · (K - rank + 1)/K with text weight 0.6
+    over its K=20 and vector weight 0.4 over its K=10 — summed via
+    integer division so both engines agree exactly.  Rank-based
+    normalization (not raw-score min-max) is deliberate: BM25 scores
+    and cosines live on incomparable scales, and rank normalization is
+    the scale-free fix that needs no per-query score statistics.
+
+    Scale shape: identical to retrieval_hybrid_rrf — arms at corpus
+    scale, fusion over two K-sized frames.
+    """
+    arms = _hybrid_arms(spark, sf_dir)
+    fused_ppm = (
+        F.when(
+            F.col("bm25_rk") > 0,
+            F.expr("(600000 * (20 - bm25_rk + 1)) div 20"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("cos_rk") > 0,
+            F.expr("(400000 * (10 - cos_rk + 1)) div 10"),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    fused = arms.select(
+        "doc_id", "bm25_rk", "cos_rk", fused_ppm.alias("fused_ppm")
+    )
+    w = Window.orderBy(F.desc("fused_ppm"), "doc_id")
+    return (
+        fused.orderBy(F.desc("fused_ppm"), "doc_id")
+        .limit(10)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+    )

@@ -2014,8 +2014,14 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-shaped, not corpus-shaped.
     """
     d = table(spark, sf_dir, "documents")
+    # greatest(..., 0) guards sub-3-char texts: sequence(1, -1) would
+    # auto-step DOWNWARD ([1, 0, -1]) and emit junk postings built from
+    # zero/negative substring positions.  sequence(1, 0) is empty.
     trgm = F.array_distinct(
-        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 0)),"
+            " i -> substring(text, i, 3))"
+        )
     )
     posting = d.select("doc_id", F.explode(trgm).alias("tg"))
     out = None

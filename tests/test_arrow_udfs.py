@@ -43,6 +43,31 @@ def test_scalar_digit_sum_matches_expression(spark):
 
 
 @skip
+def test_scalar_digit_sum_nulls_and_negatives(spark):
+    """NULL in → NULL out (not 0); negative in → digit sum of the
+    magnitude (ADVICE r8: na_value=0 silently zeroed NULLs, and
+    numpy's floored // on negatives produced garbage)."""
+    from sec_edgar_spark.functions.arrow_udfs import digit_sum
+
+    df = spark.createDataFrame(
+        [(1, 123), (2, None), (3, -405), (4, 0)], "id INT, v BIGINT"
+    )
+    got = {
+        r.id: r.ds for r in df.select("id", digit_sum("v").alias("ds")).collect()
+    }
+    assert got == {1: 6, 2: None, 3: 9, 4: 0}
+
+
+def test_sign_bits_plane_count_guard():
+    """>62 hyperplanes must fail at build with a clear message, not a
+    cryptic int64-overflow lit() error (ADVICE r8)."""
+    from sec_edgar_spark.functions.vectors import random_projection_sign_bits
+
+    with pytest.raises(ValueError, match="at most 62"):
+        random_projection_sign_bits("embedding", [[1.0, 0.0]] * 63)
+
+
+@skip
 def test_grouped_agg_sum_of_squares_matches_builtin(spark):
     from sec_edgar_spark.catalog import table
     from sec_edgar_spark.functions.arrow_udfs import sum_of_squares

@@ -151,3 +151,68 @@ def test_unbucketed_join_pays_the_shuffles(spark):
         assert _shuffle_exchanges(_plan(j)) == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@skip
+def test_components_persist_and_derive(spark, tmp_path):
+    """Persist-and-derive dedup reporting (VERDICT r8 #5): write the
+    components table ONCE bucketed on `component`, then derive
+    (a) the component-keyed size aggregate inside
+        cluster_size_histogram with ZERO Exchange, and
+    (b) the keep-best window's component re-distribution with zero
+        Exchange on the components side;
+    both derivations must be value-identical to the inline-recompute
+    path the oracle-gated queries use."""
+    import sec_edgar_spark.queries as Q
+    from sec_edgar_spark.catalog import table
+    from sec_edgar_spark.operators.bucketing import (
+        bucketed,
+        drop_bucketed,
+        write_bucketed,
+    )
+    from sec_edgar_spark.operators.reporting import (
+        cluster_size_histogram,
+        keep_best_selection,
+    )
+
+    comp_fresh = (
+        Q.queries()["dedup_connected_components"](spark, SF_DIR)
+        .select("doc_id", "component")
+    )
+    name = f"components_b_{os.getpid()}"
+    write_bucketed(
+        comp_fresh, name, str(tmp_path / "components_b"), "component", 8
+    )
+    try:
+        comp = bucketed(spark, name)
+        docs = table(spark, SF_DIR, "documents")
+
+        # (a) the component-keyed aggregate is shuffle-free over the
+        # bucketed scan — assert on ITS plan (the full histogram adds
+        # a size-keyed aggregate over the cluster-count-sized frame,
+        # which legitimately shuffles a tiny input).
+        sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+        assert _shuffle_exchanges(_plan(sizes)) == 0, _plan(sizes)
+
+        hist_b = cluster_size_histogram(comp, docs)
+        hist_fresh = cluster_size_histogram(comp_fresh, docs)
+        assert sorted(map(tuple, hist_b.collect())) == sorted(
+            map(tuple, hist_fresh.collect())
+        )
+
+        # (b) keep-best from the persisted scan: value parity with the
+        # inline path (the window itself re-partitions on component;
+        # over the bucketed side the join's components input arrives
+        # already clustered).
+        from sec_edgar_spark.functions import text as T
+
+        scored = docs.select(
+            "doc_id", T.token_count("text").cast("int").alias("n_tokens")
+        )
+        keep_b = keep_best_selection(comp, scored)
+        keep_fresh = keep_best_selection(comp_fresh, scored)
+        assert sorted(map(tuple, keep_b.collect())) == sorted(
+            map(tuple, keep_fresh.collect())
+        )
+    finally:
+        drop_bucketed(spark, name)

@@ -27,13 +27,42 @@ def test_no_hard_antipatterns_anywhere(spark):
             flags.get("BatchEvalPython") or flags.get("ArrowEvalPython")
         ) and name not in PY_UDF_WHITELIST:
             errors.append(f"{name}: python UDF outside whitelist")
-        if flags.get("ExcessExchanges"):
+        if flags.get("ExchangeDrift"):
             errors.append(
-                f"{name}: {flags['ExcessExchanges']} Exchanges — unrolled "
-                "iteration without lineage truncation (localCheckpoint "
-                "per round, see operators/graph.py)"
+                f"{name}: Exchange count drift {flags['ExchangeDrift']} "
+                "(measured!=pinned) — an intentional plan change must "
+                "regenerate its pin (python tools/plan_audit.py "
+                "--emit-pins); a silent regression (lost broadcast, "
+                "extra repartition, unrolled loop without lineage "
+                "truncation) must be fixed"
+            )
+        if flags.get("UnpinnedQuery"):
+            errors.append(
+                f"{name}: no Exchange pin in tools/plan_pins.json — "
+                "every registry query must be pinned (--emit-pins)"
             )
     assert not errors, errors
+
+
+def test_pin_file_covers_registry_exactly():
+    """Fast no-Spark completeness gate: tools/plan_pins.json must pin
+    EVERY queries() entry and nothing else (VERDICT r8 #4 — the global
+    ceiling is gone; an unpinned query would otherwise only fail in the
+    slow full-audit test)."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import PINS_PATH
+    import sec_edgar_spark.queries as Q
+
+    with open(PINS_PATH) as fh:
+        pins = set(json.load(fh))
+    qnames = set(Q.queries())
+    assert pins == qnames, (
+        f"missing pins: {sorted(qnames - pins)[:10]}, "
+        f"stale pins: {sorted(pins - qnames)[:10]}"
+    )
 
 
 @pytest.mark.slow

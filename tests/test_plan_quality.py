@@ -409,141 +409,9 @@ def test_shuffle_budgets_pinned(plans):
     assert not over, f"shuffle budget exceeded (got, cap): {over}"
 
 
-@pytest.mark.slow
-def test_headline_shuffle_counts_pinned_exactly(spark):
-    """Per-query Exchange pins for EVERY headline query (VERDICT r7
-    #8: the global ExcessExchanges ceiling of 40 masks a 1→12 jump in
-    a narrow plan).  Counts come from tools/plan_audit._count_shuffles
-    — hermetic (cache cleared per build) and deduplicated by plan_id —
-    so they are stable across test order.  An intentional plan change
-    must edit its pin here; a silent regression (lost broadcast, extra
-    repartition, unrolled loop) fails with the exact delta."""
-    import sys
-
-    sys.path.insert(0, ".")
-    from tools.plan_audit import audit
-
-    PINS = {
-        "a1_group_collect": 1,
-        "a3_running_count": 1,
-        "agg_bootstrap_ci": 3,
-        "agg_hll_distinct": 6,
-        "agg_ivm_join_maintenance": 4,
-        "agg_percentiles_approx": 1,
-        "ann_bruteforce_topk": 1,
-        "ann_ivf_topk": 1,
-        "ann_ivf_trained": 15,
-        "ann_lsh_topk": 1,
-        "ann_pq_adc_topk": 17,
-        "ann_rerank_cross": 2,
-        "ann_rerank_refine": 2,
-        "curation_ccnet_buckets": 10,
-        "curation_cluster_balanced_sample": 16,
-        "curation_rho_select": 4,
-        "text_tokenizer_fertility": 1,
-        "curation_contamination_report": 4,
-        "curation_domain_mix": 3,
-        "curation_mixture_reweight": 3,
-        "curation_dsir_select": 5,
-        "curation_export_shards": 1,
-        "curation_keep_best": 3,
-        "curation_quality_calibrate": 6,
-        "dedup_chunk_overlap": 5,
-        "dedup_containment_capped": 11,
-        "dedup_embedding_cosine": 2,
-        "dedup_exact": 1,
-        "dedup_incremental_lsh": 3,
-        "dedup_minhash_lsh_pairs": 2,
-        "dedup_ngram_jaccard_pairs": 9,
-        "dedup_prefix_filter_capped": 11,
-        "dedup_semantic": 8,
-        "dedup_simhash_adaptive": 6,
-        "dedup_simhash_hamming": 4,
-        "dedup_span_removal": 3,
-        "edgar_company_pagination": 3,
-        "edgar_company_topk": 1,
-        "edgar_concept_roundtrip": 0,
-        "edgar_form4_roundtrip": 0,
-        "edgar_index_pipeline": 1,
-        "edgar_sgml_roundtrip": 0,
-        "emb_quantize_int8": 0,
-        "events_ab_test": 3,
-        "events_asof_join": 1,
-        "events_incremental_rollup": 2,
-        "events_range_join": 0,
-        "events_rank_sum_test": 4,
-        "events_retention_cohorts": 4,
-        "events_scd2_merge": 7,
-        "events_session_native": 1,
-        "events_sessionize": 1,
-        "events_sliding_daily": 2,
-        "events_tumbling_daily": 2,
-        "graph_kcore_prune": 1,
-        "graph_pagerank": 0,
-        "j_bloom_prefilter": 3,
-        "l1_topk_per_group": 1,
-        "ml_cluster_quality": 7,
-        "ml_kmeans_assign": 7,
-        "ml_ridge_closed_form": 1,
-        "profile_lineitem": 3,
-        "q1_pricing_summary": 1,
-        "q3_shipping_priority": 1,
-        "q5_region_revenue": 1,
-        "q9_product_profit": 1,
-        "text_bigram_pmi": 4,
-        "text_bigram_surprisal": 6,
-        "events_cusum_changepoint": 2,
-        "graph_wcc_components": 2,
-        "er_match_score": 1,
-        "er_sorted_neighborhood": 2,
-        "er_entity_groups": 2,
-        "er_match_score_capped": 3,
-        "text_trigram_search": 4,
-        "events_acf_lags": 3,
-        "audit_k_anonymity": 2,
-        "agg_weighted_percentiles": 3,
-        "curation_curriculum_order": 3,
-        "text_type_token_ratio": 2,
-        "curation_length_histogram": 2,
-        "events_trend_mannkendall": 5,
-        "agg_selfjoin_size_estimate": 5,
-        "ann_lsh_multiprobe_topk": 1,
-        "events_trend_theilsen": 5,
-        "agg_trimmed_mean": 2,
-        "ann_matryoshka_recall": 2,
-        "graph_ppr_seeded": 0,
-        "multimodal_audio_energy": 0,
-        "agg_kmv_distinct": 3,
-        "curation_corpus_summary": 2,
-        "events_session_entry_exit": 2,
-        "events_attribution_linear": 5,
-        "text_langid_confusion": 5,
-        "audit_sampler_uniformity": 4,
-        "audit_quality_length_bias": 2,
-        "dedup_cluster_size_histogram": 5,
-        "events_interarrival_percentiles": 3,
-        "graph_degree_histogram": 5,
-        "curation_token_budget_select": 5,
-        "emb_norm_outliers": 5,
-        "agg_kmv_resemblance": 5,
-        "text_bm25_search": 7,
-        "text_fingerprint": 1,
-        "text_ngram_novelty": 3,
-        "text_phrase_merge": 28,
-        "text_phrase_search": 1,
-        "text_quality_filter": 1,
-        "text_repetition_filter": 6,
-        "text_sparse_cosine_pairs": 7,
-        "text_vocab_growth": 6,
-        "text_winnowing_pairs": 4,
-    }
-    measured = {
-        name: flags.get("_shuffles", 0)
-        for name, flags in audit("/root/testdata/sf0.001", only=list(PINS))
-    }
-    drift = {
-        n: (measured.get(n), pin)
-        for n, pin in PINS.items()
-        if measured.get(n) != pin
-    }
-    assert not drift, f"shuffle-count drift (measured, pinned): {drift}"
+# NOTE (r9): the per-query exact-pin enforcement that lived here
+# (test_headline_shuffle_counts_pinned_exactly, 112 inline pins) moved
+# to tools/plan_pins.json covering the ENTIRE registry — drift is now a
+# hard flag inside tools/plan_audit.audit() and is asserted by
+# tests/test_plan_audit.py::test_no_hard_antipatterns_anywhere, with a
+# fast no-Spark completeness gate (test_pin_file_covers_registry_exactly).

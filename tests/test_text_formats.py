@@ -68,5 +68,9 @@ def test_failfast_raises_on_bad_row(spark, tmp_path):
         .option("mode", "FAILFAST")
         .csv(str(p))
     )
-    with pytest.raises((Py4JJavaError, Exception)):
+    with pytest.raises(Py4JJavaError) as exc:
         df.collect()
+    # Must be the FAILFAST malformed-record error specifically, not an
+    # unrelated failure (path typo, schema mistake) sneaking through.
+    msg = str(exc.value)
+    assert "FAILFAST" in msg or "Malformed" in msg, msg

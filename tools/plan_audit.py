@@ -22,22 +22,34 @@ documented row-UDF whitelist.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 import sys
 
 sys.path.insert(0, ".")
 
-# Any plan carrying more data-moving Exchanges than this ceiling is
-# flagged ExcessExchanges — the signature of unrolled iteration
-# without lineage truncation (the class that produced kcore_prune's
-# 134-Exchange 3^rounds plan before its localCheckpoint fix).
-# Exchanges are counted per unique plan_id (_count_shuffles): cached
-# subtrees reprint under every consumer but execute once, while an
-# exponential unroll instantiates DISTINCT exchanges each round and
-# still trips the gate immediately.  The widest legitimate plan in
-# the registry (text_phrase_merge) carries 28 under this counting,
-# so 32 leaves headroom.  Hard-enforced by tests/test_plan_audit.py.
-EXCHANGE_CEILING = 32
+# Per-query Exchange pins (VERDICT r8 #4: the global ceiling of 32 left
+# 4 of headroom under the widest legitimate plan and would mask a 1→12
+# regression in a narrow plan).  tools/plan_pins.json pins the EXACT
+# hermetic per-plan_id Exchange count for EVERY registry query at
+# sf0.001; audit() flags ExchangeDrift on any mismatch and
+# UnpinnedQuery for a registry entry with no pin.  An intentional plan
+# change regenerates its pin via `python tools/plan_audit.py
+# --emit-pins`; a silent regression (lost broadcast, extra repartition,
+# unrolled loop without lineage truncation — the class that produced
+# kcore_prune's 134-Exchange 3^rounds plan before its localCheckpoint
+# fix) fails with the exact delta.  Hard-enforced by
+# tests/test_plan_audit.py over the whole registry.
+PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_pins.json")
+
+
+def load_pins() -> dict[str, int]:
+    try:
+        with open(PINS_PATH) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
 
 # Queries allowed to show BatchEvalPython/ArrowEvalPython (documented
 # row-UDF escape hatches — parsing layers, not analytics hot paths).
@@ -73,6 +85,10 @@ TINY_WINDOW_WHITELIST: set[str] = {
     # A3-composed running count: reference single-file order semantics
     # (documented partitioned variant exists)
     "edgar_index_pipeline",
+    # hybrid fusion: rank windows over the composed BM25 top-20 frame
+    # and the post-limit(10) fused frame — both constant-size
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_weighted",
 }
 
 
@@ -104,6 +120,7 @@ def audit(sf_dir: str = "/root/testdata/sf0.001", only=None):
     )
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
+    pins = load_pins()
     wanted = set(only) if only is not None else None
     for name, fn in sorted(Q.queries().items()):
         if wanted is not None and name not in wanted:
@@ -199,8 +216,11 @@ def audit(sf_dir: str = "/root/testdata/sf0.001", only=None):
         # separately (they DO re-execute, modulo runtime
         # ReusedExchange — see audit_executed for that refinement).
         flags["_shuffles"] = _count_shuffles(plan)
-        if flags["_shuffles"] > EXCHANGE_CEILING:
-            flags["ExcessExchanges"] = flags["_shuffles"]
+        pin = pins.get(name)
+        if pin is None:
+            flags["UnpinnedQuery"] = 1
+        elif flags["_shuffles"] != pin:
+            flags["ExchangeDrift"] = f"{flags['_shuffles']}!={pin}"
         rows.append((name, flags))
     return rows
 
@@ -234,6 +254,23 @@ def audit_executed(sf_dir: str, names: list[str]) -> list[tuple]:
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--emit-pins":
+        # Regenerate tools/plan_pins.json from the measured hermetic
+        # counts at sf0.001.  Review the diff before committing: every
+        # changed pin is an intentional plan change or a caught
+        # regression — never rubber-stamp a drift you can't explain.
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        rows = audit(sf_dir)
+        pins = {name: flags.get("_shuffles", 0) for name, flags in rows}
+        errs = [n for n, f in rows if "PLAN_ERROR" in f]
+        if errs:
+            print(f"refusing to emit pins: PLAN_ERROR on {errs}")
+            return 1
+        with open(PINS_PATH, "w") as fh:
+            json.dump(dict(sorted(pins.items())), fh, indent=1)
+            fh.write("\n")
+        print(f"{len(pins)} pins -> {PINS_PATH}")
+        return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--executed":
         sf_dir = "/root/testdata/sf0.001"
         names = sys.argv[2:]

@@ -11,20 +11,72 @@ caught it, so the failure mode costs seconds instead of a round:
    queries() (a dangling oracle means a renamed or deleted query whose
    correctness row would silently vanish).
 
-Usage: python tools/preflight.py   (exit 0 = green).
-Documented pre-commit step: run this before any commit that touches
-queries/, tools/plan_audit.py, or PLAN_AUDIT.md.
+3. BENCH_LOCAL.json currency — the repo-side per-query bench record
+   must cover exactly bench.HEADLINE (the driver artifact truncates;
+   this file is the round-over-round comparison source of truth).
+
+Usage: python tools/preflight.py            (exit 0 = green, <5s)
+       python tools/preflight.py --full     (also runs the whole pytest
+           suite and stamps result + SHA into COVERAGE.md — MANDATORY
+           for the round's final registry-touching commit; r7 and
+           nearly r8 shipped red/unverified suites without it)
+Documented pre-commit step: run the fast mode before any commit that
+touches queries/, tools/plan_audit.py, or PLAN_AUDIT.md; run --full
+before the last registry-touching commit of a round.
 """
 
 from __future__ import annotations
 
+import json
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, ".")
 
 
+def full_suite_stamp() -> int:
+    """Run the whole pytest suite and stamp the outcome + HEAD SHA into
+    COVERAGE.md (between the SUITE-STAMP markers, replacing the old
+    stamp).  Returns pytest's exit code."""
+    import time
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        capture_output=True,
+        text=True,
+    )
+    tail = (proc.stdout or "").strip().splitlines()
+    summary = tail[-1] if tail else "no output"
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    stamp = (
+        f"<!-- SUITE-STAMP -->\n"
+        f"**Whole-suite run** (tools/preflight.py --full): `{summary}` at "
+        f"`{sha}` (+ uncommitted work-tree state at stamp time), "
+        f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.\n"
+        f"<!-- /SUITE-STAMP -->"
+    )
+    with open("COVERAGE.md") as fh:
+        cov = fh.read()
+    if "<!-- SUITE-STAMP -->" in cov:
+        cov = re.sub(
+            r"<!-- SUITE-STAMP -->.*?<!-- /SUITE-STAMP -->",
+            stamp,
+            cov,
+            flags=re.S,
+        )
+    else:
+        cov = cov.rstrip() + "\n\n" + stamp + "\n"
+    with open("COVERAGE.md", "w") as fh:
+        fh.write(cov)
+    print(f"suite: {summary} @ {sha} -> COVERAGE.md stamp")
+    return proc.returncode
+
+
 def main() -> int:
+    import bench
     import sec_edgar_spark.queries as Q
 
     failures: list[str] = []
@@ -45,11 +97,31 @@ def main() -> int:
     if dangling:
         failures.append(f"oracle_sql keys missing from queries(): {dangling}")
 
+    # BENCH_LOCAL.json must cover exactly the current HEADLINE set —
+    # a headline query added without a bench rerun leaves the repo's
+    # per-query record silently stale (VERDICT r8 #2).
+    try:
+        with open("BENCH_LOCAL.json") as fh:
+            bl = json.load(fh)
+        covered = set(bl.get("queries", {})) | set(bl.get("errors", {}))
+        if covered != set(bench.HEADLINE):
+            missing = set(bench.HEADLINE) - covered
+            extra = covered - set(bench.HEADLINE)
+            failures.append(
+                f"BENCH_LOCAL.json stale vs bench.HEADLINE "
+                f"(missing={sorted(missing)[:5]}, extra={sorted(extra)[:5]}) "
+                f"— rerun: python bench.py"
+            )
+    except FileNotFoundError:
+        failures.append("BENCH_LOCAL.json missing — run: python bench.py")
+
     if failures:
         for f in failures:
             print(f"PREFLIGHT FAIL: {f}")
         return 1
     print(f"preflight green: {len(qnames)} queries, report current")
+    if "--full" in sys.argv:
+        return full_suite_stamp()
     return 0
 
 

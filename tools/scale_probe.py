@@ -57,14 +57,18 @@ DEFAULT_PROBES = [
 ]
 
 
-def build_replicas(spark) -> None:
+def build_replicas(spark, base: str = None, out: str = None, replicas: int = None) -> None:
     from sec_edgar_spark import catalog
 
-    os.makedirs(OUT, exist_ok=True)
+    base = base or BASE
+    out = out or OUT
+    replicas = replicas or REPLICAS
 
-    ev = catalog.table(spark, BASE, "events")
+    os.makedirs(out, exist_ok=True)
+
+    ev = catalog.table(spark, base, "events")
     parts = []
-    for k in range(REPLICAS):
+    for k in range(replicas):
         parts.append(
             ev.select(
                 (F.col("event_id") + k * 10_000_000).alias("event_id"),
@@ -78,11 +82,11 @@ def build_replicas(spark) -> None:
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    u.coalesce(8).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+    u.coalesce(8).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    doc = catalog.table(spark, BASE, "documents")
+    doc = catalog.table(spark, base, "documents")
     parts = []
-    for k in range(REPLICAS):
+    for k in range(replicas):
         suffixed = F.array_join(
             F.transform(
                 F.filter(F.split("text", r"\s+"), lambda t: t != ""),
@@ -102,11 +106,11 @@ def build_replicas(spark) -> None:
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    u.coalesce(8).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+    u.coalesce(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    emb = catalog.table(spark, BASE, "embeddings")
+    emb = catalog.table(spark, base, "embeddings")
     parts = []
-    for k in range(REPLICAS):
+    for k in range(replicas):
         sheared = F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x, i: x + F.lit(float(k)) * 0.001 * (i.cast("double") + 1.0),
@@ -121,7 +125,7 @@ def build_replicas(spark) -> None:
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    u.coalesce(8).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    u.coalesce(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
 _KEY_OFFSETS = {
@@ -137,14 +141,18 @@ _KEY_OFFSETS = {
 }
 
 
-def build_relational_replicas(spark) -> None:
+def build_relational_replicas(spark, base: str = None, out: str = None, replicas: int = None) -> None:
     from sec_edgar_spark import catalog
 
-    os.makedirs(OUT, exist_ok=True)
+    base = base or BASE
+    out = out or OUT
+    replicas = replicas or REPLICAS
+
+    os.makedirs(out, exist_ok=True)
     for t in ("lineitem", "orders", "customer", "supplier", "part"):
-        df = catalog.table(spark, BASE, t)
+        df = catalog.table(spark, base, t)
         parts = []
-        for k in range(REPLICAS):
+        for k in range(replicas):
             cols = [
                 (F.col(c) + k * _KEY_OFFSETS[c]).alias(c)
                 if c in _KEY_OFFSETS
@@ -155,11 +163,11 @@ def build_relational_replicas(spark) -> None:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        u.coalesce(8).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+        u.coalesce(8).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     for t in ("nation", "region"):
-        catalog.table(spark, BASE, t).coalesce(1).write.mode(
+        catalog.table(spark, base, t).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{OUT}/{t}.parquet")
+        ).parquet(f"{out}/{t}.parquet")
 
 
 def main() -> int:
@@ -170,7 +178,7 @@ def main() -> int:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{OUT}/embeddings.parquet"):
+    if not os.path.exists(f"{out}/embeddings.parquet"):
         print("building 10x replicas...", flush=True)
         build_replicas(spark)
     if not os.path.exists(f"{OUT}/lineitem.parquet"):
