@@ -152,6 +152,24 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "retrieval_hybrid_weighted",
     "multimodal_image_tile_luminance",
+    # round-9 session-2 additions: provenance audits, link prediction,
+    # weighted sampling, URL dedup, Markov journeys
+    "audit_source_overlap_kmv",
+    "graph_link_prediction_jaccard",
+    "curation_oov_rate",
+    "dedup_url_canonical",
+    "sample_priority_weighted",
+    "events_markov_transitions",
+    "dedup_rate_by_source",
+    "text_vocab_drift",
+    "text_kwic",
+    # round-9 session-3 additions: apportionment, behavioral cohorts,
+    # vector hygiene, robust anomaly screening
+    "curation_epoch_mix_schedule",
+    "events_rfm_segmentation",
+    "emb_dim_variance_audit",
+    "events_anomaly_mad",
+    "curation_funnel_report",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -204,6 +222,16 @@ SCAN_PARALLELIZE = {
     "multimodal_image_tile_luminance",
     "retrieval_hybrid_rrf",
     "retrieval_hybrid_weighted",
+    # round-9 session 2: token explodes / LSH shingling over documents
+    "audit_source_overlap_kmv",
+    "graph_link_prediction_jaccard",
+    "curation_oov_rate",
+    "dedup_rate_by_source",
+    "text_vocab_drift",
+    "text_kwic",
+    "curation_epoch_mix_schedule",
+    "emb_dim_variance_audit",
+    "curation_funnel_report",  # composes quality explode + LSH keep-best
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ

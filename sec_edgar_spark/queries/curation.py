@@ -1469,3 +1469,402 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+_OVERLAP_K = 64  # bottom-k sketch size per source
+_TOK_H = "CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)"
+
+
+@query(
+    "audit_source_overlap_kmv",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source, unnest({_TOKENS_SQL}) AS token FROM documents
+    ), sketch AS (
+      SELECT source, token FROM (
+        SELECT source, token, ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY {_TOK_H}, token) AS rn
+        FROM tok
+      ) WHERE rn <= {_OVERLAP_K}
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n FROM tok GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT sa.source AS src_a, sb.source AS src_b,
+        sa.n AS n_a, sb.n AS n_b, COALESCE(i.n_inter, 0) AS n_inter
+      FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+      LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
+    ), merged AS (
+      SELECT p.src_a, p.src_b, s.token,
+        MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+        MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sketch s ON s.source IN (p.src_a, p.src_b)
+      GROUP BY 1, 2, 3
+    ), bk AS (
+      SELECT src_a, src_b, in_a, in_b FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY src_a, src_b ORDER BY {_TOK_H}, token) AS rn
+        FROM merged
+      ) WHERE rn <= {_OVERLAP_K}
+    ), est AS (
+      SELECT src_a, src_b, COUNT(*) AS kk,
+        SUM(in_a * in_b) AS n_both
+      FROM bk GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b,
+      CAST(p.n_inter * 1000000 // (p.n_a + p.n_b - p.n_inter) AS BIGINT)
+        AS jaccard_ppm,
+      CAST(e.n_both * 1000000 // e.kk AS BIGINT) AS kmv_jaccard_ppm
+    FROM pairs p JOIN est e ON p.src_a = e.src_a AND p.src_b = e.src_b
+    ORDER BY p.src_a, p.src_b
+    """,
+)
+def audit_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-overlap matrix — "how much does source A's
+    vocabulary overlap source B's?" — the cross-source contamination /
+    redundancy audit a mixture designer reads before weighting
+    sources.  Every pair gets the exact token-set Jaccard AND the
+    Broder bottom-k estimate from two per-source KMV sketches (k=64),
+    so the gate value-checks both the answer and the sketch device.
+
+    Scale shape: the sketches are the production path — ONE pass
+    builds a k-row sketch per source (per-source window over the
+    distinct token stream), and every pairwise estimate is computed
+    from sketch rows alone (source-count² × k rows, trivially tiny).
+    The exact side (token self-join) exists only to produce the
+    gate's ground truth, same policy as agg_kmv_resemblance.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(
+        "source", F.explode(F.array_distinct(T.tokens("text"))).alias("token")
+    ).distinct()
+    h = T.md5_hash64("token")
+    wsrc = Window.partitionBy("source").orderBy(h.asc(), F.col("token").asc())
+    sketch = (
+        tok.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= _OVERLAP_K)
+        .select("source", "token")
+    )
+    sizes = tok.groupBy("source").agg(F.count("*").alias("n"))
+    ta, tb = tok.alias("a"), tok.alias("b")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    pairs = (
+        sa.join(sb, F.col("src_a") < F.col("src_b"))
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b", "n_a", "n_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        )
+    )
+    # (pair, member-source) rows make the sketch probe an EQUI-join on
+    # source (an OR predicate would plan a nested-loop join).
+    pair_members = pairs.select(
+        "src_a", "src_b", F.explode(F.array("src_a", "src_b")).alias("source")
+    )
+    merged = (
+        sketch.join(F.broadcast(pair_members), "source")
+        .groupBy("src_a", "src_b", "token")
+        .agg(
+            F.max((F.col("source") == F.col("src_a")).cast("int")).alias("in_a"),
+            F.max((F.col("source") == F.col("src_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wpair = Window.partitionBy("src_a", "src_b").orderBy(
+        T.md5_hash64("token").asc(), F.col("token").asc()
+    )
+    bk = merged.withColumn("rn", F.row_number().over(wpair)).filter(
+        F.col("rn") <= _OVERLAP_K
+    )
+    est = bk.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("kk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    return (
+        pairs.join(est, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CAST(n_inter * 1000000 DIV (n_a + n_b - n_inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr("CAST(n_both * 1000000 DIV kk AS BIGINT)").alias(
+                "kmv_jaccard_ppm"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_OOV_V = 256  # reference vocabulary size
+
+
+@query(
+    "curation_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rn
+        FROM cnt
+      ) WHERE rn <= {_OOV_V}
+    )
+    SELECT t.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def curation_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit: build the top-V corpus
+    vocabulary (V=256, ties → token asc) and report each document's
+    out-of-vocabulary token share in exact integer ppm — the signal
+    that decides whether a tokenizer's vocab (or a fixed reference
+    vocab) covers a candidate corpus, and which documents drag
+    coverage down.
+
+    Scale shape: the vocabulary is TakeOrdered-V from one map-combined
+    token count (never a full sort) and BROADCASTS to the per-token
+    membership probe; the per-doc rollup is one doc-keyed aggregate.
+    At 100 TB the vocab is a fixed artifact and the probe is the same
+    broadcast hash join.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), "token")
+        .limit(_OOV_V)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "curation_epoch_mix_schedule",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.source, len({_TOKENS_SQL}) AS n_toks FROM documents d
+    ), dom AS (
+      SELECT source, CAST(SUM(n_toks) AS BIGINT) AS domain_tokens
+      FROM tok GROUP BY source
+    ), tot AS (
+      SELECT SUM(domain_tokens) AS corpus_tokens,
+        SUM(domain_tokens) // 4 AS budget
+      FROM dom
+    ), quota AS (
+      SELECT source, domain_tokens,
+        (budget * domain_tokens) // corpus_tokens AS floor_alloc,
+        (budget * domain_tokens) % corpus_tokens AS remainder,
+        budget, corpus_tokens
+      FROM dom CROSS JOIN tot
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rk,
+        budget - SUM(floor_alloc) OVER () AS n_extra
+      FROM quota
+    )
+    SELECT source, domain_tokens,
+      CAST(floor_alloc AS BIGINT) AS floor_alloc,
+      CAST(remainder AS BIGINT) AS remainder,
+      CAST(floor_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+           AS BIGINT) AS epoch_tokens
+    FROM ranked ORDER BY source
+    """,
+)
+def curation_epoch_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch token allocation by LARGEST-REMAINDER apportionment
+    (Hamilton's method): split a fixed epoch budget (¼ of corpus token
+    mass) across sources proportionally to their token mass, in exact
+    integers that sum EXACTLY to the budget — floor the proportional
+    quota, then hand the leftover +1s to the largest remainders (ties
+    → source asc).  This is how a mixture weight vector becomes an
+    executable per-epoch sampling plan without fractional-token drift
+    accumulating across epochs.
+
+    Scale shape: one source-keyed token aggregate, a 1-row totals
+    broadcast, and the remainder rank over the |sources|-row frame
+    (constant-size at any corpus scale).
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    dom = (
+        d.select("source", T.token_count("text").cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("bigint").alias("domain_tokens"))
+    )
+    tot = dom.agg(F.sum("domain_tokens").alias("corpus_tokens")).select(
+        "corpus_tokens", F.expr("corpus_tokens DIV 4").alias("budget")
+    )
+    quota = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "domain_tokens",
+        F.expr("(budget * domain_tokens) DIV corpus_tokens").alias("floor_alloc"),
+        F.expr("(budget * domain_tokens) % corpus_tokens").alias("remainder"),
+        "budget",
+    )
+    w = Window.orderBy(F.desc("remainder"), "source")
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "domain_tokens",
+        "floor_alloc",
+        "remainder",
+        F.row_number().over(w).alias("rk"),
+        (F.col("budget") - F.sum("floor_alloc").over(wall)).alias("n_extra"),
+    )
+    return ranked.select(
+        "source",
+        "domain_tokens",
+        F.col("floor_alloc").cast("bigint").alias("floor_alloc"),
+        F.col("remainder").cast("bigint").alias("remainder"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("epoch_tokens"),
+    ).orderBy("source")
+
+
+def _funnel_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH q AS ({ORACLES["text_quality_filter"]}),
+    kb AS ({ORACLES["curation_keep_best"]}),
+    s1 AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM q WHERE passes_quality
+    ), canon AS (
+      SELECT MIN(d.doc_id) AS doc_id
+      FROM documents d JOIN s1 ON d.doc_id = s1.doc_id
+      GROUP BY md5(d.text)
+    ), s2 AS (
+      SELECT s1.* FROM s1 JOIN canon ON s1.doc_id = canon.doc_id
+    ), s3 AS (
+      SELECT s2.* FROM s2 JOIN kb ON s2.doc_id = kb.doc_id AND kb.keep
+    ), s0 AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM q
+    ), stages AS (
+      SELECT 0 AS stage_ord, 'ingest' AS stage,
+        COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens FROM s0
+      UNION ALL SELECT 1, 'quality', COUNT(*), SUM(n_tokens) FROM s1
+      UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(n_tokens) FROM s2
+      UNION ALL SELECT 3, 'near_dedup_keep_best', COUNT(*), SUM(n_tokens)
+        FROM s3
+    ), total AS (SELECT COUNT(*) AS n0 FROM documents)
+    SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(n_docs * 1000000 // n0 AS BIGINT) AS retained_docs_ppm
+    FROM stages CROSS JOIN total ORDER BY stage_ord
+    """
+
+
+@query("curation_funnel_report", oracle=_funnel_oracle())
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation FUNNEL — doc and token survivor counts
+    after each pipeline stage (ingest → quality gate → exact dedup →
+    near-dup keep-best), with retained-docs ppm vs ingest: the one
+    table every corpus run reports first, and the cross-stage
+    consistency check over three REGISTERED operators (quality filter,
+    md5 exact dedup, LSH keep-best) composed with the SAME semantics
+    the individual gates verify.  Exact-dedup canonicals are chosen
+    WITHIN quality survivors (pipeline order matters and is encoded);
+    keep-best flags come from the corpus-wide cluster decision, the
+    shape a production run persists once and reuses.
+
+    Scale shape: each stage is a flag/join on doc-keyed frames; the
+    stage rollup is four 1-row aggregates unioned (constant output).
+    The LSH-components cost is the composed operator's own; a real run
+    derives this report from the PERSISTED components/keep tables
+    (operators/reporting.py) for free.
+    """
+    from .registry import QUERIES
+
+    q = QUERIES["text_quality_filter"](spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "passes_quality",
+    )
+    kb = QUERIES["curation_keep_best"](spark, sf_dir).select("doc_id", "keep")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    s0 = q.select("doc_id", "n_tokens")
+    s1 = q.filter("passes_quality").select("doc_id", "n_tokens")
+    canon = (
+        d.join(s1.select("doc_id"), "doc_id")
+        .groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(canon, "doc_id")
+    s3 = s2.join(kb.filter("keep").select("doc_id"), "doc_id")
+
+    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).cast("bigint").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+
+    stages = (
+        stage(s0, 0, "ingest")
+        .unionByName(stage(s1, 1, "quality"))
+        .unionByName(stage(s2, 2, "exact_dedup"))
+        .unionByName(stage(s3, 3, "near_dedup_keep_best"))
+    )
+    total = d.agg(F.count("*").alias("n0"))
+    return (
+        stages.crossJoin(F.broadcast(total))
+        .select(
+            "stage_ord",
+            "stage",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 1000000 DIV n0 AS BIGINT)").alias(
+                "retained_docs_ppm"
+            ),
+        )
+        .orderBy("stage_ord")
+    )

@@ -1394,3 +1394,267 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table(spark, sf_dir, "documents")
     return cluster_size_histogram(comp, d)
+
+
+def _linkpred_oracle() -> str:
+    from .registry import ORACLES
+
+    lsh = ORACLES["dedup_minhash_lsh_pairs"]
+    return f"""
+    WITH pairs AS ({lsh}),
+    adj AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION ALL
+      SELECT doc_b AS n, doc_a AS m FROM pairs
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM adj GROUP BY n
+    ), cn AS (
+      SELECT a1.m AS x, a2.m AS y, COUNT(*) AS common
+      FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.m < a2.m
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT cn.x, cn.y, cn.common, dx.d AS deg_x, dy.d AS deg_y,
+        EXISTS (
+          SELECT 1 FROM pairs p WHERE p.doc_a = cn.x AND p.doc_b = cn.y
+        ) AS is_edge
+      FROM cn JOIN deg dx ON cn.x = dx.n JOIN deg dy ON cn.y = dy.n
+    )
+    SELECT x AS doc_a, y AS doc_b, CAST(common AS BIGINT) AS n_common,
+      CAST(common * 1000000 // (deg_x + deg_y - common) AS BIGINT)
+        AS jaccard_ppm,
+      is_edge
+    FROM cand
+    """
+
+
+@query("graph_link_prediction_jaccard", oracle=_linkpred_oracle())
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the verified near-dup
+    pair graph (Liben-Nowell & Kleinberg): every pair sharing ≥1
+    common neighbor is scored |N(x)∩N(y)| / |N(x)∪N(y)| in exact
+    integer ppm, tagged ``is_edge`` — the prediction set is the
+    is_edge=false rows ("these two docs are probably near-dups the
+    LSH bands missed", the recall-repair signal a dedup pipeline runs
+    between full re-shingles), while the is_edge=true rows calibrate
+    what score known edges carry.  (On a clique-y dedup graph the
+    non-edge set can be legitimately empty — emitting both keeps the
+    gate value-checking real arithmetic either way.)  Composes the
+    REGISTERED LSH-pairs operator; the oracle replays the same edge
+    set CTE-composed.
+
+    Scale shape: wedge enumeration is the triangle query's equi-join
+    on the shared middle vertex (fan-out bounded by the dedup
+    generator's capped degrees); degrees are one node-keyed aggregate;
+    the edge tag is a left semi-ish join against the (sparse) edge
+    list.  No all-pairs stage anywhere.
+    """
+    from .registry import QUERIES
+
+    e = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    adj = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        e.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    cn = (
+        adj.alias("a1")
+        .join(adj.alias("a2"), F.col("a1.n") == F.col("a2.n"))
+        .filter(F.col("a1.m") < F.col("a2.m"))
+        .groupBy(F.col("a1.m").alias("x"), F.col("a2.m").alias("y"))
+        .agg(F.count("*").alias("common"))
+    )
+    edge_flag = e.select(
+        F.col("a").alias("x"), F.col("b").alias("y"),
+        F.lit(True).alias("_edge"),
+    )
+    cand = (
+        cn.join(edge_flag, ["x", "y"], "left")
+        .join(deg.select(F.col("n").alias("x"), F.col("d").alias("deg_x")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("deg_y")), "y")
+    )
+    return cand.select(
+        F.col("x").alias("doc_a"),
+        F.col("y").alias("doc_b"),
+        F.col("common").cast("bigint").alias("n_common"),
+        F.expr("CAST(common * 1000000 DIV (deg_x + deg_y - common) AS BIGINT)")
+        .alias("jaccard_ppm"),
+        F.coalesce("_edge", F.lit(False)).alias("is_edge"),
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH built AS (
+      SELECT c_custkey,
+        (CASE WHEN c_custkey % 3 = 0 THEN 'HTTPS://Site' ELSE 'https://site'
+         END) || CAST(c_custkey % 20 AS VARCHAR) || '.Example.com/item/'
+        || CAST(c_custkey % 100 AS VARCHAR)
+        || (CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN c_custkey % 2 = 0
+            THEN '?utm_source=feed&utm_campaign=q' || CAST(c_custkey % 3 AS VARCHAR)
+            ELSE '' END)
+        || (CASE WHEN c_custkey % 2 = 0 AND c_custkey % 6 = 0
+            THEN '&page=2' ELSE '' END)
+        || (CASE WHEN c_custkey % 5 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM customer
+    ), canon AS (
+      SELECT c_custkey, url,
+        regexp_replace(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(url), '#.*$', ''),
+              '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+            '\\?&', '?', 'g'),
+        '\\?$', ''), '/$', '') AS canonical_url
+      FROM built
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      CAST(MIN(c_custkey) AS BIGINT) AS canonical_key
+    FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass of every web-corpus
+    pipeline (CommonCrawl-style): lowercase, strip the #fragment,
+    strip utm_* tracking params (repairing a dangling '?&'), strip the
+    trailing '?' and '/', then exact-group on the canonical form and
+    keep the minimum key.  URLs are synthesized from customer keys
+    (the testdata carries no URL field) with every trap represented:
+    mixed-case scheme+host, tracking params first and mid-query,
+    fragments, trailing slashes — so the gate exercises true rewrite
+    positions.  The regex subset (anchors, character classes) behaves
+    identically in Java and RE2.
+
+    Scale shape: canonicalization is a pure map expression chain
+    (whole-stage codegen, zero Python); the only shuffle is the final
+    exact-dedup hash aggregate on the canonical string.
+    """
+    c = table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("HTTPS://Site")).otherwise(
+            F.lit("https://site")
+        ),
+        (F.col("c_custkey") % 20).cast("string"),
+        F.lit(".Example.com/item/"),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=q"),
+                (F.col("c_custkey") % 3).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") % 6 == 0),
+            F.lit("&page=2"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("_url")), "#.*$", ""),
+                    "[?&]utm_[a-z_]+=[^&#]*",
+                    "",
+                ),
+                r"\?&",
+                "?",
+            ),
+            r"\?$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    built = c.select(F.col("c_custkey"), url.alias("_url"))
+    canon = built.select("c_custkey", canonical.alias("canonical_url"))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("c_custkey").cast("bigint").alias("canonical_key"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _dup_rate_oracle() -> str:
+    from .registry import ORACLES
+
+    lsh = ORACLES["dedup_minhash_lsh_pairs"]
+    return f"""
+    WITH pairs AS ({lsh}),
+    dup_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b AS doc_id FROM pairs
+    ), flagged AS (
+      SELECT d.source, d.doc_id,
+        CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+        len(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> ''))
+          AS n_toks
+      FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+      CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_doc_ppm,
+      CAST(SUM(is_dup * n_toks) * 1000000 // SUM(n_toks) AS BIGINT)
+        AS dup_token_ppm
+    FROM flagged GROUP BY source ORDER BY source
+    """
+
+
+@query("dedup_rate_by_source", oracle=_dup_rate_oracle())
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate PER SOURCE — doc share and token-mass
+    share of documents with ≥1 verified near-dup — the per-provenance
+    dedup report that tells a mixture designer which source is
+    paying for its weight in redundancy.  Composes the REGISTERED
+    LSH-pairs operator; the oracle replays the same edge set.
+
+    Scale shape: dup-doc ids are a union+distinct over the (sparse)
+    pair list; the membership probe is a doc-keyed join (broadcastable
+    — dup ids ≪ corpus); the report is one source-keyed aggregate.
+    """
+    from ..functions import text as T
+    from .registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", T.token_count("text").cast("long").alias("n_toks")
+    )
+    flagged = d.join(dup_docs, "doc_id", "left").select(
+        "source", "n_toks", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.sum(F.col("is_dup") * F.col("n_toks")).alias("_dup_toks"),
+            F.sum("n_toks").alias("_toks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_doc_ppm"
+            ),
+            F.expr("CAST(_dup_toks * 1000000 DIV _toks AS BIGINT)").alias(
+                "dup_token_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1470,3 +1470,184 @@ def events_interarrival_percentiles(
         pick(F.lit(10), F.lit(9)).alias("p90_s"),
         pick(F.lit(100), F.lit(99)).alias("p99_s"),
     )
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS max_day FROM events
+    ), rfm AS (
+      SELECT user_id,
+        date_diff('day', CAST(date_trunc('day', MAX(ts)) AS DATE),
+                  a.max_day) AS recency_days,
+        COUNT(*) AS frequency,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id, a.max_day
+    )
+    SELECT user_id,
+      CAST(recency_days AS BIGINT) AS recency_days,
+      CAST(frequency AS BIGINT) AS frequency,
+      monetary,
+      CASE WHEN recency_days <= 7 THEN 3
+           WHEN recency_days <= 30 THEN 2 ELSE 1 END AS r_score,
+      CASE WHEN frequency >= 50 THEN 3
+           WHEN frequency >= 10 THEN 2 ELSE 1 END AS f_score,
+      CASE WHEN recency_days <= 7 AND frequency >= 50 THEN 'core'
+           WHEN recency_days <= 30 THEN 'active'
+           ELSE 'lapsed' END AS segment
+    FROM rfm
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation with
+    FIXED threshold scores — the classic behavioral-cohort operator
+    (retention targeting, activity-weighted sampling of user data).
+    Recency anchors to the corpus max day (deterministic — never
+    wall-clock now()); monetary sums exact DECIMAL cents then casts
+    once (the battery's order-independent money rule).
+
+    Scale shape: one user-keyed aggregate (map-combined) against a
+    1-row broadcast anchor; thresholds are pure map expressions.  The
+    absolute-threshold scores are deliberate: quantile-based RFM
+    scores need the percentile device (agg_weighted_percentiles) and
+    a second pass — documented, not hidden.
+    """
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("max_day")
+    )
+    rfm = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "max_day")
+        .agg(
+            F.date_trunc("day", F.max("ts")).cast("date").alias("_last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff("max_day", "_last_day").cast("bigint").alias(
+                "recency_days"
+            ),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary",
+        )
+    )
+    r_score = (
+        F.when(F.col("recency_days") <= 7, 3)
+        .when(F.col("recency_days") <= 30, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") >= 50, 3)
+        .when(F.col("frequency") >= 10, 2)
+        .otherwise(1)
+    )
+    segment = (
+        F.when((F.col("recency_days") <= 7) & (F.col("frequency") >= 50), "core")
+        .when(F.col("recency_days") <= 30, "active")
+        .otherwise("lapsed")
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        segment.alias("segment"),
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, n AS med_n FROM (
+        SELECT event_type, n,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rk,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM daily
+      ) WHERE rk = (cnt + 1) // 2
+    ), dev AS (
+      SELECT d.event_type, d.day, d.n, m.med_n,
+        abs(d.n - m.med_n) AS adev
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, adev AS mad_n FROM (
+        SELECT event_type, adev,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, day) AS rk,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM dev
+      ) WHERE rk = (cnt + 1) // 2
+    )
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+      CAST(d.med_n AS BIGINT) AS median_n, CAST(m.mad_n AS BIGINT) AS mad_n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.adev > 3 * m.mad_n
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly screen by MEDIAN ABSOLUTE DEVIATION:
+    flag (event_type, day) cells whose count deviates from the type's
+    median by more than 3×MAD — the outlier rule that, unlike
+    z-scores, is not itself dragged by the outliers it hunts.  Exact
+    integer medians (lower median selected by rank, ties → day) and
+    integer deviations — nothing floats, both engines agree exactly.
+
+    Scale shape: the corpus feeds ONE (type, day) aggregate; every
+    window after it runs on the type-partitioned day-series frame
+    (≤ days×types rows, calendar-bounded at any corpus size) — the
+    same series-shaped reasoning as the trend/changepoint battery.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        ranked = df.select(
+            "event_type",
+            F.col(val),
+            F.row_number()
+            .over(wt.orderBy(F.col(val), F.col("day")))
+            .alias("rk"),
+            F.count("*").over(wt).alias("cnt"),
+        )
+        return ranked.filter(
+            F.col("rk") == F.expr("(cnt + 1) DIV 2")
+        ).select("event_type", F.col(val).alias(out))
+
+    med = lower_median(daily, "n", "med_n")
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "med_n",
+        F.abs(F.col("n") - F.col("med_n")).alias("adev"),
+    )
+    mad = lower_median(
+        dev.select("event_type", "day", F.col("adev").alias("n")), "n", "mad_n"
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad_n"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("med_n").cast("bigint").alias("median_n"),
+            F.col("mad_n").cast("bigint").alias("mad_n"),
+        )
+        .orderBy("event_type", "day")
+    )

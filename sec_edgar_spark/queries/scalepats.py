@@ -2565,3 +2565,61 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("bucket"),
         "degree_lo", "n_nodes", "edge_endpoints",
     )
+
+
+_PRIO_K = 40  # weighted sample size
+
+
+@query(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          + 1 AS h1
+      FROM documents WHERE n_chars > 0
+    ), keyed AS (
+      SELECT doc_id, weight,
+        CAST(h1 AS DOUBLE) / CAST(weight AS DOUBLE) AS sort_key
+      FROM w
+    )
+    SELECT doc_id, weight, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) AS rk
+      FROM keyed
+    ) WHERE rk <= {_PRIO_K}
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement by PRIORITY
+    (Duffield–Lund–Thorup): each row gets priority w/u with u uniform
+    from the md5 hash — equivalently we keep the k SMALLEST u/w —
+    so heavier documents are proportionally likelier to be kept, in
+    ONE pass, reproducibly (hash, never rand()).  This is the
+    length-weighted corpus subsample a curation run uses when "sample
+    10k documents proportional to token mass" must be replayable.
+    u/w is a single IEEE double division of exact integers — both
+    engines compute the identical value (no transcendentals, unlike
+    the u^(1/w) exponential-jumps form).
+
+    Scale shape: the sort key is a map expression; top-k is
+    TakeOrdered (each partition keeps k, driver merges P·k) — never a
+    global sort.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    from ..functions import text as T
+
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (
+            (T.md5_hash64(F.col("doc_id").cast("string")) + 1).cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("sort_key"),
+    )
+    w = Window.orderBy("sort_key", "doc_id")
+    return (
+        keyed.orderBy("sort_key", "doc_id")
+        .limit(_PRIO_K)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "weight", "rk")
+    )

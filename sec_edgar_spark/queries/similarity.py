@@ -1834,3 +1834,71 @@ def retrieval_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
     )
+
+
+@query(
+    "emb_dim_variance_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT dim,
+        CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 65536) AS BIGINT)
+          AS qv
+      FROM embeddings, LATERAL (SELECT unnest(range({EMB_DIM})) AS dim)
+    ), s AS (
+      SELECT dim, COUNT(*) AS n, SUM(qv) AS sum_q,
+        SUM(qv * qv) AS sum_q2, MIN(qv) AS min_q, MAX(qv) AS max_q
+      FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+      CAST(sum_q AS BIGINT) AS sum_q, CAST(sum_q2 AS BIGINT) AS sum_q2,
+      CAST(min_q AS BIGINT) AS min_q, CAST(max_q AS BIGINT) AS max_q,
+      CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0) AS mean,
+      (CAST(n AS DOUBLE) * CAST(sum_q2 AS DOUBLE)
+       - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4294967296.0) AS variance
+    FROM s ORDER BY dim
+    """,
+)
+def emb_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the dead/degenerate-
+    dimension audit run before indexing or whitening a vector corpus
+    (a near-zero-variance dimension wastes index bits; a huge-range
+    one dominates L2).  Values are quantized by an EXACT power-of-two
+    scale (v·2¹⁶ — a float-mantissa shift, never a rounding — then
+    floor), so all moment sums are exact BIGINTs and both engines
+    agree bit-for-bit; mean/variance divide those exact integers in a
+    single-row double chain at the end.
+
+    Scale shape: one posexplode (64 rows per vector) into a
+    64-group map-combined aggregate — the frame after the scan is
+    dimension-sized, not corpus-sized.  Overflow headroom: |q| < 2¹⁹
+    for |v| < 8, so Σq² < 2³⁸·n — safe past 10⁹ vectors.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.posexplode(V.as_double("embedding")).alias("dim", "v")
+    ).select("dim", F.floor(F.col("v") * 65536).cast("bigint").alias("qv"))
+    s = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("qv").alias("sum_q"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sum_q2"),
+        F.min("qv").alias("min_q"),
+        F.max("qv").alias("max_q"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_q").cast("bigint").alias("sum_q"),
+        F.col("sum_q2").cast("bigint").alias("sum_q2"),
+        F.col("min_q").cast("bigint").alias("min_q"),
+        F.col("max_q").cast("bigint").alias("max_q"),
+        (F.col("sum_q").cast("double") / (nd * 65536.0)).alias("mean"),
+        (
+            (
+                nd * F.col("sum_q2").cast("double")
+                - F.col("sum_q").cast("double") * F.col("sum_q").cast("double")
+            )
+            / (nd * nd * 4294967296.0)
+        ).alias("variance"),
+    ).orderBy("dim")

@@ -2288,3 +2288,154 @@ def audit_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr"),
     )
+
+
+_DRIFT_A, _DRIFT_B = "src0", "src1"
+_DRIFT_K = 25  # report the K most-drifting tokens
+
+
+@query(
+    "text_vocab_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS}) AS token FROM documents
+      WHERE source IN ('{_DRIFT_A}', '{_DRIFT_B}')
+    ), cnt AS (
+      SELECT token,
+        SUM(CASE WHEN source = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS obs_a,
+        SUM(CASE WHEN source = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS obs_b
+      FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(obs_a) AS n_a, SUM(obs_b) AS n_b FROM cnt
+    ), scored AS (
+      SELECT token, obs_a, obs_b,
+        abs(obs_a * n_b - obs_b * n_a) AS cross_diff,
+        CAST(obs_a * n_b - obs_b * n_a AS DOUBLE)
+          * CAST(obs_a * n_b - obs_b * n_a AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             * CAST((obs_a + obs_b) * (n_a + n_b) AS DOUBLE)) AS chi2_term
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT token, CAST(obs_a AS BIGINT) AS obs_a,
+      CAST(obs_b AS BIGINT) AS obs_b,
+      CAST(cross_diff AS BIGINT) AS cross_diff, chi2_term,
+      CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cross_diff DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= {_DRIFT_K}
+    """,
+)
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two sources: the K tokens whose usage
+    rates differ most — distribution-shift triage before mixing or
+    re-weighting corpora.  The ranking key is the EXACT integer
+    cross-difference |obs_a·N_b − obs_b·N_a| (rate difference scaled
+    by N_a·N_b — no float enters the order), and each reported token
+    carries its two-sample χ² term computed in a fixed single-row
+    chain of IEEE ops (exact operands, one division) so both engines
+    emit identical doubles.
+
+    Scale shape: one token-keyed conditional-count aggregate
+    (map-combined), a 1-row totals broadcast, TakeOrdered-K on the
+    integer key.  Never a float aggregate across tokens (order-
+    dependent), never a global sort.
+    """
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_DRIFT_A, _DRIFT_B)
+    )
+    tok = d.select("source", F.explode(T.tokens("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(
+        F.sum((F.col("source") == _DRIFT_A).cast("long")).alias("obs_a"),
+        F.sum((F.col("source") == _DRIFT_B).cast("long")).alias("obs_b"),
+    )
+    tot = cnt.agg(
+        F.sum("obs_a").alias("n_a"), F.sum("obs_b").alias("n_b")
+    )
+    scored = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "obs_a",
+        "obs_b",
+        F.abs(F.col("obs_a") * F.col("n_b") - F.col("obs_b") * F.col("n_a"))
+        .alias("cross_diff"),
+        (
+            (F.col("obs_a") * F.col("n_b") - F.col("obs_b") * F.col("n_a"))
+            .cast("double")
+            * (F.col("obs_a") * F.col("n_b") - F.col("obs_b") * F.col("n_a"))
+            .cast("double")
+            / (
+                F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+                * ((F.col("obs_a") + F.col("obs_b")) * (F.col("n_a") + F.col("n_b")))
+                .cast("double")
+            )
+        ).alias("chi2_term"),
+    )
+    w = Window.orderBy(F.desc("cross_diff"), "token")
+    return (
+        scored.orderBy(F.desc("cross_diff"), "token")
+        .limit(_DRIFT_K)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select("token", "obs_a", "obs_b", "cross_diff", "chi2_term", "rk")
+    )
+
+
+_KWIC_WINDOW = 30
+
+
+def _kwic_oracle() -> str:
+    branches = []
+    for pat in _TRGM_PATTERNS:
+        branches.append(f"""
+    SELECT '{pat}' AS pattern, doc_id,
+      CAST(instr(text, '{pat}') AS BIGINT) AS pos,
+      substr(text,
+        CASE WHEN instr(text, '{pat}') - {_KWIC_WINDOW} < 1 THEN 1
+             ELSE instr(text, '{pat}') - {_KWIC_WINDOW} END,
+        CASE WHEN instr(text, '{pat}') - {_KWIC_WINDOW} < 1
+             THEN instr(text, '{pat}') - 1 ELSE {_KWIC_WINDOW} END)
+        AS left_ctx,
+      substr(text, instr(text, '{pat}') + {len(pat)}, {_KWIC_WINDOW})
+        AS right_ctx
+    FROM documents WHERE instr(text, '{pat}') > 0""")
+    return " UNION ALL ".join(branches)
+
+
+@query("text_kwic", oracle=_kwic_oracle())
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: for each fixed needle, every
+    matching document's FIRST occurrence with ±30 chars of context —
+    the corpus-inspection view behind "show me how this phrase is
+    actually used" during curation triage (and the human-review
+    surface for decontamination hits).
+
+    Scale shape: pure map expressions (instr/substr in codegen) over
+    one documents scan shared by both needles; matches are the only
+    surviving rows.  No shuffle at all.
+    """
+    d = table(spark, sf_dir, "documents")
+    out = None
+    for pat in _TRGM_PATTERNS:
+        pos = F.instr("text", pat)
+        left_start = F.when(pos - _KWIC_WINDOW < 1, F.lit(1)).otherwise(
+            pos - _KWIC_WINDOW
+        )
+        left_len = F.when(pos - _KWIC_WINDOW < 1, pos - 1).otherwise(
+            F.lit(_KWIC_WINDOW)
+        )
+        hit = d.filter(pos > 0).select(
+            F.lit(pat).alias("pattern"),
+            "doc_id",
+            pos.cast("bigint").alias("pos"),
+            F.expr(
+                f"substr(text, CASE WHEN instr(text, '{pat}') - {_KWIC_WINDOW}"
+                f" < 1 THEN 1 ELSE instr(text, '{pat}') - {_KWIC_WINDOW} END,"
+                f" CASE WHEN instr(text, '{pat}') - {_KWIC_WINDOW} < 1"
+                f" THEN instr(text, '{pat}') - 1 ELSE {_KWIC_WINDOW} END)"
+            ).alias("left_ctx"),
+            F.substring(
+                F.col("text"), pos + len(pat), _KWIC_WINDOW
+            ).alias("right_ctx"),
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

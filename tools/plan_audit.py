@@ -89,6 +89,11 @@ TINY_WINDOW_WHITELIST: set[str] = {
     # and the post-limit(10) fused frame — both constant-size
     "retrieval_hybrid_rrf",
     "retrieval_hybrid_weighted",
+    # rank over the post-limit(25) drift frame
+    "text_vocab_drift",
+    # remainder rank + floor-sum window over the |sources|-row quota
+    # frame (constant-size)
+    "curation_epoch_mix_schedule",
 }
 
 
