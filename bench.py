@@ -170,6 +170,11 @@ HEADLINE = [
     "emb_dim_variance_audit",
     "events_anomaly_mad",
     "curation_funnel_report",
+    # round-9 session-4 additions
+    "curation_card_by_source",
+    "graph_components_modularity",
+    "events_seasonality_dow",
+    "multimodal_image_dedup_tiles",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -232,6 +237,9 @@ SCAN_PARALLELIZE = {
     "curation_epoch_mix_schedule",
     "emb_dim_variance_audit",
     "curation_funnel_report",  # composes quality explode + LSH keep-best
+    "curation_card_by_source",
+    "graph_components_modularity",
+    "multimodal_image_dedup_tiles",
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ

@@ -523,3 +523,57 @@ def image_tile_luminance(
     return df.select("doc_id", blob_col).mapInPandas(
         run, schema=IMAGE_LUMINANCE_SCHEMA
     )
+
+
+IMAGE_TILE_VECTOR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_w", LongType()),
+        StructField("img_h", LongType()),
+        StructField("tile_sums", ArrayType(LongType())),
+    ]
+)
+
+
+def image_tile_vector(
+    df: DataFrame, blob_col: str = "blob", tile: int = 8
+) -> DataFrame:
+    """Per-image tile-luminance VECTOR (row-major int64 sums, partial
+    edge tiles zero-padded) plus the decoded dimensions — the
+    fingerprint-ready form of :func:`image_tile_luminance` (which
+    reduces the same vector to totals).  Feeds perceptual-dedup
+    bucketing: coarse-quantize each tile sum and group."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                rgb = bmp_pixels(bytes(b) if b is not None else None)
+                if rgb is None or rgb.size == 0:
+                    out.append((doc_id, 0, 0, None))
+                    continue
+                lum = (
+                    2126 * rgb[:, :, 0].astype(np.int64)
+                    + 7152 * rgb[:, :, 1].astype(np.int64)
+                    + 722 * rgb[:, :, 2].astype(np.int64)
+                )
+                h, w = lum.shape
+                th = (h + tile - 1) // tile
+                tw = (w + tile - 1) // tile
+                padded = np.zeros((th * tile, tw * tile), dtype=np.int64)
+                padded[:h, :w] = lum
+                per = (
+                    padded.reshape(th, tile, tw, tile)
+                    .sum(axis=(1, 3))
+                    .reshape(-1)
+                )
+                out.append((doc_id, w, h, [int(x) for x in per]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "img_w", "img_h", "tile_sums"]
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        run, schema=IMAGE_TILE_VECTOR_SCHEMA
+    )

@@ -1868,3 +1868,75 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_ord")
     )
+
+
+@query(
+    "curation_card_by_source",
+    oracle=f"""
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+      CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*)
+        AS BIGINT) AS dup_ratio_ppm,
+      CAST(SUM(len({_TOKENS_SQL})) // COUNT(*) AS BIGINT)
+        AS mean_doc_tokens,
+      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def curation_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card broken out PER SOURCE — sizes, language
+    cardinality, exact-dup ppm, token means, char ranges — the
+    per-provenance sheet a mixture designer reads next to the global
+    card (curation_corpus_summary) and the overlap matrix
+    (audit_source_overlap_kmv).  Text dedup counts md5 digests so the
+    wide text column never moves.
+
+    Scale shape: ONE source-keyed aggregate; the distinct-aggs share
+    the Expand the global card already demonstrated, with source in
+    every grouping key — still map-combined, still one shuffle of
+    digest-sized rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = T.token_count("text").cast("long")
+    return (
+        d.select(
+            "source",
+            "lang",
+            "n_chars",
+            toks.alias("n_toks"),
+            F.length("text").alias("len_chars"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("len_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("h").cast("bigint").alias("n_unique_texts"),
+            F.min(F.col("n_chars")).cast("bigint").alias("_minc"),
+            F.max(F.col("n_chars")).cast("bigint").alias("_maxc"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_unique_texts",
+            F.expr(
+                "CAST((n_docs - n_unique_texts) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("dup_ratio_ppm"),
+            F.expr("CAST(n_tokens DIV n_docs AS BIGINT)").alias(
+                "mean_doc_tokens"
+            ),
+            F.col("_minc").alias("min_chars"),
+            F.col("_maxc").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1658,3 +1658,111 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _modularity_oracle() -> str:
+    from .registry import ORACLES
+
+    lsh = ORACLES["dedup_minhash_lsh_pairs"]
+    comp = ORACLES["dedup_connected_components"]
+    return f"""
+    WITH pairs AS ({lsh}),
+    comp AS ({comp}),
+    m AS (SELECT COUNT(*) AS m_edges FROM pairs),
+    e_in AS (
+      SELECT ca.component, COUNT(*) AS ec
+      FROM pairs p
+      JOIN comp ca ON p.doc_a = ca.doc_id
+      JOIN comp cb ON p.doc_b = cb.doc_id AND ca.component = cb.component
+      GROUP BY ca.component
+    ), degs AS (
+      SELECT c.component, COUNT(*) AS dc FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) d JOIN comp c ON d.doc_id = c.doc_id
+      GROUP BY c.component
+    ), per AS (
+      SELECT dg.component,
+        COALESCE(e.ec, 0) AS ec, dg.dc, mm.m_edges,
+        4 * mm.m_edges * COALESCE(e.ec, 0) - dg.dc * dg.dc AS num_term
+      FROM degs dg LEFT JOIN e_in e ON dg.component = e.component
+      CROSS JOIN m mm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+      CAST(MAX(m_edges) AS BIGINT) AS m_edges,
+      CAST(SUM(ec) AS BIGINT) AS intra_edges,
+      CAST(SUM(num_term) * 1000000 // (4 * MAX(m_edges) * MAX(m_edges))
+        AS BIGINT) AS modularity_ppm
+    FROM per
+    """
+
+
+@query("graph_components_modularity", oracle=_modularity_oracle())
+def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the connected-components partition over the
+    near-dup pair graph — "how community-like are the dedup clusters?"
+    (low modularity = the pair graph is one hairball and threshold
+    tuning is due; high = clean well-separated copy clusters).
+    Computed EXACTLY in integer ppm: Q = Σ_c (e_c/m − (d_c/2m)²)
+    becomes Σ_c (4·m·e_c − d_c²) · 10⁶ // (4m²) — integer sums, one
+    integer division, no float ever enters (float modularity can't be
+    value-checked: sum order).  Composes the REGISTERED pairs AND
+    components operators; the oracle replays both CTE-composed.
+
+    Scale shape: intra-edge counts are two doc-keyed joins of the edge
+    list against the components map (broadcastable — components of
+    near-dup docs ≪ corpus); degrees are one aggregate; the final
+    rollup is component-keyed then 1-row.
+    """
+    from .registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    comp = QUERIES["dedup_connected_components"](spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    m = pairs.agg(F.count("*").alias("m_edges"))
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
+    e_in = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.col("comp_a") == F.col("comp_b"))
+        .groupBy(F.col("comp_a").alias("component"))
+        .agg(F.count("*").alias("ec"))
+    )
+    degs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .join(comp, "doc_id")
+        .groupBy("component")
+        .agg(F.count("*").alias("dc"))
+    )
+    per = (
+        degs.join(e_in, "component", "left")
+        .select(
+            "component",
+            F.coalesce("ec", F.lit(0)).alias("ec"),
+            "dc",
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "component",
+            "ec",
+            "dc",
+            "m_edges",
+            (
+                4 * F.col("m_edges") * F.col("ec") - F.col("dc") * F.col("dc")
+            ).alias("num_term"),
+        )
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.max("m_edges").cast("bigint").alias("m_edges"),
+        F.sum("ec").cast("bigint").alias("intra_edges"),
+        F.expr(
+            "CAST(SUM(num_term) * 1000000 DIV (4 * MAX(m_edges) * MAX(m_edges))"
+            " AS BIGINT)"
+        ).alias("modularity_ppm"),
+    )

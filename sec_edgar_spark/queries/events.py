@@ -1651,3 +1651,54 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_seasonality_dow",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, SUM(n) AS type_total FROM base GROUP BY event_type
+    )
+    SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow,
+      CAST(b.n AS BIGINT) AS n_events,
+      CAST(b.n_users AS BIGINT) AS n_users,
+      CAST(b.n * 1000000 // t.type_total AS BIGINT) AS share_ppm
+    FROM base b JOIN tot t ON b.event_type = t.event_type
+    ORDER BY b.event_type, b.dow
+    """,
+)
+def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type (volume, unique
+    users, exact ppm share of the type's traffic) — the periodicity
+    audit run before any anomaly threshold or forecast is trusted
+    (a Monday spike is seasonality, not anomaly; events_anomaly_mad's
+    MAD rule assumes this profile has been read).  Numbering pinned to
+    Spark's Sunday=1..7 (DuckDB's dayofweek is 0-based — the oracle
+    adds 1).
+
+    Scale shape: one (type, dow)-keyed aggregate — output bounded by
+    7·|types| at any corpus size; the share normalizer joins the tiny
+    type-totals frame.
+    """
+    e = table(spark, sf_dir, "events")
+    base = e.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+    tot = base.groupBy("event_type").agg(F.sum("n").alias("type_total"))
+    return (
+        base.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.expr("CAST(n * 1000000 DIV type_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -348,6 +348,57 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(media, "blob", frame=256)
 
 
+def _b2h(c):
+    """One byte's 2-char hex (value must already be < 256)."""
+    return F.lpad(F.hex(c.cast("long")), 2, "0")
+
+
+def _le(col, nbytes: int):
+    """Little-endian byte encoding of an integer column."""
+    be_hex = F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+    parts = [
+        F.unhex(F.substring(be_hex, 2 * i + 1, 2))
+        for i in reversed(range(nbytes))
+    ]
+    return F.concat(*parts)
+
+
+def _bmp_blob(w, h, px_hex):
+    """In-plan 24-bit BI_RGB BMP synthesis (codegen'd byte
+    expressions): 54-byte headers, bottom-up rows, 4-byte row padding;
+    ``px_hex(x, y)`` supplies one pixel's 6 hex chars in B,G,R file
+    order.  Shared by the tile-luminance and tile-fingerprint-dedup
+    queries."""
+    stride = (w * 3 + 3) - (w * 3 + 3) % 4  # row bytes incl. padding
+    pad = stride - w * 3
+    data_len = stride * h
+    file_len = F.lit(54) + data_len
+    row_hex = lambda y: F.concat(  # noqa: E731
+        F.aggregate(
+            F.sequence(F.lit(0), w - 1),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, px_hex(x, y)),
+        ),
+        F.repeat(F.lit("00"), pad),
+    )
+    # bottom-up: row H-1 first in byte order ⇒ iterate y = h-1 .. 0
+    data_hex = F.aggregate(
+        F.sequence(h - 1, F.lit(0), F.lit(-1)),
+        F.lit(""),
+        lambda acc, y: F.concat(acc, row_hex(y)),
+    )
+    file_header = F.concat(
+        F.lit(b"BM"), _le(file_len, 4), _le(F.lit(0), 4), _le(F.lit(54), 4)
+    )
+    info_header = F.concat(
+        _le(F.lit(40), 4), _le(w, 4), _le(h, 4),  # positive h = bottom-up
+        _le(F.lit(1), 2), _le(F.lit(24), 2), _le(F.lit(0), 4),
+        _le(data_len, 4), _le(F.lit(2835), 4), _le(F.lit(2835), 4),
+        _le(F.lit(0), 4), _le(F.lit(0), 4),
+    )
+    return F.concat(file_header, info_header, F.unhex(data_hex))
+
+
 @query(
     "multimodal_image_tile_luminance",
     oracle="""
@@ -407,51 +458,110 @@ def multimodal_image_tile_luminance(spark: SparkSession, sf_dir: str) -> DataFra
     d = table(spark, sf_dir, "documents").select("doc_id")
     w = F.col("doc_id") % 25 + 8
     h = F.col("doc_id") % 17 + 8
-    stride = ((w * 3 + 3) - (w * 3 + 3) % 4)  # row bytes incl. padding
-    pad = stride - w * 3
-    data_len = stride * h
-    file_len = F.lit(54) + data_len
-
-    def le(col, nbytes):
-        be_hex = F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
-        parts = [
-            F.unhex(F.substring(be_hex, 2 * i + 1, 2))
-            for i in reversed(range(nbytes))
-        ]
-        return F.concat(*parts)
-
-    # one pixel byte's hex (value already < 256)
-    b2h = lambda c: F.lpad(F.hex(c.cast("long")), 2, "0")  # noqa: E731
     base = lambda x, y: (F.col("doc_id") * 31 + y * 17 + x * 7)  # noqa: E731
-    # file order is B, G, R (BMP stores BGR)
-    px_hex = lambda x, y: F.concat(  # noqa: E731
-        b2h((base(x, y) + 6) % 256),
-        b2h((base(x, y) + 3) % 256),
-        b2h(base(x, y) % 256),
+    px_hex = lambda x, y: F.concat(  # noqa: E731  (B, G, R file order)
+        _b2h((base(x, y) + 6) % 256),
+        _b2h((base(x, y) + 3) % 256),
+        _b2h(base(x, y) % 256),
     )
-    row_hex = lambda y: F.concat(  # noqa: E731
-        F.aggregate(
-            F.sequence(F.lit(0), w - 1),
-            F.lit(""),
-            lambda acc, x: F.concat(acc, px_hex(x, y)),
-        ),
-        F.repeat(F.lit("00"), pad),
-    )
-    # bottom-up: row H-1 first in byte order ⇒ iterate y = h-1 .. 0
-    data_hex = F.aggregate(
-        F.sequence(h - 1, F.lit(0), F.lit(-1)),
-        F.lit(""),
-        lambda acc, y: F.concat(acc, row_hex(y)),
-    )
-    file_header = F.concat(
-        F.lit(b"BM"), le(file_len, 4), le(F.lit(0), 4), le(F.lit(54), 4)
-    )
-    info_header = F.concat(
-        le(F.lit(40), 4), le(w, 4), le(h, 4),  # positive h = bottom-up
-        le(F.lit(1), 2), le(F.lit(24), 2), le(F.lit(0), 4),
-        le(data_len, 4), le(F.lit(2835), 4), le(F.lit(2835), 4),
-        le(F.lit(0), 4), le(F.lit(0), 4),
-    )
-    blob = F.concat(file_header, info_header, F.unhex(data_hex))
-    media = d.select("doc_id", blob.alias("blob"))
+    media = d.select("doc_id", _bmp_blob(w, h, px_hex).alias("blob"))
     return image_tile_luminance(media, "blob", tile=8)
+
+
+@query(
+    "multimodal_image_dedup_tiles",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 50 AS base,
+        (doc_id % 50) % 25 + 8 AS w, (doc_id % 50) % 17 + 8 AS h,
+        (doc_id // 50) % 3 AS delta
+      FROM documents
+    ), pix AS (
+      SELECT doc_id, w, h,
+        2126 * ((base * 31 + y * 17 + x * 7) % 251 + delta)
+        + 7152 * ((base * 31 + y * 17 + x * 7 + 3) % 251 + delta)
+        + 722 * ((base * 31 + y * 17 + x * 7 + 6) % 251 + delta) AS lum,
+        (y // 8) * ((w + 7) // 8) + (x // 8) AS tile
+      FROM docs,
+        LATERAL (SELECT unnest(range(w)) AS x),
+        LATERAL (SELECT unnest(range(h)) AS y)
+    ), tiles AS (
+      SELECT doc_id, w, h, tile, SUM(lum) AS e
+      FROM pix GROUP BY 1, 2, 3, 4
+    ), fp AS (
+      SELECT doc_id, w, h,
+        string_agg(CAST(e // 4194304 AS VARCHAR), ','
+                   ORDER BY tile) AS fingerprint
+      FROM tiles GROUP BY 1, 2, 3
+    )
+    SELECT CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+      fingerprint,
+      CAST(COUNT(*) AS BIGINT) AS n_copies,
+      CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM fp GROUP BY w, h, fingerprint HAVING COUNT(*) > 1
+    ORDER BY img_w, img_h, fingerprint
+    """,
+)
+def multimodal_image_dedup_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by tile fingerprint — the multimodal twin
+    of SimHash: decode pixels (the REAL Arrow kernel:
+    operators/multimodal.image_tile_vector), coarse-quantize each 8×8
+    tile's luminance sum (÷2²²), and exact-group on (dims, quantized
+    tile string) — brightness-shifted copies of the same base image
+    land in the same bucket because the shift (≤3 levels/channel,
+    ≤1.9M per tile sum) stays under the quantizer step for most tiles.
+    Blobs are synthesized with planted near-duplicates: base pattern
+    repeats every 50 doc_ids, per-copy brightness delta = (doc_id÷50)
+    mod 3.  The oracle replays the pixel arithmetic AND the
+    quantization — a value match certifies decode, tile walk, and
+    bucketing in one gate.
+
+    Scale shape: one mapInPandas decode stage (zero shuffle), then an
+    exact hash-agg on fingerprint strings — digest-sized rows move,
+    never pixels; identical to how binary-fingerprint dedup
+    (multimodal_dedup_exact) scales, with a perceptual key.
+    """
+    from ..operators.multimodal import image_tile_vector
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    base = F.col("doc_id") % 50
+    w = base % 25 + 8
+    h = base % 17 + 8
+    delta = F.expr("(doc_id DIV 50) % 3")
+    pbase = lambda x, y: (base * 31 + y * 17 + x * 7)  # noqa: E731
+    # channel order in file is B, G, R: B = (+6)%251+δ, G = (+3)%251+δ,
+    # R = (+0)%251+δ
+    px_hex = lambda x, y: F.concat(  # noqa: E731
+        _b2h((pbase(x, y) + 6) % 251 + delta),
+        _b2h((pbase(x, y) + 3) % 251 + delta),
+        _b2h(pbase(x, y) % 251 + delta),
+    )
+    media = d.select("doc_id", _bmp_blob(w, h, px_hex).alias("blob"))
+    vec = image_tile_vector(media, "blob", tile=8)
+    # quantizer 2^22 as an exact integer shift (sums are non-negative,
+    # so shiftright ≡ the oracle's floor division)
+    fp = vec.select(
+        "doc_id",
+        "img_w",
+        "img_h",
+        F.array_join(
+            F.transform(
+                F.col("tile_sums"),
+                lambda s: F.shiftright(s, 22).cast("string"),
+            ),
+            ",",
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("img_w", "img_h", "fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            F.col("img_w"), F.col("img_h"), "fingerprint", "n_copies",
+            "canonical_id",
+        )
+        .orderBy("img_w", "img_h", "fingerprint")
+    )

@@ -178,7 +178,7 @@ def main() -> int:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{out}/embeddings.parquet"):
+    if not os.path.exists(f"{OUT}/embeddings.parquet"):
         print("building 10x replicas...", flush=True)
         build_replicas(spark)
     if not os.path.exists(f"{OUT}/lineitem.parquet"):
