@@ -1510,9 +1510,11 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user-keyed aggregate (map-combined) against a
     1-row broadcast anchor; thresholds are pure map expressions.  The
-    absolute-threshold scores are deliberate: quantile-based RFM
-    scores need the percentile device (agg_weighted_percentiles) and
-    a second pass — documented, not hidden.
+    absolute-threshold scores are deliberate: the QUARTILE-based
+    sibling over the orders table already exists as
+    agg_rfm_segmentation (parallel two-phase NTILE) — this is the
+    streaming-side fixed-SLA variant that needs no second ranking
+    pass.
     """
     e = table(spark, sf_dir, "events")
     anchor = e.agg(

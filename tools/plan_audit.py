@@ -94,6 +94,8 @@ TINY_WINDOW_WHITELIST: set[str] = {
     # remainder rank + floor-sum window over the |sources|-row quota
     # frame (constant-size)
     "curation_epoch_mix_schedule",
+    # rank over the post-limit(40) priority-sample frame
+    "sample_priority_weighted",
 }
 
 
