@@ -199,3 +199,29 @@ def lang_id(token_col: Column) -> Column:
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, s).otherwise(best_score)
     return best_lang
+
+
+def canonicalize_url(c: Column | str) -> Column:
+    """URL canonical form (codegen regex chain, shared by the batch
+    dedup query and the streaming intake gate): lowercase, strip the
+    #fragment, strip utm_* tracking params (repairing a dangling
+    '?&'), strip a trailing '?' and a trailing '/'.  The regex subset
+    (anchors, character classes) behaves identically in Java and RE2,
+    so the DuckDB oracle replays it verbatim."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(_col(c)), "#.*$", ""),
+                    "[?&]utm_[a-z_]+=[^&#]*",
+                    "",
+                ),
+                r"\?&",
+                "?",
+            ),
+            r"\?$",
+            "",
+        ),
+        "/$",
+        "",
+    )

@@ -1553,23 +1553,9 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.when(F.col("c_custkey") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
-    canonical = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(F.lower(F.col("_url")), "#.*$", ""),
-                    "[?&]utm_[a-z_]+=[^&#]*",
-                    "",
-                ),
-                r"\?&",
-                "?",
-            ),
-            r"\?$",
-            "",
-        ),
-        "/$",
-        "",
-    )
+    from ..functions.text import canonicalize_url
+
+    canonical = canonicalize_url(F.col("_url"))
     built = c.select(F.col("c_custkey"), url.alias("_url"))
     canon = built.select("c_custkey", canonical.alias("canonical_url"))
     return (

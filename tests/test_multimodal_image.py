@@ -108,3 +108,28 @@ def test_hybrid_rrf_fusion_invariants(spark):
     # scores non-increasing in rank
     scores = [r.rrf_ppm for r in sorted(rows, key=lambda r: r.rk)]
     assert scores == sorted(scores, reverse=True)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        bottom_up=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_bmp_roundtrip_property(w, h, bottom_up, seed):
+        """Property: ANY (w, h, row order, pixel content) survives the
+        synth → decode roundtrip exactly — padding widths 0..3, 1-px
+        edge cases, both row orders."""
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(int).tolist()
+        got = bmp_pixels(_bmp(w, h, px, bottom_up=bottom_up))
+        assert got is not None and got.shape == (h, w, 3)
+        assert got.tolist() == px
+
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass

@@ -84,6 +84,9 @@ TOP_SF1 = [
 # design, not an operator defect (SCALE.md records the per-operator
 # evidence).
 ANNOTATIONS = {
+    "dedup_embedding_cosine": "exact all-pairs BY DESIGN (SCALE.md): compute grows ~100x at 10x corpus — wall well under that is the Arrow scorer's win; the scale path is the LSH/IVF family",
+    "er_match_score": "answer-bound: blocked candidate pairs grow superlinearly on replicated names (same corpus property as er_entity_groups)",
+    "dedup_semantic": "trained clusters re-fit on the 10x corpus; within-cluster pair scoring grows with cluster mass — sublinear vs the pair count",
     "er_entity_groups": "answer-bound: true match count grows superlinearly on replicated names (SCALE.md r8 probe: 186x answer, 5-6x wall)",
     "dedup_cluster_size_histogram": "recomputes full components inline by gate design; production persists components once (operators/reporting.py)",
     "agg_selfjoin_size_estimate": "CMS build is corpus-linear; md5 hash family is the portability tax",
@@ -107,6 +110,12 @@ def main() -> int:
     import sec_edgar_spark.queries as Q
     import bench
 
+    # --all: validate the ENTIRE headline battery at sf1 (writes
+    # BENCH_SF1_FULL.md/.json), not just the TOP_SF1 heavyweights.
+    full = "--all" in sys.argv
+    names = list(bench.HEADLINE) if full else TOP_SF1
+    suffix = "_FULL" if full else ""
+
     spark = get_spark(app_name="sf1-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sec_edgar.longcents", "true")
@@ -129,7 +138,7 @@ def main() -> int:
 
     qs = Q.queries()
     rows = []
-    for name in TOP_SF1:
+    for name in names:
         fn = qs[name]
         spark.conf.set(
             "spark.sec_edgar.scan_parallelize",
@@ -162,7 +171,7 @@ def main() -> int:
     total01 = sum(r[1] for r in rows)
     total1 = sum(r[2] for r in rows)
     lines = [
-        "# BENCH_SF1 — headline validation at sf1 (10× bench scale)",
+        f"# BENCH_SF1{suffix} — headline validation at sf1 (10× bench scale)",
         "",
         f"Replica: 10× key-offset replicas of sf0.1 (tools/scale_probe.py "
         f"transforms; constant per-key density) at `testdata_sf1/`. "
@@ -180,9 +189,9 @@ def main() -> int:
     for name, w01, w1, f in sorted(rows, key=lambda r: -r[3]):
         note = ANNOTATIONS.get(name, "")
         lines.append(f"| {name} | {w01:.2f}s | {w1:.2f}s | {f:.1f}x | {note} |")
-    with open(os.path.join(REPO, "BENCH_SF1.md"), "w") as fh:
+    with open(os.path.join(REPO, f"BENCH_SF1{suffix}.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as fh:
+    with open(os.path.join(REPO, f"BENCH_SF1{suffix}.json"), "w") as fh:
         json.dump(
             {
                 "git_sha": sha,
@@ -196,7 +205,7 @@ def main() -> int:
             indent=1,
         )
         fh.write("\n")
-    print(f"-> BENCH_SF1.md ({len(rows)} queries)")
+    print(f"-> BENCH_SF1{suffix}.md ({len(rows)} queries)")
     return 0
 
 
