@@ -110,7 +110,8 @@ def edgar_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i.cik, i.accession, e.suffix,
         ROW_NUMBER() OVER (PARTITION BY i.accession ORDER BY
           CASE e.suffix WHEN 'nc' THEN 0 WHEN 'corr04' THEN 1
-               WHEN 'corr03' THEN 2 WHEN 'corr02' THEN 3 ELSE 4 END) AS pri
+               WHEN 'corr03' THEN 2 WHEN 'corr02' THEN 3 ELSE 4 END,
+          i.cik, e.suffix) AS pri
       FROM idx i JOIN extracted e ON i.accession = e.accession
     )
     SELECT cik, accession, suffix FROM ranked WHERE pri = 1
@@ -144,7 +145,14 @@ def edgar_accession_file_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("suffix") == "corr02", 3)
         .otherwise(4)
     )
-    w = Window.partitionBy("accession").orderBy(pri)
+    # Total order: accession strings COLLIDE across ciks at larger SFs
+    # (the synthetic file names reuse digit blocks), and multiple
+    # extracted rows can tie on priority — without the (cik, suffix)
+    # tiebreak the surviving row is partition-order-dependent (caught
+    # by the first full sweep at sf0.1, latent at sf0.01 and below).
+    w = Window.partitionBy("accession").orderBy(
+        pri, F.col("cik"), F.col("suffix")
+    )
     return (
         idx.join(extracted, idx.accession == extracted.e_accession)
         .withColumn("pri", F.row_number().over(w))

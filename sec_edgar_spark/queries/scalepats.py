@@ -2461,15 +2461,26 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.scalars import epoch_s
 
+    # Band widened by 2s, then refined at FULL timestamp precision:
+    # range_join's internal refine compares second-truncated epochs,
+    # but event timestamps are microsecond-granular and the oracle's
+    # `p.ts - t.touch_ts <= INTERVAL 7 DAY` is exact — at sf0.1 a pair
+    # landed inside the one-second truncation skew of the 7-day edge
+    # and the engines disagreed (caught by the first full sweep at
+    # sf0.1).  The +2s superset band loses no true pair; the exact
+    # timestamp predicates decide membership identically to the oracle.
     cand = range_join(
         purchases,
         touches,
         on="user_id",
         left_ts="ts",
         right_ts="touch_ts",
-        tolerance_s=7 * 86400,
+        tolerance_s=7 * 86400 + 2,
         suffix="",
-    ).filter(epoch_s("touch_ts") <= epoch_s("ts"))
+    ).filter(
+        (F.col("touch_ts") <= F.col("ts"))
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+    )
     # cand feeds both the credit pass and the '(none)' anti-join;
     # pinned so the interval join (and its two event scans) runs once.
     cand = cand.cache()
