@@ -1450,8 +1450,14 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from .registry import QUERIES
 
-    e = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # The edge list feeds the wedge join (twice via adj), the degree
+    # aggregate, and the edge tag — cache it so LSH candidate
+    # generation materializes once (measured 2.2s cached vs 3.4s not,
+    # back-to-back at sf0.1).
+    e = (
+        QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .cache()
     )
     adj = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
         e.select(F.col("b").alias("n"), F.col("a").alias("m"))
@@ -1610,7 +1616,10 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
     from .registry import QUERIES
 
-    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+    # Both endpoint projections consume the edge list — cache it so
+    # LSH candidate generation materializes once (measured 1.8s cached
+    # vs 2.5s not, back-to-back at sf0.1).
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).cache()
     dup_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1702,8 +1711,14 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .registry import QUERIES
 
-    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
-        "doc_a", "doc_b"
+    # The edge list feeds THREE consumers (intra-edge counts, degrees,
+    # m) — cache it so the LSH candidate generation materializes once
+    # (measured vs AQE-reuse-only back-to-back at sf0.1: 5.6s cached
+    # vs 6.0s not; the gate harness clears the cache between queries).
+    pairs = (
+        QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .cache()
     )
     comp = QUERIES["dedup_connected_components"](spark, sf_dir).select(
         "doc_id", "component"
