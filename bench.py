@@ -175,6 +175,8 @@ HEADLINE = [
     "graph_components_modularity",
     "events_seasonality_dow",
     "multimodal_image_dedup_tiles",
+    "dedup_band_tuning",
+    "dedup_residual_audit",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -240,6 +242,8 @@ SCAN_PARALLELIZE = {
     "curation_card_by_source",
     "graph_components_modularity",
     "multimodal_image_dedup_tiles",
+    "dedup_band_tuning",
+    "dedup_residual_audit",
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ

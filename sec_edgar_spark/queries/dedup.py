@@ -1767,3 +1767,214 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("modularity_ppm"),
     )
+
+
+_TUNE_CONFIGS = ((6, 2), (4, 3), (3, 4))  # (bands, rows) over 12 hashes
+
+
+def _band_tuning_oracle() -> str:
+    sig_cols = ", ".join(
+        f"{_minhash_sql(i)} AS mh{i}" for i in range(NUM_MINHASHES)
+    )
+    band_ctes = []
+    blocks = []
+    for bands, rpb in _TUNE_CONFIGS:
+        band_union = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5({' || chr(58) || '.join(f'mh{b * rpb + r}::VARCHAR' for r in range(rpb))}) AS band_key "
+            f"FROM sigs"
+            for b in range(bands)
+        )
+        # MATERIALIZED: each band CTE feeds both sides of its
+        # self-join — without it DuckDB inlines the whole 12-minhash
+        # signature computation 2x per config (measured 52s -> ~8s).
+        band_ctes.append(f"bands_{bands}_{rpb} AS MATERIALIZED ({band_union})")
+        blocks.append(f"""
+    SELECT {bands} AS bands, {rpb} AS rows_per_band,
+      CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      CAST(SUM(CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.2
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+    FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{bands}_{rpb} a JOIN bands_{bands}_{rpb} b
+        ON a.band = b.band AND a.band_key = b.band_key
+        AND a.doc_id < b.doc_id
+    ) c
+    JOIN sigs sa ON c.doc_a = sa.doc_id
+    JOIN sigs sb ON c.doc_b = sb.doc_id""")
+    body = " UNION ALL ".join(blocks)
+    return f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), shingled AS (
+      SELECT doc_id, {_shingles_sql()} AS sh FROM tokd WHERE len(toks) >= 3
+    ), sigs AS MATERIALIZED (
+      SELECT doc_id, sh, {sig_cols}
+      FROM shingled WHERE len(sh) > 0
+    ), {", ".join(band_ctes)}, per AS ({body})
+    SELECT bands, rows_per_band, n_candidates, n_verified,
+      CASE WHEN n_candidates = 0 THEN 0
+           ELSE CAST(n_verified * 1000000 // n_candidates AS BIGINT)
+      END AS precision_ppm
+    FROM per ORDER BY bands DESC
+    """
+
+
+@query("dedup_band_tuning", oracle=_band_tuning_oracle())
+def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash BANDING TUNING TABLE: candidate-pair count, verified
+    count, and candidate precision (ppm) for three (bands, rows)
+    splits of the SAME 12-hash signature — (6,2) loose, (4,3) the
+    production config, (3,4) strict.  This is the table an operator
+    reads before moving the S-curve: more bands = higher recall, more
+    candidates to verify; the recall eval (dedup_lsh_recall_eval)
+    gives the other axis.
+
+    Scale shape: signatures are computed ONCE and cached (the per-row
+    shingle+hash cost is the expensive part); each config adds only a
+    band-key explode and a bucket equi-join whose candidate output is
+    collision-sized.  Exactly how a production tuning sweep should run
+    — never re-shingling per config.
+    """
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d, "doc_id", "text", n=3)
+    sigs = D.minhash_signatures_from_shingles(
+        sh, "doc_id", num_hashes=NUM_MINHASHES
+    ).cache()
+    shs = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    ).cache()
+    out = None
+    for bands, rpb in _TUNE_CONFIGS:
+        keyed = None
+        for b in range(bands):
+            part = sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"mh{b * rpb + r}").cast("string")
+                            for r in range(rpb)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            keyed = part if keyed is None else keyed.unionAll(part)
+        a, bb = keyed.alias("a"), keyed.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+            "double"
+        ) / F.size(F.array_union("sh_a", "sh_b"))
+        row = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .agg(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.sum((jac >= 0.2).cast("long"))
+                .cast("bigint")
+                .alias("n_verified"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        F.coalesce("n_verified", F.lit(0)).cast("bigint").alias("n_verified"),
+        F.when(F.col("n_candidates") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("CAST(n_verified * 1000000 DIV n_candidates AS BIGINT)"))
+        .alias("precision_ppm"),
+    ).orderBy(F.desc("bands"))
+
+
+def _residual_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+    kb AS ({ORACLES["curation_keep_best"]}),
+    kept AS (SELECT doc_id FROM kb WHERE keep),
+    residual AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN kept ka ON p.doc_a = ka.doc_id
+      JOIN kept kb2 ON p.doc_b = kb2.doc_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+      CAST((SELECT COUNT(*) FROM residual) AS BIGINT) AS n_residual_pairs,
+      CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_docs_kept,
+      CASE WHEN (SELECT COUNT(*) FROM pairs) = 0 THEN 0
+           ELSE CAST((SELECT COUNT(*) FROM residual) * 1000000
+                // (SELECT COUNT(*) FROM pairs) AS BIGINT)
+      END AS residual_ppm
+    """
+
+
+@query("dedup_residual_audit", oracle=_residual_oracle())
+def dedup_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSE THE DEDUP LOOP: after keep-best selection, how many
+    verified near-dup pairs SURVIVE among the kept documents?  Zero is
+    the theoretical answer when clusters equal connected components
+    (one keeper per component kills every intra-component pair) — this
+    audit PROVES it on the actual output, and any nonzero residual
+    means the clustering and the pair set drifted (wrong threshold,
+    stale components, a bug).  The one-row report a production dedup
+    run asserts on before shipping a corpus.
+
+    Scale shape: two joins of the (sparse) pair list against the kept
+    set, three 1-row counts — all candidate-shaped, nothing
+    corpus-quadratic.
+    """
+    from .registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).cache()
+    kept = (
+        QUERIES["curation_keep_best"](spark, sf_dir)
+        .filter("keep")
+        .select("doc_id")
+    )
+    residual = pairs.join(
+        kept.select(F.col("doc_id").alias("doc_a")), "doc_a"
+    ).join(kept.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    n_res = residual.agg(F.count("*").alias("n_residual_pairs"))
+    n_kept = kept.agg(F.count("*").alias("n_docs_kept"))
+    return (
+        n_pairs.crossJoin(F.broadcast(n_res))
+        .crossJoin(F.broadcast(n_kept))
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_residual_pairs").cast("bigint").alias("n_residual_pairs"),
+            F.col("n_docs_kept").cast("bigint").alias("n_docs_kept"),
+            F.when(F.col("n_pairs") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "CAST(n_residual_pairs * 1000000 DIV n_pairs AS BIGINT)"
+                )
+            )
+            .alias("residual_ppm"),
+        )
+    )
