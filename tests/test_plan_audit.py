@@ -110,3 +110,19 @@ def test_plan_audit_report_is_current():
         f"PLAN_AUDIT.md audited {m.group(1)} queries but the registry "
         f"has {len(Q.queries())} — regenerate: python tools/plan_audit.py"
     )
+
+
+def test_whitelists_reference_live_queries():
+    """Fast no-Spark hygiene gate: every name in the plan-audit
+    whitelists must exist in the registry — a renamed or deleted query
+    would otherwise leave a stale whitelist entry that silently
+    re-arms if the name is ever reused."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import PY_UDF_WHITELIST, TINY_WINDOW_WHITELIST
+    import sec_edgar_spark.queries as Q
+
+    qnames = set(Q.queries())
+    stale = (PY_UDF_WHITELIST | TINY_WINDOW_WHITELIST) - qnames
+    assert not stale, f"whitelist entries not in registry: {sorted(stale)}"

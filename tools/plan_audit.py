@@ -64,7 +64,6 @@ PY_UDF_WHITELIST: set[str] = {
 # needs no entries here.)
 TINY_WINDOW_WHITELIST: set[str] = {
     "a3_running_count",       # reference semantics: single-file order
-    "sort_global_order",      # the global-sort query itself
     "text_vocab_growth",      # 10-row decile spine
     "events_incremental_rollup",  # frozen-partial spine
     "text_phrase_merge",      # 3-row merge trajectory
