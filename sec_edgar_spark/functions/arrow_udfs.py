@@ -40,8 +40,12 @@ def digit_sum(x: pd.Series) -> pd.Series:
     while (v > 0).any():
         out += v % 10
         v //= 10
-    res = pd.Series(out)
-    res[null_mask.to_numpy()] = None
+    # Nullable Int64 keeps the result integral end-to-end: assigning
+    # None into a plain int64 Series would upcast to float64+NaN and
+    # lean on an unsafe float->bigint Arrow cast (fails outright under
+    # spark.sql.execution.pandas.convertToArrowArraySafely=true).
+    res = pd.Series(out, dtype="Int64")
+    res[null_mask.to_numpy()] = pd.NA
     return res
 
 

@@ -1510,8 +1510,10 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         regexp_replace(regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(lower(url), '#.*$', ''),
-              '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+              regexp_replace(
+                regexp_replace(lower(url), '#.*$', ''),
+                '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+              '^([^?#]*?)&', '\\1?'),
             '\\?&', '?', 'g'),
         '\\?$', ''), '/$', '') AS canonical_url
       FROM built

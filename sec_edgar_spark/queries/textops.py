@@ -2427,12 +2427,7 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pat).alias("pattern"),
             "doc_id",
             pos.cast("bigint").alias("pos"),
-            F.expr(
-                f"substr(text, CASE WHEN instr(text, '{pat}') - {_KWIC_WINDOW}"
-                f" < 1 THEN 1 ELSE instr(text, '{pat}') - {_KWIC_WINDOW} END,"
-                f" CASE WHEN instr(text, '{pat}') - {_KWIC_WINDOW} < 1"
-                f" THEN instr(text, '{pat}') - 1 ELSE {_KWIC_WINDOW} END)"
-            ).alias("left_ctx"),
+            F.substring(F.col("text"), left_start, left_len).alias("left_ctx"),
             F.substring(
                 F.col("text"), pos + len(pat), _KWIC_WINDOW
             ).alias("right_ctx"),

@@ -58,6 +58,31 @@ def test_scalar_digit_sum_nulls_and_negatives(spark):
     assert got == {1: 6, 2: None, 3: 9, 4: 0}
 
 
+@skip
+def test_scalar_digit_sum_survives_safe_arrow_cast(spark):
+    """The kernel must return a NULLABLE INTEGER series, never
+    float64+NaN relying on an unsafe float->bigint Arrow cast: under
+    spark.sql.execution.pandas.convertToArrowArraySafely=true the
+    unsafe cast raises (ADVICE r9).  Run the null case with the safe
+    conf ON and assert identical results."""
+    from sec_edgar_spark.functions.arrow_udfs import digit_sum
+
+    key = "spark.sql.execution.pandas.convertToArrowArraySafely"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        df = spark.createDataFrame(
+            [(1, 999), (2, None), (3, -18)], "id INT, v BIGINT"
+        )
+        got = {
+            r.id: r.ds
+            for r in df.select("id", digit_sum("v").alias("ds")).collect()
+        }
+        assert got == {1: 27, 2: None, 3: 9}
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_sign_bits_plane_count_guard():
     """>62 hyperplanes must fail at build with a clear message, not a
     cryptic int64-overflow lit() error (ADVICE r8)."""

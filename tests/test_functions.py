@@ -153,3 +153,73 @@ def test_epoch_s_ntz_and_ltz_agree(spark):
         epoch_s("ltz").alias("a"), epoch_s("ntz").alias("b")
     ).collect()[0]
     assert row.a == row.b == 1705322096
+
+
+def test_canonicalize_url_leading_utm_merges_real_dupes(spark):
+    """A leading utm_* param consumes the '?' when stripped; the repair
+    must restore it so 'a?page=2' and 'a?utm_s=x&page=2' merge — the
+    streaming intake gate otherwise admits duplicate crawls (r9 ADVICE).
+    The DuckDB oracle replays the identical chain; lockstep is asserted
+    per-URL here, not just on the aggregate."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sec_edgar_spark.functions.text import canonicalize_url
+
+    urls = [
+        "https://a.example.com/p?page=2",
+        "https://a.example.com/p?utm_source=x&page=2",
+        "https://a.example.com/p?utm_source=x&utm_medium=y&page=2",
+        "https://a.example.com/p?utm_source=x",
+        "https://a.example.com/p?page=2&utm_source=x",
+        "HTTPS://A.Example.com/p/?utm_source=x&page=2#frag",
+        "https://a.example.com/p?utm_source=x#frag",
+        "https://a.example.com/p/",
+        "https://a.example.com/p",
+    ]
+    got = (
+        spark.createDataFrame([(u,) for u in urls], ["url"])
+        .select("url", canonicalize_url("url").alias("canon"))
+        .collect()
+    )
+    canon = {r.url: r.canon for r in got}
+    # every variant of p?page=2 collapses to one form
+    assert (
+        canon["https://a.example.com/p?page=2"]
+        == canon["https://a.example.com/p?utm_source=x&page=2"]
+        == canon["https://a.example.com/p?utm_source=x&utm_medium=y&page=2"]
+        == canon["https://a.example.com/p?page=2&utm_source=x"]
+        == "https://a.example.com/p?page=2"
+    )
+    # case-fold + fragment + leading-utm repair compose (the interior
+    # '/?' slash is canonical-form-significant and deliberately kept)
+    assert (
+        canon["HTTPS://A.Example.com/p/?utm_source=x&page=2#frag"]
+        == "https://a.example.com/p/?page=2"
+    )
+    # bare-page variants collapse too
+    assert (
+        canon["https://a.example.com/p?utm_source=x"]
+        == canon["https://a.example.com/p?utm_source=x#frag"]
+        == canon["https://a.example.com/p/"]
+        == canon["https://a.example.com/p"]
+        == "https://a.example.com/p"
+    )
+    # DuckDB replay of the oracle chain agrees URL-by-URL
+    con = duckdb.connect()
+    for u in urls:
+        (dk,) = con.execute(
+            r"""
+            SELECT regexp_replace(regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(lower(?), '#.*$', ''),
+                    '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+                  '^([^?#]*?)&', '\1?'),
+                '\?&', '?', 'g'),
+            '\?$', ''), '/$', '')
+            """,
+            [u],
+        ).fetchone()
+        assert dk == canon[u], u
