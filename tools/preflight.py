@@ -20,9 +20,17 @@ Usage: python tools/preflight.py            (exit 0 = green, <5s)
            suite and stamps result + SHA into COVERAGE.md — MANDATORY
            for the round's final registry-touching commit; r7 and
            nearly r8 shipped red/unverified suites without it)
+       python tools/preflight.py --sweep [SF_DIR]   (runs the FULL
+           oracle registry via tools/check_oracle.py at SF_DIR,
+           default /root/testdata/sf0.1, and stamps result + SHA into
+           COVERAGE.md between the SWEEP-STAMP markers — the r9
+           sf0.1 sweep caught the only two wrong answers in the
+           system, both invisible at sf0.01, so this is a STANDING
+           round-end gate alongside --full)
 Documented pre-commit step: run the fast mode before any commit that
 touches queries/, tools/plan_audit.py, or PLAN_AUDIT.md; run --full
-before the last registry-touching commit of a round.
+AND --sweep before (i.e. dated after) the round's last commit that
+touches queries/ or tools/ — both stamps must postdate that commit.
 """
 
 from __future__ import annotations
@@ -51,27 +59,59 @@ def full_suite_stamp() -> int:
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
     ).stdout.strip()
-    stamp = (
-        f"<!-- SUITE-STAMP -->\n"
+    _stamp_coverage(
+        "SUITE-STAMP",
         f"**Whole-suite run** (tools/preflight.py --full): `{summary}` at "
         f"`{sha}` (+ uncommitted work-tree state at stamp time), "
-        f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.\n"
-        f"<!-- /SUITE-STAMP -->"
+        f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.",
     )
+    print(f"suite: {summary} @ {sha} -> COVERAGE.md stamp")
+    return proc.returncode
+
+
+def _stamp_coverage(marker: str, body: str) -> None:
+    """Replace (or append) the `<!-- {marker} --> ... <!-- /{marker} -->`
+    block in COVERAGE.md."""
+    stamp = f"<!-- {marker} -->\n{body}\n<!-- /{marker} -->"
     with open("COVERAGE.md") as fh:
         cov = fh.read()
-    if "<!-- SUITE-STAMP -->" in cov:
+    if f"<!-- {marker} -->" in cov:
         cov = re.sub(
-            r"<!-- SUITE-STAMP -->.*?<!-- /SUITE-STAMP -->",
-            stamp,
-            cov,
-            flags=re.S,
+            rf"<!-- {marker} -->.*?<!-- /{marker} -->", stamp, cov, flags=re.S
         )
     else:
         cov = cov.rstrip() + "\n\n" + stamp + "\n"
     with open("COVERAGE.md", "w") as fh:
         fh.write(cov)
-    print(f"suite: {summary} @ {sha} -> COVERAGE.md stamp")
+
+
+def sweep_stamp(sf_dir: str) -> int:
+    """Run the full oracle registry at sf_dir (the scale that catches
+    what sf0.01 can't — r9 found its only two wrong answers this way)
+    and stamp the result + HEAD SHA into COVERAGE.md."""
+    import time
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "tools/check_oracle.py", sf_dir],
+        capture_output=True,
+        text=True,
+    )
+    lines = [
+        ln for ln in (proc.stdout or "").replace("\r", "\n").splitlines() if ln
+    ]
+    summary = lines[-1] if lines else "no output"
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    _stamp_coverage(
+        "SWEEP-STAMP",
+        f"**Full-registry oracle sweep** (tools/preflight.py --sweep "
+        f"{sf_dir}): `{summary}` at `{sha}` (+ uncommitted work-tree "
+        f"state at stamp time), {time.time()-t0:.0f}s, "
+        f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.",
+    )
+    print(f"sweep: {summary} @ {sha} -> COVERAGE.md stamp")
     return proc.returncode
 
 
@@ -120,9 +160,15 @@ def main() -> int:
             print(f"PREFLIGHT FAIL: {f}")
         return 1
     print(f"preflight green: {len(qnames)} queries, report current")
+    rc = 0
     if "--full" in sys.argv:
-        return full_suite_stamp()
-    return 0
+        rc = full_suite_stamp()
+    if "--sweep" in sys.argv and rc == 0:
+        i = sys.argv.index("--sweep")
+        rest = sys.argv[i + 1 :]
+        sf_dir = rest[0] if rest and "/" in rest[0] else "/root/testdata/sf0.1"
+        rc = sweep_stamp(sf_dir)
+    return rc
 
 
 if __name__ == "__main__":
