@@ -27,7 +27,9 @@ Scale shape per round: one shuffle join (labels onto edge endpoints) +
 one groupBy(min) for the hook, one self-equi-join for the compress —
 all partial-aggregated / hash joins; the driver only runs the
 convergence check (a count), never touches row data.  Lineage is cut
-every round with localCheckpoint so plans stay O(1) deep regardless of
+every round with lineage_cut (localCheckpoint, or reliable checkpoint
+when spark.sec_edgar.checkpoint_dir is set) so plans stay O(1) deep
+regardless of
 iteration count.
 """
 
@@ -35,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ._lineage import lineage_cut
 
 
 def connected_components(
@@ -51,11 +55,11 @@ def connected_components(
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     labels = sym.select("id").distinct().select(
         "id", F.col("id").alias("label")
-    ).localCheckpoint()
+    ).transform(lineage_cut)
 
     for _ in range(max_iter):
         nbr_labels = sym.join(
@@ -89,7 +93,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
         changed = (
             new_labels.alias("n")
@@ -136,14 +140,14 @@ def pagerank_int(
     Scale shape per round: one shuffle join (ranks onto edge sources,
     partitioned by node id) + one partial-aggregated groupBy(dst) —
     identical to :func:`connected_components`'s hook step; lineage cut
-    per round with localCheckpoint.  The driver never sees row data.
+    per round with lineage_cut.  The driver never sees row data.
     """
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = fwd.unionByName(
         fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(lineage_cut)
     deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
-    nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint()
+    nodes = sym.select(F.col("s").alias("id")).distinct().transform(lineage_cut)
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(0).cast("bigint").alias("rank"))
@@ -168,7 +172,7 @@ def pagerank_int(
                     + F.expr("85 * coalesce(s_in, 0L) div 100")
                 ).cast("bigint").alias("rank"),
             )
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
     return ranks
 
@@ -208,13 +212,13 @@ def label_propagation(
     Scale shape per round: one join (labels onto edge destinations) +
     one (node, label) count agg + one per-node top-1 — all hash
     partial-aggregated; WindowGroupLimit keeps the top-1 from sorting
-    whole vote lists.  Lineage cut per round with localCheckpoint.
+    whole vote lists.  Lineage cut per round with lineage_cut.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     labels = sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
@@ -232,7 +236,7 @@ def label_propagation(
             votes.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("id", "label")
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
     return labels.select("id", F.col("label").alias("community"))
 
@@ -250,7 +254,7 @@ def kcore_prune(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     Scale shape per round: one degree aggregate (map-combined) + two
     semi-joins to keep edges whose BOTH endpoints survive — no
     collect, no driver loop.  Lineage is cut per round with
-    localCheckpoint (same discipline as label_propagation above):
+    lineage_cut (same discipline as label_propagation above):
     each round references the previous survivor set THREE times
     (degree agg + two semi-join probes), so without truncation the
     unrolled plan grows ~3^rounds (measured: 134 Exchanges at
@@ -263,14 +267,14 @@ def kcore_prune(edges: DataFrame, k: int, rounds: int) -> DataFrame:
 
     und = edges.select("s", "d").union(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(lineage_cut)
     for _ in range(rounds):
         deg = und.groupBy("s").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("s")
         und = (
             und.join(keep, "s", "semi")
             .join(keep.withColumnRenamed("s", "d"), "d", "semi")
-        ).localCheckpoint()
+        ).transform(lineage_cut)
     return und.groupBy(F.col("s").alias("id")).agg(
         F.count("*").alias("degree")
     )
@@ -299,13 +303,13 @@ def kcore_fixpoint(
     checkpointed partitions, no extra shuffle; edge count unchanged ⇔
     fixpoint, because every node present in the edge list has degree
     ≥ 1, so dropping any node removes ≥ 1 edge), never row data, and
-    lineage is cut per round with localCheckpoint so the executed
+    lineage is cut per round with lineage_cut so the executed
     plan stays O(1) deep at any depth.  Converges in at most |V|
     rounds; in practice degeneracy-ordered graphs finish in <15.
     """
     und = edges.select("s", "d").union(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(lineage_cut)
     n_prev = und.count()
     for rnd in range(1, max_rounds + 1):
         deg = und.groupBy("s").agg(F.count("*").alias("deg"))
@@ -313,7 +317,7 @@ def kcore_fixpoint(
         und = (
             und.join(keep, "s", "semi")
             .join(keep.withColumnRenamed("s", "d"), "d", "semi")
-        ).localCheckpoint()
+        ).transform(lineage_cut)
         n = und.count()
         if n == n_prev:
             break
@@ -393,7 +397,7 @@ def wcc_star(
     one anti-join isEmpty over just-checkpointed partitions — both
     edge lists are distinct, so equal counts + (new ⊆ old) <=> the
     edge SET is stable, no row data ever reaches the driver; lineage
-    is cut per round with localCheckpoint so the executed plan stays
+    is cut per round with lineage_cut so the executed plan stays
     O(1) deep.
 
     At the fixpoint the edge list IS the assignment: every edge is
@@ -404,12 +408,12 @@ def wcc_star(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     n_prev = -1
     for _ in range(max_rounds):
         prev_e = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).transform(lineage_cut)
         n = e.count()
         if n == n_prev and e.join(prev_e, ["u", "v"], "left_anti").isEmpty():
             break
@@ -451,13 +455,13 @@ def ppr_int(
                        F.col(edges.columns[1]).alias("d"))
     sym = fwd.unionByName(
         fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(lineage_cut)
     deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
     nodes = (
         sym.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("seed", is_seed(F.col("id")))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     ns = nodes.filter(F.col("seed")).count()
     if ns == 0:
@@ -492,6 +496,6 @@ def ppr_int(
                 .cast("bigint")
                 .alias("rank"),
             )
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
     return ranks

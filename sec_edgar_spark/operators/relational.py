@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._lineage import lineage_cut
+
 
 def topk_per_group(
     df: DataFrame, partition_by: list[str], order_by: list[Column], k: int,
@@ -172,7 +174,7 @@ def global_rank(df: DataFrame, order_by: list[str]) -> DataFrame:
     though boundary sampling isn't.  Adds column ``rn``.
     """
     parts = df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint pins ONE materialization of the range shuffle:
+    # lineage_cut pins ONE materialization of the range shuffle:
     # the offsets subtree and the final pass below must see the SAME
     # partition boundaries.  Without it they are two independent
     # executions of repartitionByRange whose sampled boundaries can
@@ -182,7 +184,7 @@ def global_rank(df: DataFrame, order_by: list[str]) -> DataFrame:
     sorted_df = (
         df.repartitionByRange(parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     counts = sorted_df.groupBy("_pid").agg(F.count("*").alias("_n"))
     woff = Window.orderBy("_pid").rowsBetween(
@@ -255,7 +257,7 @@ def grouped_weighted_cumsum(
     sorted_df = (
         df.repartitionByRange(parts, *group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     psums = sorted_df.groupBy("_pid", *group_cols).agg(
         F.sum(weight_col).alias("_pw")

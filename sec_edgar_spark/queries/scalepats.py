@@ -1732,7 +1732,7 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.kcore_fixpoint.  Unlike the fixed-round form
     above, this is the decomposition a production pipeline needs:
     rounds run until no node drops, lineage cut per round with
-    localCheckpoint so the executed plan stays O(1) deep at any depth
+    lineage_cut so the executed plan stays O(1) deep at any depth
     (the unrolled form grew ~3^rounds — caught permanently by the
     plan-audit Exchange ceiling).  Oracle: pruning is IDEMPOTENT at
     the fixpoint (once every survivor has degree ≥ k, a further round

@@ -31,6 +31,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators._lineage import lineage_cut
+
 from ..operators.scd import COLS, scd2_build, scd2_merge
 from .exactly_once import already_processed, write_batch_marker
 from .store import read_or_empty
@@ -115,7 +117,7 @@ def scd2_upsert_batch(
     merged = scd2_merge(current, batch).select(*COLS)
     # materialize: merged is consumed twice (closed + current splits)
     # and must not recompute after current/ is overwritten underneath it
-    merged = merged.localCheckpoint()
+    merged = merged.transform(lineage_cut)
     merged.filter(~F.col("is_current")).write.mode("append").parquet(
         f"{root}/closed"
     )

@@ -188,3 +188,39 @@ def test_wcc_star_self_loops_and_singletons(spark):
     # self-loop does not appear; the isolated pair is unaffected
     got = _wcc(spark, [(7, 7), (1, 2)])
     assert got == {1: 1, 2: 1}
+
+
+def test_reliable_checkpoint_path_matches_local(spark, tmp_path):
+    """With spark.sec_edgar.checkpoint_dir set, every lineage cut uses
+    reliable checkpoint() (survives executor loss on a real cluster);
+    results must be bit-identical to the default localCheckpoint path,
+    and the directory must actually receive checkpoint data."""
+    import os
+
+    from sec_edgar_spark.operators._lineage import CHECKPOINT_DIR_CONF
+    from sec_edgar_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)],
+        "src long, dst long",
+    )
+    local = sorted(
+        (r.id, r.component) for r in connected_components(edges).collect()
+    )
+    ckpt = str(tmp_path / "reliable_ckpt")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt)
+    try:
+        reliable = sorted(
+            (r.id, r.component)
+            for r in connected_components(edges).collect()
+        )
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable == local and local
+    # the reliable path really wrote checkpoint data under the conf dir
+    rdd_dirs = [
+        os.path.join(dp, f)
+        for dp, dns, fns in os.walk(ckpt)
+        for f in fns
+    ]
+    assert rdd_dirs, "no checkpoint files written under checkpoint_dir"
