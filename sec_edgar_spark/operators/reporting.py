@@ -1,27 +1,33 @@
-"""Persist-and-derive dedup reporting (VERDICT r8 #5).
+"""Persist-and-derive dedup reporting (VERDICT r8 #5, extended r10).
 
 At 100 TB the connected-components pipeline (LSH pairs → label
 propagation) is the COST of a dedup run; every downstream report —
-cluster-size histogram, keep-best selection, mass-balance audit —
-must reuse its output, never recompute it.  The production shape is:
+cluster-size histogram, keep-best selection, residual audit,
+modularity, per-source rates, the curation funnel — must reuse its
+output, never recompute it.  The production shape is ONE pipeline
+pass:
 
-    comp = canonical_assignment(pairs, ...)            # pay once
-    write_bucketed(comp, "components", path,
-                   bucket_cols="component", n_buckets=N)
-    ...
-    hist = cluster_size_histogram(bucketed(spark, "components"), docs)
-    keep = keep_best_selection(bucketed(spark, "components"), scored)
+    pairs = <LSH candidate+verify>                     # pay once
+    comp  = canonical_assignment(pairs, ...)           # pay once
+    pairs.write.parquet(...); write_bucketed(comp, "components",
+                   path, bucket_cols="component", n_buckets=N)
+    ...every report below derives from those two tables (plus
+    corpus-side doc frames) with zero candidate-generation recompute.
 
-Both derivations below are pure functions of a components frame
-(`doc_id`, `component`), so they accept either the freshly-computed
-frame (the oracle-gated queries do this — one-shot semantics, hashes
-unchanged) or a persisted bucketed scan.  When the components table is
-bucketed on ``component``, the component-keyed aggregate inside
-``cluster_size_histogram`` and the per-component window inside
-``keep_best_selection`` run with ZERO Exchange — the bucketed scan
-already satisfies their required hash distribution
-(tests/test_bucketing.py::test_components_persist_and_derive asserts
-both plans).
+Every function here is a pure function of (pairs, components,
+doc-keyed corpus frames), so it accepts either freshly-computed
+frames (the oracle-gated queries do exactly this — one-shot
+semantics, self-contained oracles, hashes unchanged: each gate query
+is now a thin composition over these functions, so the derived and
+composed paths CANNOT drift) or persisted scans.  When the components
+table is bucketed on ``component``, the component-keyed aggregate
+inside ``cluster_size_histogram`` and the per-component window inside
+``keep_best_selection`` run with ZERO Exchange
+(tests/test_bucketing.py::test_components_persist_and_derive);
+tests/test_bucketing.py::test_report_suite_derives_from_one_pass
+proves the WHOLE report suite (histogram, keep-best, residual audit,
+modularity, rate-by-source, funnel) derives from one persisted pass
+with no shingling/MinHash stage in any derived plan.
 """
 
 from __future__ import annotations
@@ -85,4 +91,199 @@ def keep_best_selection(
     w = Window.partitionBy("component").orderBy(F.desc(score_col), "doc_id")
     return joined.withColumn("rn", F.row_number().over(w)).select(
         "doc_id", "component", score_col, (F.col("rn") == 1).alias("keep")
+    )
+
+
+def components_modularity(pairs: DataFrame, components: DataFrame) -> DataFrame:
+    """Newman modularity of the components partition over the pair
+    graph, in exact integer ppm (1-row report; see the
+    graph_components_modularity query docstring for the algebra).
+
+    ``pairs``: (doc_a, doc_b) verified near-dup edges;
+    ``components``: (doc_id, component).
+
+    Scale shape: two doc-keyed joins of the edge list against the
+    components map (broadcastable — near-dup docs ≪ corpus), one
+    degree aggregate, a component-keyed rollup, then 1 row.
+    """
+    pairs = pairs.select("doc_a", "doc_b")
+    comp = components.select("doc_id", "component")
+    m = pairs.agg(F.count("*").alias("m_edges"))
+    ca = comp.select(
+        F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b")
+    )
+    e_in = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.col("comp_a") == F.col("comp_b"))
+        .groupBy(F.col("comp_a").alias("component"))
+        .agg(F.count("*").alias("ec"))
+    )
+    degs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .join(comp, "doc_id")
+        .groupBy("component")
+        .agg(F.count("*").alias("dc"))
+    )
+    per = (
+        degs.join(e_in, "component", "left")
+        .select(
+            "component",
+            F.coalesce("ec", F.lit(0)).alias("ec"),
+            "dc",
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "component",
+            "ec",
+            "dc",
+            "m_edges",
+            (
+                4 * F.col("m_edges") * F.col("ec") - F.col("dc") * F.col("dc")
+            ).alias("num_term"),
+        )
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.max("m_edges").cast("bigint").alias("m_edges"),
+        F.sum("ec").cast("bigint").alias("intra_edges"),
+        F.expr(
+            "CAST(SUM(num_term) * 1000000 DIV (4 * MAX(m_edges) * MAX(m_edges))"
+            " AS BIGINT)"
+        ).alias("modularity_ppm"),
+    )
+
+
+def residual_audit(pairs: DataFrame, kept: DataFrame) -> DataFrame:
+    """Post-keep-best ship gate (1 row): verified near-dup pairs that
+    SURVIVE among the kept documents — zero when clusters equal
+    connected components.
+
+    ``pairs``: (doc_a, doc_b); ``kept``: (doc_id) of the keepers.
+
+    Scale shape: two joins of the sparse pair list against the kept
+    set, three 1-row counts.
+    """
+    pairs = pairs.select("doc_a", "doc_b")
+    kept = kept.select("doc_id")
+    residual = pairs.join(
+        kept.select(F.col("doc_id").alias("doc_a")), "doc_a"
+    ).join(kept.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    n_res = residual.agg(F.count("*").alias("n_residual_pairs"))
+    n_kept = kept.agg(F.count("*").alias("n_docs_kept"))
+    return (
+        n_pairs.crossJoin(F.broadcast(n_res))
+        .crossJoin(F.broadcast(n_kept))
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_residual_pairs").cast("bigint").alias("n_residual_pairs"),
+            F.col("n_docs_kept").cast("bigint").alias("n_docs_kept"),
+            F.when(F.col("n_pairs") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "CAST(n_residual_pairs * 1000000 DIV n_pairs AS BIGINT)"
+                )
+            )
+            .alias("residual_ppm"),
+        )
+    )
+
+
+def rate_by_source(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Near-duplication rate per source: doc share and token-mass
+    share of documents with ≥1 verified near-dup.
+
+    ``pairs``: (doc_a, doc_b); ``docs``: (source, doc_id, n_toks).
+
+    Scale shape: dup-doc ids are a union+distinct over the sparse pair
+    list; membership probe is a doc-keyed (broadcastable) join; report
+    is one source-keyed aggregate.
+    """
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    flagged = docs.join(dup_docs, "doc_id", "left").select(
+        "source", "n_toks", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.sum(F.col("is_dup") * F.col("n_toks")).alias("_dup_toks"),
+            F.sum("n_toks").alias("_toks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_doc_ppm"
+            ),
+            F.expr("CAST(_dup_toks * 1000000 DIV _toks AS BIGINT)").alias(
+                "dup_token_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def funnel_report(
+    quality: DataFrame,
+    canon: DataFrame,
+    keep: DataFrame,
+    documents: DataFrame,
+) -> DataFrame:
+    """Curation funnel: doc/token survivors after each stage
+    (ingest → quality → exact dedup → near-dup keep-best) with
+    retained-docs ppm vs ingest.
+
+    ``quality``: (doc_id, n_tokens, passes_quality);
+    ``canon``: (doc_id) exact-dedup canonicals chosen within quality
+    survivors; ``keep``: (doc_id, keep) near-dup keep flags;
+    ``documents``: corpus frame for the ingest denominator.
+
+    Scale shape: each stage is a doc-keyed semi-join flag; the rollup
+    is four 1-row aggregates unioned (constant output).
+    """
+    s0 = quality.select("doc_id", "n_tokens")
+    s1 = quality.filter("passes_quality").select("doc_id", "n_tokens")
+    s2 = s1.join(canon.select("doc_id"), "doc_id")
+    s3 = s2.join(keep.filter("keep").select("doc_id"), "doc_id")
+
+    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).cast("bigint").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+
+    stages = (
+        stage(s0, 0, "ingest")
+        .unionByName(stage(s1, 1, "quality"))
+        .unionByName(stage(s2, 2, "exact_dedup"))
+        .unionByName(stage(s3, 3, "near_dedup_keep_best"))
+    )
+    total = documents.agg(F.count("*").alias("n0"))
+    return (
+        stages.crossJoin(F.broadcast(total))
+        .select(
+            "stage_ord",
+            "stage",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 1000000 DIV n0 AS BIGINT)").alias(
+                "retained_docs_ppm"
+            ),
+        )
+        .orderBy("stage_ord")
     )

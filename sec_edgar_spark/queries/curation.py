@@ -1829,7 +1829,6 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kb = QUERIES["curation_keep_best"](spark, sf_dir).select("doc_id", "keep")
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    s0 = q.select("doc_id", "n_tokens")
     s1 = q.filter("passes_quality").select("doc_id", "n_tokens")
     canon = (
         d.join(s1.select("doc_id"), "doc_id")
@@ -1837,37 +1836,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s2 = s1.join(canon, "doc_id")
-    s3 = s2.join(kb.filter("keep").select("doc_id"), "doc_id")
+    from ..operators.reporting import funnel_report
 
-    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(ord_).cast("bigint").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        )
-
-    stages = (
-        stage(s0, 0, "ingest")
-        .unionByName(stage(s1, 1, "quality"))
-        .unionByName(stage(s2, 2, "exact_dedup"))
-        .unionByName(stage(s3, 3, "near_dedup_keep_best"))
-    )
-    total = d.agg(F.count("*").alias("n0"))
-    return (
-        stages.crossJoin(F.broadcast(total))
-        .select(
-            "stage_ord",
-            "stage",
-            "n_docs",
-            "n_tokens",
-            F.expr("CAST(n_docs * 1000000 DIV n0 AS BIGINT)").alias(
-                "retained_docs_ppm"
-            ),
-        )
-        .orderBy("stage_ord")
-    )
+    return funnel_report(q, canon, kb, d)
 
 
 @query(

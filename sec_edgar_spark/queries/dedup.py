@@ -1622,39 +1622,12 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH candidate generation materializes once (measured 1.8s cached
     # vs 2.5s not, back-to-back at sf0.1).
     pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).cache()
-    dup_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .withColumn("is_dup", F.lit(1))
-    )
     d = table(spark, sf_dir, "documents").select(
         "source", "doc_id", T.token_count("text").cast("long").alias("n_toks")
     )
-    flagged = d.join(dup_docs, "doc_id", "left").select(
-        "source", "n_toks", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
-    )
-    return (
-        flagged.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
-            F.sum(F.col("is_dup") * F.col("n_toks")).alias("_dup_toks"),
-            F.sum("n_toks").alias("_toks"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_dup_docs",
-            F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)").alias(
-                "dup_doc_ppm"
-            ),
-            F.expr("CAST(_dup_toks * 1000000 DIV _toks AS BIGINT)").alias(
-                "dup_token_ppm"
-            ),
-        )
-        .orderBy("source")
-    )
+    from ..operators.reporting import rate_by_source
+
+    return rate_by_source(pairs, d)
 
 
 def _modularity_oracle() -> str:
@@ -1725,50 +1698,9 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = QUERIES["dedup_connected_components"](spark, sf_dir).select(
         "doc_id", "component"
     )
-    m = pairs.agg(F.count("*").alias("m_edges"))
-    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
-    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
-    e_in = (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(F.col("comp_a") == F.col("comp_b"))
-        .groupBy(F.col("comp_a").alias("component"))
-        .agg(F.count("*").alias("ec"))
-    )
-    degs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
-        .join(comp, "doc_id")
-        .groupBy("component")
-        .agg(F.count("*").alias("dc"))
-    )
-    per = (
-        degs.join(e_in, "component", "left")
-        .select(
-            "component",
-            F.coalesce("ec", F.lit(0)).alias("ec"),
-            "dc",
-        )
-        .crossJoin(F.broadcast(m))
-        .select(
-            "component",
-            "ec",
-            "dc",
-            "m_edges",
-            (
-                4 * F.col("m_edges") * F.col("ec") - F.col("dc") * F.col("dc")
-            ).alias("num_term"),
-        )
-    )
-    return per.agg(
-        F.count("*").cast("bigint").alias("n_communities"),
-        F.max("m_edges").cast("bigint").alias("m_edges"),
-        F.sum("ec").cast("bigint").alias("intra_edges"),
-        F.expr(
-            "CAST(SUM(num_term) * 1000000 DIV (4 * MAX(m_edges) * MAX(m_edges))"
-            " AS BIGINT)"
-        ).alias("modularity_ppm"),
-    )
+    from ..operators.reporting import components_modularity
+
+    return components_modularity(pairs, comp)
 
 
 _TUNE_CONFIGS = ((6, 2), (4, 3), (3, 4))  # (bands, rows) over 12 hashes
@@ -1958,25 +1890,6 @@ def dedup_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("keep")
         .select("doc_id")
     )
-    residual = pairs.join(
-        kept.select(F.col("doc_id").alias("doc_a")), "doc_a"
-    ).join(kept.select(F.col("doc_id").alias("doc_b")), "doc_b")
-    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
-    n_res = residual.agg(F.count("*").alias("n_residual_pairs"))
-    n_kept = kept.agg(F.count("*").alias("n_docs_kept"))
-    return (
-        n_pairs.crossJoin(F.broadcast(n_res))
-        .crossJoin(F.broadcast(n_kept))
-        .select(
-            F.col("n_pairs").cast("bigint").alias("n_pairs"),
-            F.col("n_residual_pairs").cast("bigint").alias("n_residual_pairs"),
-            F.col("n_docs_kept").cast("bigint").alias("n_docs_kept"),
-            F.when(F.col("n_pairs") == 0, F.lit(0).cast("bigint"))
-            .otherwise(
-                F.expr(
-                    "CAST(n_residual_pairs * 1000000 DIV n_pairs AS BIGINT)"
-                )
-            )
-            .alias("residual_ppm"),
-        )
-    )
+    from ..operators.reporting import residual_audit
+
+    return residual_audit(pairs, kept)

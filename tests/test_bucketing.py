@@ -216,3 +216,102 @@ def test_components_persist_and_derive(spark, tmp_path):
         )
     finally:
         drop_bucketed(spark, name)
+
+
+def test_report_suite_derives_from_one_pass(spark, tmp_path):
+    """VERDICT r9 #4: the WHOLE report suite — cluster-size histogram,
+    keep-best, residual audit, modularity, rate-by-source, curation
+    funnel — derives from ONE pipeline pass (pairs + components +
+    quality/canon computed once, persisted), with
+
+    (1) value parity against the self-contained oracle-gated queries
+        (which now call the SAME reporting functions, so the paths
+        cannot drift), and
+    (2) ZERO candidate-generation recompute: no derived plan contains
+        a Generate (the shingle explode every MinHash/LSH stage runs
+        through) — the pairs scan is a parquet read, full stop.
+    """
+    import sec_edgar_spark.queries as Q
+    from sec_edgar_spark.catalog import table
+    from sec_edgar_spark.functions import text as T
+    from sec_edgar_spark.operators.bucketing import (
+        bucketed,
+        drop_bucketed,
+        write_bucketed,
+    )
+    from sec_edgar_spark.operators import reporting as R
+
+    qs = Q.queries()
+    docs = table(spark, SF_DIR, "documents")
+
+    # --- the ONE pass: pay for candidate generation / clustering once
+    qs["dedup_minhash_lsh_pairs"](spark, SF_DIR).select(
+        "doc_a", "doc_b"
+    ).write.parquet(str(tmp_path / "pairs"))
+    comp_name = f"components_1p_{os.getpid()}"
+    write_bucketed(
+        qs["dedup_connected_components"](spark, SF_DIR).select(
+            "doc_id", "component"
+        ),
+        comp_name,
+        str(tmp_path / "components_1p"),
+        "component",
+        8,
+    )
+    qs["text_quality_filter"](spark, SF_DIR).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "passes_quality",
+    ).write.parquet(str(tmp_path / "quality"))
+
+    try:
+        pairs = spark.read.parquet(str(tmp_path / "pairs"))
+        comp = bucketed(spark, comp_name)
+        quality = spark.read.parquet(str(tmp_path / "quality"))
+        scored = docs.select(
+            "doc_id", T.token_count("text").cast("int").alias("n_tokens")
+        )
+        docs_tok = docs.select(
+            "source",
+            "doc_id",
+            T.token_count("text").cast("long").alias("n_toks"),
+        )
+        canon = (
+            docs.select("doc_id", "text")
+            .join(
+                quality.filter("passes_quality").select("doc_id"), "doc_id"
+            )
+            .groupBy(F.md5("text"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        keep = R.keep_best_selection(comp, scored)
+        derived = {
+            "dedup_cluster_size_histogram": R.cluster_size_histogram(
+                comp, docs
+            ),
+            "curation_keep_best": keep.select(
+                "doc_id", "component", "n_tokens", "keep"
+            ),
+            "dedup_residual_audit": R.residual_audit(
+                pairs, keep.filter("keep").select("doc_id")
+            ),
+            "graph_components_modularity": R.components_modularity(
+                pairs, comp
+            ),
+            "dedup_rate_by_source": R.rate_by_source(pairs, docs_tok),
+            "curation_funnel_report": R.funnel_report(
+                quality, canon, keep, docs
+            ),
+        }
+        for name, df in derived.items():
+            plan = _plan(df)
+            assert "Generate" not in plan, (
+                f"{name}: derived plan re-runs candidate generation"
+            )
+            got = sorted(map(tuple, df.collect()))
+            want = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+            assert got == want, f"{name}: derived != gate query"
+            spark.catalog.clearCache()
+    finally:
+        drop_bucketed(spark, comp_name)
