@@ -138,6 +138,7 @@ HEADLINE = [
     "curation_corpus_summary",
     "events_session_entry_exit",
     "events_attribution_linear",
+    "events_attribution_capped",
     "text_langid_confusion",
     "audit_sampler_uniformity",
     "audit_quality_length_bias",

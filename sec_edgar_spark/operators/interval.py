@@ -19,7 +19,7 @@ stream-stream interval join (streaming/join_stream.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import epoch_s
@@ -67,4 +67,73 @@ def range_join(
     return refined.select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in right_payload],
+    )
+
+
+def capped_recent_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    k: int,
+    tolerance: str,
+) -> DataFrame:
+    """The SKEW-PROOF banded-join replacement for bounded-lookback
+    association: for each left row, the at-most-``k`` MOST RECENT right
+    rows with ``right_ts <= left_ts`` and ``left_ts - right_ts <=
+    tolerance`` (a SQL interval string, e.g. ``'7 DAYS'``).
+
+    Why it exists: ``range_join`` generates EVERY in-band pair before
+    any cap can apply — on a hot key holding 30 % of a table that is
+    O(hot²) candidates, and the r10 skew probe measured the outcome
+    (Java-heap OOM → SparkContext death at sf1-skew; see
+    BENCH_SF1_SKEW.md).  Here the pair count is ≤ k per LEFT ROW by
+    construction, independent of key heat:
+
+    1. rank right rows per key by (ts, id) — one sort, linear;
+    2. as-of join (operators/asof.py union+window form — one shuffle,
+       no candidate blowup) attaches to each left row the rank ``r``
+       of the latest right row at-or-before it;
+    3. explode ``sequence(greatest(1, r-k+1), r)`` — exactly ≤ k
+       candidate ranks per left row;
+    4. equi-join on ``(key, rank)`` — and because rank is part of the
+       join key, a hot key's rows SPREAD across the shuffle instead of
+       landing in one partition;
+    5. refine with the exact tolerance predicate.
+
+    Returns all left columns + right payload columns (the right id and
+    ts included) + ``_rk`` (the right row's per-key recency rank —
+    larger = more recent), one row per surviving (left, right) pair.
+    """
+    w_rank = Window.partitionBy(on).orderBy(right_ts, right_id)
+    ranked = right.withColumn("_rk", F.row_number().over(w_rank))
+
+    from .asof import asof_join
+
+    anchored = asof_join(
+        left,
+        ranked.select(on, right_ts, "_rk"),
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        right_cols=["_rk"],
+        direction="backward",
+        strict=False,
+        suffix="_anchor",
+    ).filter(F.col("_rk_anchor").isNotNull())
+
+    cand = anchored.select(
+        *left.columns,
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("_rk_anchor") - F.lit(k - 1)),
+                F.col("_rk_anchor"),
+            )
+        ).alias("_rk"),
+    )
+    out = cand.join(ranked, [on, "_rk"])
+    return out.filter(
+        F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
     )

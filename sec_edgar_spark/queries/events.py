@@ -237,12 +237,20 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream — no self-join, no per-view probe; the stream shuffles once
     on user_id and the daily rollup is a map-combined hash agg.  Same
     scale shape as sessionize.
+
+    Frame direction matters at scale: "strictly following in ascending
+    ts" is expressed as a DESCENDING sort with a strictly-PRECEDING
+    frame.  Spark's UnboundedPreceding frames maintain a running
+    aggregate (O(n) per partition); an UnboundedFollowing frame
+    re-scans the remainder per row (O(n²)) — identical semantics,
+    and the r10 skew probe measured the difference as a hung straggler
+    task on a user holding 30 % of events (BENCH_SF1_SKEW.md).
     """
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     next_purchase = F.min(
         F.when(F.col("event_type") == "purchase", F.col("ts"))

@@ -2519,6 +2519,128 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_attribution_capped",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT user_id, ts AS touch_ts, event_type AS touch_type,
+        event_id AS t_eid,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rk
+      FROM events WHERE event_type IN ('click', 'view')
+    ), anchored AS (
+      SELECT p.event_id, p.user_id, p.ts, MAX(t.rk) AS r
+      FROM purchases p JOIN ranked t
+        ON t.user_id = p.user_id AND t.touch_ts <= p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
+    ), cand AS (
+      SELECT a.event_id, t.touch_type, t.rk,
+        ROW_NUMBER() OVER (PARTITION BY a.event_id
+                           ORDER BY t.rk DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY a.event_id) AS n
+      FROM anchored a JOIN ranked t
+        ON t.user_id = a.user_id
+        AND t.rk > a.r - 20 AND t.rk <= a.r
+        AND t.touch_ts >= a.ts - INTERVAL 7 DAY
+    ), credited AS (
+      SELECT touch_type,
+        1000000 // n + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END
+          AS credit
+      FROM cand
+    ), attributed AS (
+      SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        CAST(SUM(credit) AS BIGINT) AS credit_ppm
+      FROM credited GROUP BY touch_type
+    ), none_row AS (
+      SELECT '(none)' AS touch_type,
+        CAST(COUNT(*) AS BIGINT) AS n_touches,
+        CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm
+      FROM purchases p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand c WHERE c.event_id = p.event_id)
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM none_row
+    """,
+)
+def events_attribution_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution over the K=20 MOST RECENT touches
+    per purchase — the skew-proof production twin of
+    events_attribution_linear.  The uncapped operator generates every
+    in-band (purchase, touch) pair before crediting; on the r10
+    Zipf-skew corpus (one user holding 30% of events) that is O(hot²)
+    candidates and it DIED (Java-heap OOM → SparkContext shutdown,
+    BENCH_SF1_SKEW.md) — exactly how a 100 TB attribution job dies on
+    a bot account.  Capping the lookback at the K most recent touches
+    is also the business-correct model (a 7-day window with thousands
+    of touches dilutes credit into noise).
+
+    Scale shape (operators/interval.capped_recent_join): rank touches
+    per user (one sort), as-of join the anchor rank (union+window —
+    one shuffle, no pairs), explode ≤K candidate ranks per purchase,
+    equi-join on (user, rank) — rank in the join key SPREADS a hot
+    user across partitions — then exact 7-day refine.  Candidates
+    ≤ K·|purchases| by construction, independent of key heat.
+
+    Remainder credit goes to the highest rank (most recent touch) —
+    rank is unique per user, so the tiebreak is total in both engines.
+    """
+    from ..operators.interval import capped_recent_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("t_eid"),
+    )
+    cand = capped_recent_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="touch_ts",
+        right_id="t_eid",
+        k=20,
+        tolerance="7 DAYS",
+    ).cache()
+    wn = Window.partitionBy("event_id")
+    wr = Window.partitionBy("event_id").orderBy(F.desc("_rk"))
+    credited = cand.select(
+        "event_id",
+        "touch_type",
+        F.count("*").over(wn).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "touch_type",
+        (
+            F.expr("1000000 DIV n")
+            + F.when(F.col("rn") == 1, F.expr("1000000 % n")).otherwise(0)
+        ).alias("credit"),
+    )
+    attributed = credited.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.sum("credit").cast("bigint").alias("credit_ppm"),
+    )
+    none_row = (
+        purchases.join(
+            cand.select("event_id").distinct(), "event_id", "left_anti"
+        )
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.col("c").cast("bigint").alias("n_touches"),
+            (F.col("c") * 1000000).cast("bigint").alias("credit_ppm"),
+        )
+    )
+    return attributed.unionByName(none_row)
+
+
+@query(
     "graph_degree_histogram",
     oracle=f"""
     WITH raw AS ({_PR_EDGES_SQL}),

@@ -57,12 +57,16 @@ DEFAULT_PROBES = [
 ]
 
 
-def build_replicas(spark, base: str = None, out: str = None, replicas: int = None) -> None:
+def build_replicas(spark, base: str = None, out: str = None, replicas: int = None, stride_mult: int = 1) -> None:
+    """``stride_mult`` scales every per-replica key offset — pass 10
+    when ``base`` is itself a 10x replica (second-decade build) so the
+    new offsets clear the base's full key range."""
     from sec_edgar_spark import catalog
 
     base = base or BASE
     out = out or OUT
     replicas = replicas or REPLICAS
+    m = stride_mult
 
     os.makedirs(out, exist_ok=True)
 
@@ -71,9 +75,9 @@ def build_replicas(spark, base: str = None, out: str = None, replicas: int = Non
     for k in range(replicas):
         parts.append(
             ev.select(
-                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                (F.col("event_id") + k * m * 10_000_000).alias("event_id"),
                 "ts",
-                (F.col("user_id") + k * 1_000_000).alias("user_id"),
+                (F.col("user_id") + k * m * 1_000_000).alias("user_id"),
                 "event_type",
                 "value",
                 "props",
@@ -96,7 +100,7 @@ def build_replicas(spark, base: str = None, out: str = None, replicas: int = Non
         )
         parts.append(
             doc.select(
-                (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+                (F.col("doc_id") + k * m * 1_000_000).alias("doc_id"),
                 suffixed.alias("text"),
                 "lang",
                 "source",
@@ -117,7 +121,7 @@ def build_replicas(spark, base: str = None, out: str = None, replicas: int = Non
         )
         parts.append(
             emb.select(
-                (F.col("vec_id") + k * 1_000_000).alias("vec_id"),
+                (F.col("vec_id") + k * m * 1_000_000).alias("vec_id"),
                 sheared.cast("array<float>").alias("embedding"),
                 *[c for c in emb.columns if c not in ("vec_id", "embedding")],
             )
@@ -141,12 +145,13 @@ _KEY_OFFSETS = {
 }
 
 
-def build_relational_replicas(spark, base: str = None, out: str = None, replicas: int = None) -> None:
+def build_relational_replicas(spark, base: str = None, out: str = None, replicas: int = None, stride_mult: int = 1) -> None:
     from sec_edgar_spark import catalog
 
     base = base or BASE
     out = out or OUT
     replicas = replicas or REPLICAS
+    m = stride_mult
 
     os.makedirs(out, exist_ok=True)
     for t in ("lineitem", "orders", "customer", "supplier", "part"):
@@ -154,7 +159,7 @@ def build_relational_replicas(spark, base: str = None, out: str = None, replicas
         parts = []
         for k in range(replicas):
             cols = [
-                (F.col(c) + k * _KEY_OFFSETS[c]).alias(c)
+                (F.col(c) + k * m * _KEY_OFFSETS[c]).alias(c)
                 if c in _KEY_OFFSETS
                 else F.col(c)
                 for c in df.columns
