@@ -139,6 +139,8 @@ HEADLINE = [
     "events_session_entry_exit",
     "events_attribution_linear",
     "events_attribution_capped",
+    "events_hot_key_profile",
+    "text_zipf_fit",
     "text_langid_confusion",
     "audit_sampler_uniformity",
     "audit_quality_length_bias",
@@ -245,6 +247,8 @@ SCAN_PARALLELIZE = {
     "multimodal_image_dedup_tiles",
     "dedup_band_tuning",
     "dedup_residual_audit",
+    # round 10: token explode over documents
+    "text_zipf_fit",
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ

@@ -1712,3 +1712,110 @@ def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "events_hot_key_profile",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_events,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(MAX(c) AS BIGINT) AS max_user_events
+      FROM per_user
+    ), top10 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS top10_events FROM (
+        SELECT c FROM per_user ORDER BY c DESC, user_id LIMIT 10
+      )
+    ), hist AS (
+      SELECT c, COUNT(*) AS nu FROM per_user GROUP BY c
+    ), cum AS (
+      SELECT c, SUM(nu) OVER (ORDER BY c) AS cum FROM hist
+    ), pcts AS (
+      SELECT
+        (SELECT MIN(c) FROM cum, tot WHERE cum * 2 >= n_users)
+          AS p50_user_events,
+        (SELECT MIN(c) FROM cum, tot WHERE cum * 100 >= 99 * n_users)
+          AS p99_user_events
+    )
+    SELECT n_events, n_users, max_user_events,
+      CAST(max_user_events * 1000000 // n_events AS BIGINT)
+        AS top1_ppm,
+      CAST(top10_events * 1000000 // n_events AS BIGINT)
+        AS top10_ppm,
+      CAST(p50_user_events AS BIGINT) AS p50_user_events,
+      CAST(p99_user_events AS BIGINT) AS p99_user_events,
+      CAST(max_user_events * 1000 * n_users // n_events AS BIGINT)
+        AS max_to_mean_x1000
+    FROM tot, top10, pcts
+    """,
+)
+def events_hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over the event stream's shuffle key — the
+    one-row report a 100 TB operator reads BEFORE choosing salting,
+    AQE thresholds, or a capped operator (the r10 skew probe showed
+    what happens when nobody looks: the hot user that is 30% of a
+    corpus OOM-kills any per-key-quadratic plan).  Emits total/user
+    counts, the single hottest key's event share and the top-10 mass
+    (exact ppm), exact p50/p99 of per-key counts, and max/mean ×1000 —
+    a max_to_mean in the thousands with p50 near mean is the salting
+    signature; top10_ppm near 10⁶ means the key is unusable as a
+    partition key at all.
+
+    Scale shape: ONE user-keyed count (map-combined), then everything
+    downstream is vocabulary-shaped: a distinct-count histogram (tiny)
+    with a running cumsum for exact percentiles, a TakeOrdered-10 for
+    the top mass, and 1-row rollups.  Percentiles are exact lower
+    quantiles via the smallest-value-with-cum-rank rule (integer
+    conditions — no float quantile semantics to disagree on).
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    tot = per_user.agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.max("c").cast("bigint").alias("max_user_events"),
+    )
+    top10 = (
+        per_user.orderBy(F.desc("c"), "user_id")
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("top10_events"))
+    )
+    hist = per_user.groupBy("c").agg(F.count("*").alias("nu"))
+    # running cumsum over the distinct-count spine (vocabulary-shaped,
+    # bounded by the count domain — tiny-window whitelist)
+    cum = hist.withColumn(
+        "cum", F.sum("nu").over(Window.orderBy("c"))
+    )
+    pcts = (
+        cum.crossJoin(F.broadcast(tot.select("n_users")))
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n_users"), F.col("c")))
+            .cast("bigint")
+            .alias("p50_user_events"),
+            F.min(
+                F.when(F.col("cum") * 100 >= 99 * F.col("n_users"), F.col("c"))
+            )
+            .cast("bigint")
+            .alias("p99_user_events"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(pcts))
+        .select(
+            "n_events",
+            "n_users",
+            "max_user_events",
+            F.expr("CAST(max_user_events * 1000000 DIV n_events AS BIGINT)")
+            .alias("top1_ppm"),
+            F.expr("CAST(top10_events * 1000000 DIV n_events AS BIGINT)")
+            .alias("top10_ppm"),
+            "p50_user_events",
+            "p99_user_events",
+            F.expr(
+                "CAST(max_user_events * 1000 * n_users DIV n_events AS BIGINT)"
+            ).alias("max_to_mean_x1000"),
+        )
+    )

@@ -2434,3 +2434,81 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token
+    ), top AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r
+      FROM freq ORDER BY f DESC, token LIMIT 128
+    ), pts AS (
+      SELECT length(bin(r)) - 1 AS x, length(bin(f)) - 1 AS y FROM top
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n_ranks, sx, sy, sxy, sxx,
+      CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+        / (n_ranks * sxx - sx * sx) AS zipf_slope
+    FROM sums
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent estimate for the corpus vocabulary — the
+    rank-frequency slope that quantifies how hot the token head is
+    (natural language ≈ −1; flatter means synthetic/uniform text,
+    steeper means a pathological head like the r10 skew corpus's
+    shared 'h9' token).  Read next to events_hot_key_profile: one
+    profiles the shuffle key, this profiles the vocabulary every
+    shingle/posting operator keys on.
+
+    Engine-exact trick (same device as text_surprisal_score): the
+    log-log regression runs on floor-log2 buckets via bit length —
+    x = ⌊log2 rank⌋, y = ⌊log2 freq⌋, both exact integers — so all
+    four moment sums are exact BIGINTs (order-independent, value-
+    hashable) and the slope is ONE IEEE division of exact operands.
+    True-ln slopes differ by at most the bucket quantization, which a
+    monitoring threshold never notices; transcendental partial-sum
+    order would break cross-engine hashing.
+
+    Scale shape: one token-keyed count (map-combined), TakeOrdered-128
+    on (freq desc, token), rank via a window over the 128-row
+    post-limit frame (tiny-window whitelist), one 1-row moment
+    aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("f"))
+    top = freq.orderBy(F.desc("f"), "token").limit(128)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+    )
+    pts = ranked.select(
+        (F.length(F.bin("r")) - 1).cast("long").alias("x"),
+        (F.length(F.bin("f")) - 1).cast("long").alias("y"),
+    )
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ).select(
+        "n_ranks",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(
+            "CAST(n_ranks * sxy - sx * sy AS DOUBLE)"
+            " / (n_ranks * sxx - sx * sx)"
+        ).alias("zipf_slope"),
+    )

@@ -93,6 +93,11 @@ TINY_WINDOW_WHITELIST: set[str] = {
     # remainder rank + floor-sum window over the |sources|-row quota
     # frame (constant-size)
     "curation_epoch_mix_schedule",
+    # running cumsum over the distinct-per-user-count histogram spine
+    # (bounded by the count domain, vocabulary-shaped)
+    "events_hot_key_profile",
+    # rank over the 128-row post-limit frequency frame
+    "text_zipf_fit",
     # rank over the post-limit(40) priority-sample frame
     "sample_priority_weighted",
 }
