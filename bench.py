@@ -141,6 +141,7 @@ HEADLINE = [
     "events_attribution_capped",
     "events_hot_key_profile",
     "text_zipf_fit",
+    "events_sessionize_salted",
     "text_langid_confusion",
     "audit_sampler_uniformity",
     "audit_quality_length_bias",
@@ -249,6 +250,7 @@ SCAN_PARALLELIZE = {
     "dedup_residual_audit",
     # round 10: token explode over documents
     "text_zipf_fit",
+    "events_sessionize_salted",
 }
 
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ

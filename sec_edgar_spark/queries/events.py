@@ -111,6 +111,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessionize_salted",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      COUNT(*) AS n_events,
+      CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_sessionize with the SALTED two-level operator
+    (operators/sessionize.salted_sessionize): per-(user, 6h-bucket)
+    local sessionize, then an exact fragment merge — identical output
+    to the single-window form (the oracle IS events_sessionize's),
+    but no task ever owns more than one hot user's single bucket.
+    The window-shaped answer to the r10 skew finding that windows,
+    unlike aggregates, have no map-side combine to absorb a key
+    holding 30% of the table.
+
+    Scale shape: one shuffle on (user, bucket) — the hot user spreads
+    across timespan/6h partitions — a same-keyed fragment aggregate,
+    then one vocabulary-shaped shuffle on user over fragments.
+    """
+    from ..operators.sessionize import salted_sessionize
+
+    e = table(spark, sf_dir, "events")
+    s = salted_sessionize(e, gap_s=30 * 60, bucket_s=6 * 3600)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        (F.col("last_ep") - F.col("first_ep")).cast("bigint").alias("duration_s"),
+    )
+
+
+@query(
     "events_json_props",
     oracle="""
     SELECT event_type,
