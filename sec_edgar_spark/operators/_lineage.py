@@ -24,6 +24,22 @@ So the cut is a policy switch, not a hardcoded call:
 Both paths are eager (the round's shuffle is materialized exactly
 once) and produce bit-identical results — asserted by
 tests/test_graph.py::test_reliable_checkpoint_path_matches_local.
+
+Checkpoint-file retention: Spark deletes reliable checkpoint data only
+at context shutdown by default, so a 20-round iterative job would
+accumulate 20 full materialized copies under the checkpoint dir.  The
+session factory therefore sets
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (session.py)
+— the ContextCleaner then removes a round's files once its DataFrame is
+garbage-collected, i.e. as soon as the next round's cut supersedes it.
+Caller-owned sessions that enable ``spark.sec_edgar.checkpoint_dir``
+must set the same core conf at context build or budget for
+rounds × |table| of checkpoint storage.  Unbounded CONTINUOUS callers
+(a per-micro-batch cut inside a stream, where even GC-paced cleanup
+lags an always-on writer) should pass ``local_only=True``: a stream
+whose batches are idempotently replayable (streaming/scd_stream.py —
+sink markers + strictly-newer filters) gets crash recovery from replay,
+not from checkpoint durability, so reliable files buy nothing there.
 """
 
 from __future__ import annotations
@@ -34,15 +50,19 @@ from pyspark.sql import DataFrame
 CHECKPOINT_DIR_CONF = "spark.sec_edgar.checkpoint_dir"
 
 
-def lineage_cut(df: DataFrame) -> DataFrame:
+def lineage_cut(df: DataFrame, local_only: bool = False) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
     Uses reliable ``checkpoint()`` when ``spark.sec_edgar.checkpoint_dir``
     is set (production: survives executor loss), else
-    ``localCheckpoint()`` (local runs: zero I/O).
+    ``localCheckpoint()`` (local runs: zero I/O).  ``local_only=True``
+    forces ``localCheckpoint()`` regardless of the conf — for call
+    sites whose durability comes from an idempotent replay protocol
+    (see module docstring) and which would otherwise write a full
+    reliable copy per micro-batch, forever.
     """
     spark = df.sparkSession
-    ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, "")
+    ckpt_dir = "" if local_only else spark.conf.get(CHECKPOINT_DIR_CONF, "")
     if not ckpt_dir:
         return df.localCheckpoint()
     sc = spark.sparkContext

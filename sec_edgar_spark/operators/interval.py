@@ -107,6 +107,13 @@ def capped_recent_join(
     ts included) + ``_rk`` (the right row's per-key recency rank —
     larger = more recent), one row per surviving (left, right) pair.
     """
+    if k < 1:
+        # Same eager guard as salted_sessionize's bucket_s/gap_s check:
+        # with k=0 the candidate expression F.sequence(greatest(1, r+1),
+        # r) has start > stop, and Spark generates a DESCENDING sequence
+        # — rank r+1 would silently join a right row possibly AFTER
+        # left_ts (the final filter only bounds the lower side).
+        raise ValueError(f"k must be >= 1, got {k}")
     w_rank = Window.partitionBy(on).orderBy(right_ts, right_id)
     ranked = right.withColumn("_rk", F.row_number().over(w_rank))
 

@@ -40,6 +40,16 @@ def builder(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Reliable checkpoint() files (operators/_lineage.py when
+        # spark.sec_edgar.checkpoint_dir is set) are otherwise only
+        # deleted at context shutdown: a 20-round iterative graph job
+        # would keep 20 full materialized copies.  With this core conf
+        # the ContextCleaner removes a round's files once its DataFrame
+        # is garbage-collected — old rounds become unreferenced as soon
+        # as the next round materializes, which is exactly the desired
+        # retention.  Must be set at context build (core conf, not
+        # runtime-settable), hence here and not in ensure_session_conf.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

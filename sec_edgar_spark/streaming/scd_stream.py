@@ -116,8 +116,13 @@ def scd2_upsert_batch(
         return
     merged = scd2_merge(current, batch).select(*COLS)
     # materialize: merged is consumed twice (closed + current splits)
-    # and must not recompute after current/ is overwritten underneath it
-    merged = merged.transform(lineage_cut)
+    # and must not recompute after current/ is overwritten underneath
+    # it.  local_only: this runs EVERY micro-batch — a reliable
+    # checkpoint here would write a full dimension copy per batch,
+    # unbounded over a stream's lifetime, and buys nothing: if executor
+    # loss kills the local blocks mid-batch the batch fails and the
+    # marker protocol below replays it idempotently.
+    merged = merged.transform(lambda d: lineage_cut(d, local_only=True))
     merged.filter(~F.col("is_current")).write.mode("append").parquet(
         f"{root}/closed"
     )

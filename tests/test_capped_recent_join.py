@@ -100,3 +100,16 @@ def test_hot_key_bounded_candidates(spark):
     ).collect()
     assert len(out) == 25
     assert sorted(r.rid for r in out) == list(range(n - 25, n))
+
+
+def test_k_below_one_rejected(spark, frames):
+    """k=0 would make F.sequence(greatest(1, r+1), r) DESCENDING —
+    silently emitting rank r+1, a right row possibly AFTER left_ts
+    (ADVICE r10) — so the operator must refuse it eagerly."""
+    left, right = frames
+    for bad_k in (0, -3):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            capped_recent_join(
+                left, right, on="key", left_ts="lts", right_ts="rts",
+                right_id="rid", k=bad_k, tolerance="7 DAYS",
+            )

@@ -224,3 +224,28 @@ def test_reliable_checkpoint_path_matches_local(spark, tmp_path):
         for f in fns
     ]
     assert rdd_dirs, "no checkpoint files written under checkpoint_dir"
+
+
+def test_lineage_cut_local_only_ignores_checkpoint_conf(spark, tmp_path):
+    """local_only=True must localCheckpoint even when the reliable conf
+    is set — the per-micro-batch streaming path (scd_stream) would
+    otherwise write a full dimension copy per batch, forever."""
+    import os
+
+    from sec_edgar_spark.operators._lineage import (
+        CHECKPOINT_DIR_CONF,
+        lineage_cut,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    ckpt = str(tmp_path / "never_used_ckpt")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt)
+    try:
+        out = lineage_cut(df, local_only=True)
+        assert out.count() == 10
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    written = [
+        f for dp, dns, fns in os.walk(ckpt) for f in fns
+    ] if os.path.isdir(ckpt) else []
+    assert not written, "local_only path wrote reliable checkpoint data"

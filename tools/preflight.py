@@ -36,6 +36,7 @@ touches queries/ or tools/ — both stamps must postdate that commit.
 from __future__ import annotations
 
 import json
+import os
 import re
 import subprocess
 import sys
@@ -166,7 +167,17 @@ def main() -> int:
     if "--sweep" in sys.argv and rc == 0:
         i = sys.argv.index("--sweep")
         rest = sys.argv[i + 1 :]
-        sf_dir = rest[0] if rest and "/" in rest[0] else "/root/testdata/sf0.1"
+        # Any following token that is not another flag names the sweep
+        # dir (relative paths included) — keying on '/' silently swept
+        # the default dir for 'sf1dir'-style names and stamped
+        # COVERAGE.md with a result for the wrong scale.
+        if rest and not rest[0].startswith("--"):
+            sf_dir = rest[0]
+            if not os.path.isdir(sf_dir):
+                print(f"PREFLIGHT FAIL: --sweep dir does not exist: {sf_dir}")
+                return 1
+        else:
+            sf_dir = "/root/testdata/sf0.1"
         rc = sweep_stamp(sf_dir)
     return rc
 
