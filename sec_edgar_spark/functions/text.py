@@ -204,29 +204,27 @@ def lang_id(token_col: Column) -> Column:
 def canonicalize_url(c: Column | str) -> Column:
     """URL canonical form (codegen regex chain, shared by the batch
     dedup query and the streaming intake gate): lowercase, strip the
-    #fragment, strip utm_* tracking params, repair a query string the
-    strip left starting with '&' (a leading utm param consumed the
-    '?': '...?utm_s=x&page=2' -> '...&page=2' -> '...?page=2'), repair
-    a dangling '?&', strip a trailing '?' and a trailing '/'.  The
-    regex subset (anchors, lazy groups, character classes) behaves
-    identically in Java and RE2; the DuckDB oracle replays the chain
-    verbatim (replacement backref spelled '$1' here, '\\1' there)."""
+    #fragment, strip utm_* tracking params KEEPING their '?'/'&'
+    delimiter (capture-group replacement — no strip-and-repair step,
+    so a literal '&' in a query-less path like 'http://x/a&b' is never
+    rewritten into a '?'; ADVICE r10), collapse the delimiter runs the
+    strip leaves ('?&&page' -> '?page'), strip trailing '?'/'&' runs
+    and a trailing '/'.  The regex subset (anchors, capture groups,
+    character classes) behaves identically in Java and RE2; the DuckDB
+    oracle replays the chain verbatim (replacement backref spelled
+    '$1' here, '\\1' there)."""
     return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace(F.lower(_col(c)), "#.*$", ""),
-                        "[?&]utm_[a-z_]+=[^&#]*",
-                        "",
-                    ),
-                    r"^([^?#]*?)&",
-                    "$1?",
+                    F.regexp_replace(F.lower(_col(c)), "#.*$", ""),
+                    "([?&])utm_[a-z_]+=[^&#]*",
+                    "$1",
                 ),
-                r"\?&",
-                "?",
+                "([?&])&+",
+                "$1",
             ),
-            r"\?$",
+            "[?&]+$",
             "",
         ),
         "/$",

@@ -1510,12 +1510,10 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         regexp_replace(regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(
-                regexp_replace(lower(url), '#.*$', ''),
-                '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
-              '^([^?#]*?)&', '\\1?'),
-            '\\?&', '?', 'g'),
-        '\\?$', ''), '/$', '') AS canonical_url
+              regexp_replace(lower(url), '#.*$', ''),
+              '([?&])utm_[a-z_]+=[^&#]*', '\\1', 'g'),
+            '([?&])&+', '\\1', 'g'),
+        '[?&]+$', ''), '/$', '') AS canonical_url
       FROM built
     )
     SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_copies,
@@ -1526,9 +1524,10 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the first pass of every web-corpus
     pipeline (CommonCrawl-style): lowercase, strip the #fragment,
-    strip utm_* tracking params (repairing a dangling '?&'), strip the
-    trailing '?' and '/', then exact-group on the canonical form and
-    keep the minimum key.  URLs are synthesized from customer keys
+    strip utm_* tracking params keeping their delimiter (then collapse
+    the '?&&'-style runs the strip leaves), strip trailing '?'/'&' and
+    '/', then exact-group on the canonical form and keep the minimum
+    key.  URLs are synthesized from customer keys
     (the testdata carries no URL field) with every trap represented:
     mixed-case scheme+host, tracking params first and mid-query,
     fragments, trailing slashes — so the gate exercises true rewrite

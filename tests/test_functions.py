@@ -156,13 +156,13 @@ def test_epoch_s_ntz_and_ltz_agree(spark):
 
 
 def test_canonicalize_url_leading_utm_merges_real_dupes(spark):
-    """A leading utm_* param consumes the '?' when stripped; the repair
-    must restore it so 'a?page=2' and 'a?utm_s=x&page=2' merge — the
-    streaming intake gate otherwise admits duplicate crawls (r9 ADVICE).
+    """Stripping a leading utm_* param must keep the '?' so 'a?page=2'
+    and 'a?utm_s=x&page=2' merge (r9 ADVICE) — while a literal '&' in
+    a query-less PATH must NOT be rewritten into a '?' (r10 ADVICE:
+    the old strip-then-repair chain collapsed 'x/a&b' with 'x/a?b').
     The DuckDB oracle replays the identical chain; lockstep is asserted
     per-URL here, not just on the aggregate."""
     import duckdb
-    from pyspark.sql import functions as F
 
     from sec_edgar_spark.functions.text import canonicalize_url
 
@@ -176,6 +176,13 @@ def test_canonicalize_url_leading_utm_merges_real_dupes(spark):
         "https://a.example.com/p?utm_source=x#frag",
         "https://a.example.com/p/",
         "https://a.example.com/p",
+        # literal '&' in a query-less path: distinct resources, the
+        # canonicalizer must leave both alone (r10 ADVICE)
+        "https://a.example.com/a&b",
+        "https://a.example.com/a?b",
+        # interior utm between real params leaves '&&' to collapse
+        "https://a.example.com/p?page=2&utm_source=x&sort=asc",
+        "https://a.example.com/p?page=2&sort=asc",
     ]
     got = (
         spark.createDataFrame([(u,) for u in urls], ["url"])
@@ -205,6 +212,15 @@ def test_canonicalize_url_leading_utm_merges_real_dupes(spark):
         == canon["https://a.example.com/p"]
         == "https://a.example.com/p"
     )
+    # path-literal '&' is NOT a query delimiter: the two stay distinct
+    assert canon["https://a.example.com/a&b"] == "https://a.example.com/a&b"
+    assert canon["https://a.example.com/a?b"] == "https://a.example.com/a?b"
+    # interior utm strip collapses its '&&' remnant
+    assert (
+        canon["https://a.example.com/p?page=2&utm_source=x&sort=asc"]
+        == canon["https://a.example.com/p?page=2&sort=asc"]
+        == "https://a.example.com/p?page=2&sort=asc"
+    )
     # DuckDB replay of the oracle chain agrees URL-by-URL
     con = duckdb.connect()
     for u in urls:
@@ -213,12 +229,10 @@ def test_canonicalize_url_leading_utm_merges_real_dupes(spark):
             SELECT regexp_replace(regexp_replace(
               regexp_replace(
                 regexp_replace(
-                  regexp_replace(
-                    regexp_replace(lower(?), '#.*$', ''),
-                    '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
-                  '^([^?#]*?)&', '\1?'),
-                '\?&', '?', 'g'),
-            '\?$', ''), '/$', '')
+                  regexp_replace(lower(?), '#.*$', ''),
+                  '([?&])utm_[a-z_]+=[^&#]*', '\1', 'g'),
+                '([?&])&+', '\1', 'g'),
+            '[?&]+$', ''), '/$', '')
             """,
             [u],
         ).fetchone()
