@@ -201,6 +201,84 @@ def global_rank(df: DataFrame, order_by: list[str]) -> DataFrame:
     )
 
 
+def salted_rank(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    bucket_s: int = 6 * 3600,
+    out_col: str = "_rk",
+) -> DataFrame:
+    """Exact per-key 1-based rank ordered by ``(ts, *tiebreaks)``,
+    computed WITHOUT a per-key window — the hot-key-safe replacement
+    for ``row_number().over(Window.partitionBy(key).orderBy(ts, ...))``,
+    whose single task owns a hot key's ENTIRE stream (a key holding
+    30 % of a 100 TB table = one task holding 30 % of the table; the
+    r10 skew corpus measured the class — BENCH_SF1_SKEW.md).
+
+    The per-key analog of :func:`global_rank`'s two-phase device,
+    with TIME BUCKETS as the salt (the fragment-merge idea of
+    operators/sessionize.py): because the order key leads with the
+    timestamp and buckets partition the time axis (equal timestamps
+    share a bucket by construction), concatenating per-(key, bucket)
+    sorted runs in bucket order IS the per-key sorted stream, so
+
+    1. rank locally per (key, bucket) — the hot key spreads across
+       ~(timespan / bucket_s) tasks;
+    2. per-(key, bucket) row counts — map-side-combined down to a
+       vocabulary-shaped frame — cumsum per key across buckets into
+       start offsets (a per-key window over BUCKET SUMMARIES, not
+       events);
+    3. rank = local rank + own bucket's offset (equi-join on
+       (key, bucket) — the same partitioning the window produced).
+
+    ``(ts, *tiebreaks)`` must be unique within a key (callers append a
+    unique id — same caveat as the single-window form, where duplicate
+    order keys already make row_number nondeterministic).  Bit-equal
+    to the single-window rank: tests/test_salted_rank.py (adversarial
+    + hypothesis property).  Adds ``out_col``; input columns pass
+    through unchanged.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    tiebreak_cols = tiebreak_cols or []
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    b_us = int(bucket_s) * 1_000_000
+    # Exact microsecond bucketing (Spark timestamps are micros, so
+    # unix_micros is a lossless monotone map; NTZ casts to TIMESTAMP
+    # under the UTC session — same rule as functions/scalars.epoch_s).
+    ord_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # floor division in pure long arithmetic (pmod is non-negative, so
+    # the subtracted numerator is exactly divisible; the double divide
+    # of a <2^53 exact numerator by an exact divisor with an integer
+    # quotient is exact).
+    base = ord_us - F.pmod(ord_us, F.lit(b_us))
+    e = df.withColumn("_srk_bkt", (base / F.lit(b_us)).cast("long"))
+
+    wl = Window.partitionBy(*key_cols, "_srk_bkt").orderBy(
+        ts_col, *tiebreak_cols
+    )
+    local = e.withColumn("_srk_lrk", F.row_number().over(wl))
+
+    counts = e.groupBy(*key_cols, "_srk_bkt").agg(F.count("*").alias("_srk_n"))
+    woff = Window.partitionBy(*key_cols).orderBy("_srk_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        *key_cols,
+        "_srk_bkt",
+        F.coalesce(F.sum("_srk_n").over(woff), F.lit(0)).alias("_srk_off"),
+    )
+    return (
+        local.join(offsets, [*key_cols, "_srk_bkt"])
+        # int like row_number(): schema-identical to the single-window
+        # form (oracle schema checks compare dtypes)
+        .withColumn(out_col, (F.col("_srk_lrk") + F.col("_srk_off")).cast("int"))
+        .select(*df.columns, out_col)
+    )
+
+
 def parallel_ntile(df: DataFrame, order_by: list[str], k: int) -> DataFrame:
     """Exact NTILE(k) over a unique total order without the single-
     partition window: bucket sizes follow SQL NTILE exactly (first

@@ -198,10 +198,12 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) join: every click event annotated with the
     most recent error event at-or-before it for the same user — the
     feature-attachment shape of a training-data pipeline.  The operator
-    (operators/asof.py) is the union+window formulation: one shuffle of
-    |L|+|R| rows, no range-join candidate blowup; the oracle is DuckDB's
-    native ASOF LEFT JOIN, an independent implementation of the same
-    semantics."""
+    (operators/asof.py) is the union+window formulation — no range-join
+    candidate blowup — in its SALTED two-level form: windows per
+    (user, 6 h bucket) plus a bucket-summary carry, so a hot user's
+    stream spreads across tasks instead of one (r11, VERDICT r10 #1);
+    the oracle is DuckDB's native ASOF LEFT JOIN, an independent
+    implementation of the same semantics."""
     from ..operators.asof import asof_join
 
     e = table(spark, sf_dir, "events")
@@ -219,6 +221,9 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["event_id", "value", "ts"],
         suffix="_err",
+        # salted two-level form: a hot user's combined stream spreads
+        # across time buckets instead of one window task (VERDICT r10 #1)
+        bucket_s=6 * 3600,
     )
 
 

@@ -1,0 +1,124 @@
+"""salted_rank (operators/relational.py): exact equality with the
+single-window ``row_number().over(partitionBy(key).orderBy(ts, id))``
+form, including the traps the time-bucket split could get wrong —
+ranks spanning many buckets, boundary-exact timestamps, equal
+timestamps (same bucket by construction), keys absent from whole
+buckets — plus the plan contract that makes it the hot-key-safe form."""
+
+import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sec_edgar_spark.operators.relational import salted_rank
+
+BASE = 1_700_000_000
+BUCKET = 3600
+
+
+def _ts(off):
+    return datetime.datetime.utcfromtimestamp(BASE + off)
+
+
+def _classic(df):
+    w = Window.partitionBy("key").orderBy("ts", "rid")
+    return df.withColumn("_rk", F.row_number().over(w))
+
+
+def _assert_equal(spark, rows, bucket_s=BUCKET):
+    df = spark.createDataFrame(rows, "rid long, key long, ts timestamp")
+    cols = ["key", "rid", "ts", "_rk"]
+    got = sorted(
+        map(tuple, salted_rank(df, "key", "ts", ["rid"], bucket_s=bucket_s)
+            .select(cols).collect())
+    )
+    want = sorted(map(tuple, _classic(df).select(cols).collect()))
+    assert got == want and got
+
+
+def test_ranks_span_many_buckets(spark):
+    """One key active every 10 min for 12 h: ranks must run 1..73
+    across twelve 1 h buckets with correct per-bucket offsets."""
+    rows = [(i, 1, _ts(i * 600)) for i in range(73)]
+    _assert_equal(spark, rows)
+
+
+def test_bucket_boundary_exact_timestamps(spark):
+    """Rows AT bucket edges (off % bucket == 0) belong to the upper
+    bucket; the offset chain must still count them exactly once."""
+    rows = [
+        (1, 1, _ts(0)),
+        (2, 1, _ts(BUCKET - 1)),
+        (3, 1, _ts(BUCKET)),      # exactly on the edge
+        (4, 1, _ts(BUCKET + 1)),
+        (5, 1, _ts(2 * BUCKET)),  # next edge
+    ]
+    _assert_equal(spark, rows)
+
+
+def test_equal_timestamps_tiebreak_within_bucket(spark):
+    """Equal timestamps always share a bucket, so the id tiebreak is
+    purely local — rank order must match the single-window form."""
+    rows = [(9, 1, _ts(5)), (3, 1, _ts(5)), (7, 1, _ts(5)), (1, 2, _ts(5))]
+    _assert_equal(spark, rows)
+
+
+def test_key_skips_whole_buckets(spark):
+    rows = [
+        (1, 1, _ts(10)),
+        (2, 1, _ts(5 * BUCKET + 10)),  # silent for 4 buckets
+        (3, 2, _ts(2 * BUCKET)),
+        (4, 2, _ts(2 * BUCKET + 1)),
+    ]
+    _assert_equal(spark, rows)
+
+
+def test_bucket_s_must_be_positive(spark):
+    df = spark.createDataFrame([], "rid long, key long, ts timestamp")
+    with pytest.raises(ValueError, match="bucket_s must be >= 1"):
+        salted_rank(df, "key", "ts", ["rid"], bucket_s=0)
+
+
+def test_rank_dtype_matches_row_number(spark):
+    df = spark.createDataFrame([(1, 1, _ts(0))], "rid long, key long, ts timestamp")
+    out = salted_rank(df, "key", "ts", ["rid"])
+    assert dict(out.dtypes)["_rk"] == "int"
+
+
+def test_event_window_is_bucket_salted(spark):
+    """Plan contract: the row-level window partitions by
+    (key, _srk_bkt), never by key alone — the whole point."""
+    df = spark.createDataFrame([(1, 1, _ts(0))], "rid long, key long, ts timestamp")
+    plan = (
+        salted_rank(df, "key", "ts", ["rid"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    row_windows = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(key" in ln
+    ]
+    assert row_windows, plan
+    for ln in row_windows:
+        # the only key-partitioned windows are the row_number over
+        # (key, bucket) and the offsets cumsum over bucket summaries
+        assert "_srk_bkt" in ln, ln
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 40_000)),
+        min_size=1,
+        max_size=60,
+    ),
+    bucket_s=st.integers(1, 7200),
+)
+def test_salted_rank_equals_single_window(spark, rows, bucket_s):
+    """Property equality on random streams and random bucket widths
+    (down to 1 s buckets — one bucket per event timestamp)."""
+    data = [(i, u, _ts(off)) for i, (u, off) in enumerate(rows)]
+    _assert_equal(spark, data, bucket_s=bucket_s)
