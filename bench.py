@@ -181,6 +181,10 @@ HEADLINE = [
     "multimodal_image_dedup_tiles",
     "dedup_band_tuning",
     "dedup_residual_audit",
+    # round 11: the scale-safe SemDeDup twin (trains k-means like
+    # dedup_semantic) and its forfeit ledger
+    "dedup_semantic_capped",
+    "dedup_semantic_cap_audit",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
@@ -207,6 +211,8 @@ SCAN_PARALLELIZE = {
     "dedup_chunk_overlap",
     "curation_keep_best",
     "dedup_semantic",
+    "dedup_semantic_capped",
+    "dedup_semantic_cap_audit",
     "ann_pq_adc_topk",
     "text_bm25_search",
     "text_bigram_pmi",
@@ -266,6 +272,8 @@ BEST_OF_3 = {
     "ml_kmeans_assign",
     "ann_pq_adc_topk",
     "dedup_semantic",
+    "dedup_semantic_capped",
+    "dedup_semantic_cap_audit",
     "graph_wcc_components",  # convergence loop: same warmup class
 }
 

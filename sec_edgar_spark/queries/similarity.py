@@ -766,6 +766,203 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sub-cell cap for the scale-safe semantic-dedup twin: clusters above
+# this size are split into ceil(n/cap) deterministic sub-cells before
+# pair scoring.  512 > the largest learned cluster at every gate SF
+# (max 274 at sf0.1), so capped == uncapped on healthy data — the same
+# contract as er_match_score_capped's _BLOCK_CAP; on a corpus whose
+# clusters outgrow it (sf1 replica: ~2.5k/cluster) the per-task pair
+# work is bounded at cap² per sub-cell and TOTAL pair work at
+# Σ_c |c|·cap — linear in corpus size — in exchange for forfeiting
+# cross-sub-cell pairs (the forfeit is observable:
+# dedup_semantic_cap_audit).
+_SEM_CAP = 512
+
+
+def _sem_subsplit(keyed: DataFrame, cap: int) -> DataFrame:
+    """Add ``_sub`` ∈ [0, ceil(|cell|/cap)) to a (vec_id, embedding,
+    cell) frame: deterministic sub-cell from a Knuth multiplicative
+    hash of vec_id, taking the HIGH bits via fixed-point scaling
+    (h·n_sub >> 32) — low-bit modulo collapses strided id patterns
+    (ids all ≡ 0 mod 2^k land in one sub-cell), high bits stay
+    balanced on every stride (measured ≤ ~1.3× ideal on sequential /
+    even / ×64 / ×4096 strides).  Pure long arithmetic, overflow-safe
+    to 2^63 (ids pre-folded mod 2^31), replayed verbatim by the DuckDB
+    oracle; the cluster-size frame is k rows and broadcasts."""
+    sizes = keyed.groupBy("cell").agg(F.count("*").alias("_n"))
+    return keyed.join(broadcast(sizes), "cell").withColumn(
+        "_sub",
+        F.expr(
+            "(pmod(pmod(vec_id, 2147483648) * 2654435761, 4294967296)"
+            f" * ((_n + {cap - 1}) DIV {cap})) DIV 4294967296"
+        ),
+    )
+
+
+def _sem_capped_oracle(cap: int) -> str:
+    return (
+        _kmeans_cte(k=8, n_iter=2)
+        + f""", keyed AS (
+      SELECT e.vec_id, e.embedding,
+        sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS nrm, a.cell
+      FROM embeddings e JOIN kassign a ON e.vec_id = a.id
+    ), sizes AS (
+      SELECT cell, COUNT(*) AS n FROM keyed GROUP BY cell
+    ), subbed AS (
+      SELECT k.vec_id, k.embedding, k.nrm, k.cell,
+        ((k.vec_id % 2147483648) * 2654435761 % 4294967296)
+          * ((s.n + {cap - 1}) // {cap}) // 4294967296 AS sub
+      FROM keyed k JOIN sizes s ON k.cell = s.cell
+    )"""
+    )
+
+
+@query(
+    "dedup_semantic_capped",
+    oracle=_sem_capped_oracle(_SEM_CAP)
+    + """
+    SELECT cell, sub, keep_id, drop_id, cosine FROM (
+      SELECT a.cell AS cell, a.sub AS sub,
+        a.vec_id AS keep_id, b.vec_id AS drop_id,
+        """
+    + _dot_sql("a.embedding", "b.embedding")
+    + """ / (a.nrm * b.nrm) AS cosine
+      FROM subbed a JOIN subbed b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+    ) WHERE cosine >= 0.45
+    """,
+)
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE production twin of ``dedup_semantic`` (VERDICT
+    r10 #2): same trained k-means clusters, but clusters larger than
+    ``_SEM_CAP`` vectors are split into ceil(n/cap) deterministic
+    sub-cells (vec_id mod n_sub) and cosine pairs are scored ONLY
+    within a sub-cell.
+
+    Why: SemDeDup's within-cluster scoring is Σ_c |c|² pairs — with
+    k fixed, a 100× corpus makes every cluster 100× and the pair count
+    10,000×; the sf10 bench had to abort dedup_semantic inside one
+    28-minute scoring stage (BENCH_SF10.md).  Sub-splitting bounds a
+    task at cap² pair evaluations and the job at Σ_c |c|·cap — linear
+    in the corpus — the same survival-over-recall contract as
+    er_match_score_capped / dedup_prefix_filter_capped: a near-dup
+    pair whose members land in different sub-cells is forfeit, and the
+    forfeited pair mass is observable (dedup_semantic_cap_audit).  On
+    every gate SF the cap does not bind (largest cluster 274 < 512 at
+    sf0.1), so capped == uncapped exactly (subset-tested both ways in
+    tests/test_semantic_capped.py, sub-split equality property-tested
+    with a forced tiny cap).
+
+    Scale shape: training as dedup_semantic (broadcast centroids);
+    the k-row cluster-size frame broadcasts; scoring is the same
+    cogrouped-Arrow kernel keyed by (cell, sub) — each task gets one
+    sub-cell once, never a pair table.
+    """
+    from ..operators.kmeans import kmeans_fit_assign
+    from ..operators.similarity import group_cosine_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+    keyed = e.join(
+        assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
+    ).select("vec_id", "embedding", "cell")
+    cell_dt = dict(keyed.dtypes)["cell"]
+    subbed = _sem_subsplit(keyed, _SEM_CAP)
+    # composite (cell, sub) group key for the cogrouped scorer; cell is
+    # a small cluster index and sub < ceil(n/cap), both far below 2^32,
+    # so the pack/unpack is exact long arithmetic
+    gk = subbed.withColumn(
+        "_g", F.col("cell").cast("long") * F.lit(1 << 32) + F.col("_sub")
+    )
+    pairs = group_cosine_pairs(
+        gk.select("vec_id", "embedding", "_g"),
+        group_col="_g",
+        threshold=0.45,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    return pairs.select(
+        F.floor(F.col("g") / F.lit(1 << 32)).cast(cell_dt).alias("cell"),
+        F.pmod(F.col("g"), F.lit(1 << 32)).alias("sub"),
+        F.col("id_a").alias("keep_id"),
+        F.col("id_b").alias("drop_id"),
+        "cosine",
+    )
+
+
+@query(
+    "dedup_semantic_cap_audit",
+    oracle=_sem_capped_oracle(_SEM_CAP)
+    + """, sub_sizes AS (
+      SELECT cell, sub, COUNT(*) AS m FROM subbed GROUP BY cell, sub
+    )
+    SELECT cell,
+      CAST(SUM(m) AS BIGINT) AS n_vectors,
+      CAST(COUNT(*) AS BIGINT) AS n_subcells,
+      CAST(SUM(m) * (SUM(m) - 1) // 2 AS BIGINT) AS pairs_possible,
+      CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS pairs_scored,
+      CAST(SUM(m) * (SUM(m) - 1) // 2 - SUM(m * (m - 1) // 2) AS BIGINT)
+        AS pairs_forfeited
+    FROM sub_sizes GROUP BY cell
+    """,
+)
+def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-forfeit ledger for ``dedup_semantic_capped``: per
+    learned cluster, how many candidate pairs the cap's sub-splitting
+    skipped — ``pairs_possible`` (the uncapped Σ C(|c|,2) budget),
+    ``pairs_scored`` (Σ over sub-cells), and ``pairs_forfeited`` (the
+    cross-sub-cell pairs never evaluated).  On gate SFs every row shows
+    n_subcells = 1 and pairs_forfeited = 0 (the cap does not bind);
+    on a corpus where it binds this is the one-aggregate answer to
+    "what did survival cost" — the same observability contract as the
+    excluded-block list of er_match_score_capped.
+
+    Counts cover all assigned vectors (zero-norm included: this audits
+    the pair BUDGET the splitter allows, not the threshold outcome).
+    Pure counting — one vocabulary-shaped aggregate over (cell, sub),
+    exact integer arithmetic on both engines.
+    """
+    from ..operators.kmeans import kmeans_fit_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+    keyed = e.join(
+        assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
+    ).select("vec_id", "embedding", "cell")
+    sub_sizes = (
+        _sem_subsplit(keyed, _SEM_CAP)
+        .groupBy("cell", "_sub")
+        .agg(F.count("*").alias("_m"))
+    )
+    return (
+        sub_sizes.groupBy("cell")
+        .agg(
+            F.sum("_m").cast("bigint").alias("n_vectors"),
+            F.count("*").cast("bigint").alias("n_subcells"),
+            F.sum(F.expr("_m * (_m - 1) DIV 2")).cast("bigint").alias(
+                "pairs_scored"
+            ),
+        )
+        .withColumn(
+            "pairs_possible",
+            F.expr("n_vectors * (n_vectors - 1) DIV 2").cast("bigint"),
+        )
+        .withColumn(
+            "pairs_forfeited",
+            (F.col("pairs_possible") - F.col("pairs_scored")).cast("bigint"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "n_subcells",
+            "pairs_possible",
+            "pairs_scored",
+            "pairs_forfeited",
+        )
+    )
+
+
 def _rp_signs(k: int = 16) -> list[list[int]]:
     """±1 projection matrix (EMB_DIM × k) derived from md5 parity —
     shared verbatim by the Spark expression and the generated oracle

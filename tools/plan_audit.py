@@ -75,6 +75,8 @@ TINY_WINDOW_WHITELIST: set[str] = {
     "ann_ivf_trained",
     "ann_pq_adc_topk",
     "dedup_semantic",
+    "dedup_semantic_capped",
+    "dedup_semantic_cap_audit",
     "ml_cluster_quality",
     "ann_recall_eval",
     "curation_cluster_balanced_sample",  # same lloyd_fit seeding frame
