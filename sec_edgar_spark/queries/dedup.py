@@ -513,7 +513,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc-frequency-capped shingle self-join — boilerplate shingles
     never join) + exact set Jaccard on the full shingle sets.  The
     exact tier above MinHash-LSH: same output contract, no hashing
-    approximation in candidate recall except the df-cap."""
+    approximation in candidate recall except the df-cap.
+
+    HOT-SHINGLE WARNING: the df-cap bounds posting lists but a shared
+    token head still grows real in-band pairs quadratically (answer-
+    bound — hot shingles MEAN more true candidates; BENCH_SF1_SKEW.md).
+    Stays registered as the oracle-exact semantics; the production
+    paths are dedup_prefix_filter_capped / dedup_containment_capped
+    (posting caps bound the blowup, forfeit observable)."""
     from ..operators import dedup as D
 
     d = table(spark, sf_dir, "documents")

@@ -131,6 +131,13 @@ def er_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one equi-join on the block key, one bounded window
     partitioned by partkey_a (per-record candidate lists are bounded
     by the block discipline, so the argmax sort is tiny per key).
+
+    HOT-BLOCK WARNING: an adversarial name distribution (fixed
+    vocabulary) makes a block quadratic — the sf10 probe measured the
+    uncapped join's superlinear growth.  Stays registered as the
+    oracle-exact semantics; the production path is
+    er_match_score_capped (blocks above the cap are excluded before
+    the pair join, forfeit observable).
     """
     pairs = _scored_pairs(spark, sf_dir).filter(F.col("score") > 700)
     w = Window.partitionBy("partkey_a").orderBy(

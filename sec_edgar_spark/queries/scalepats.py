@@ -2453,6 +2453,14 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta join, pinning the band semantics); per-purchase counts ride
     one window partitioned by event_id; the '(none)' side is an
     anti-join on the same candidates.
+
+    HOT-KEY WARNING — dies on skewed keys: candidate generation is
+    uncapped, so a user holding 30 % of events produces O(hot²)
+    in-band pairs; on the r10 Zipf-skew corpus this exact query
+    Java-heap-OOM'd and killed the SparkContext (BENCH_SF1_SKEW.md).
+    It stays registered as the ORACLE-EXACT semantics; the production
+    path is events_attribution_capped (≤ K candidates per purchase by
+    construction, measured flat on the same corpus).
     """
     from ..operators.interval import range_join
 

@@ -739,6 +739,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays training + scoring end-to-end so the value check covers
     exactly what the operator claims.
 
+    PAIR-COUNT WARNING: with k fixed, within-cluster scoring is
+    Σ_c |c|² — the sf10 bench aborted this query inside one 28-minute
+    scoring stage (BENCH_SF10.md).  Stays registered as the
+    oracle-exact semantics; the production path is
+    dedup_semantic_capped (sub-cell split bounds pair work linearly,
+    forfeit observable via dedup_semantic_cap_audit).
+
     Scale shape: training broadcasts the k-row centroid frame per
     iteration; pair scoring is the cell-keyed cogrouped-Arrow scorer
     (operators/similarity.group_cosine_pairs) — each task gets one

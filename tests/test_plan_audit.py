@@ -13,11 +13,27 @@ def test_no_hard_antipatterns_anywhere(spark):
     import sys
 
     sys.path.insert(0, ".")
-    from tools.plan_audit import PY_UDF_WHITELIST, audit
+    from tools.plan_audit import (
+        HOT_KEY_WINDOW_NOTES,
+        PY_UDF_WHITELIST,
+        audit,
+    )
 
     rows = audit("/root/testdata/sf0.001")
     assert len(rows) >= 150
     errors = []
+    hot_flagged = set()
+    for name, flags in rows:
+        if flags.get("HotKeyWindow"):
+            hot_flagged.add(name)
+            if name not in HOT_KEY_WINDOW_NOTES:
+                errors.append(
+                    f"{name}: corpus-keyed window partitioned by a "
+                    "hot-capable key with no salt marker and no "
+                    "HOT_KEY_WINDOW_NOTES row — salt it (salted_rank / "
+                    "asof bucket_s / sessionize fragments) or document "
+                    "why the per-key frame is bounded (VERDICT r10 #6)"
+                )
     for name, flags in rows:
         if "PLAN_ERROR" in flags:
             errors.append(f"{name}: {flags['PLAN_ERROR']}")
@@ -40,6 +56,15 @@ def test_no_hard_antipatterns_anywhere(spark):
             errors.append(
                 f"{name}: no Exchange pin in tools/plan_pins.json — "
                 "every registry query must be pinned (--emit-pins)"
+            )
+    # the notes map may not go stale either: an entry whose query no
+    # longer shows the flag (it got salted) must be removed so the map
+    # stays an exact ledger of the live exposure
+    for name in HOT_KEY_WINDOW_NOTES:
+        if name not in hot_flagged:
+            errors.append(
+                f"{name}: HOT_KEY_WINDOW_NOTES entry but the plan no "
+                "longer shows a HotKeyWindow — remove the stale note"
             )
     assert not errors, errors
 
@@ -120,9 +145,15 @@ def test_whitelists_reference_live_queries():
     import sys
 
     sys.path.insert(0, ".")
-    from tools.plan_audit import PY_UDF_WHITELIST, TINY_WINDOW_WHITELIST
+    from tools.plan_audit import (
+        HOT_KEY_WINDOW_NOTES,
+        PY_UDF_WHITELIST,
+        TINY_WINDOW_WHITELIST,
+    )
     import sec_edgar_spark.queries as Q
 
     qnames = set(Q.queries())
-    stale = (PY_UDF_WHITELIST | TINY_WINDOW_WHITELIST) - qnames
+    stale = (
+        PY_UDF_WHITELIST | TINY_WINDOW_WHITELIST | set(HOT_KEY_WINDOW_NOTES)
+    ) - qnames
     assert not stale, f"whitelist entries not in registry: {sorted(stale)}"
