@@ -294,32 +294,32 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by a 'purchase' from the same user within one hour — the
     sequential-pattern primitive of event analytics.
 
-    The "next purchase after this event" lookup is ONE window (min of
-    purchase-ts over the strictly-following frame, per user) on the raw
-    stream — no self-join, no per-view probe; the stream shuffles once
-    on user_id and the daily rollup is a map-combined hash agg.  Same
-    scale shape as sessionize.
-
-    Frame direction matters at scale: "strictly following in ascending
-    ts" is expressed as a DESCENDING sort with a strictly-PRECEDING
-    frame.  Spark's UnboundedPreceding frames maintain a running
-    aggregate (O(n) per partition); an UnboundedFollowing frame
-    re-scans the remainder per row (O(n²)) — identical semantics,
-    and the r10 skew probe measured the difference as a hung straggler
-    task on a user holding 30 % of events (BENCH_SF1_SKEW.md).
+    The "next purchase after this event" lookup is a per-user SUFFIX
+    MIN of purchase-ts — no self-join, no per-view probe — in the
+    SALTED two-level form (operators/relational.salted_suffix_min):
+    per-(user, 6 h bucket) descending windows with a strictly-
+    PRECEDING running frame (the r10 O(n) frame rule: an
+    UnboundedFollowing frame re-scans the remainder per row, O(n²) —
+    the r10 skew probe measured it as a hung straggler) plus a
+    bucket-summary carry, so a hot user's stream spreads across tasks
+    instead of one (the single-window form measured 4.7× at
+    sf10-skew); the daily rollup is a map-combined hash agg.
     """
+    from ..operators.relational import salted_suffix_min
+
     e = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.desc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    next_purchase = F.min(
-        F.when(F.col("event_type") == "purchase", F.col("ts"))
-    ).over(w)
-    ordered = e.select(
-        "user_id", "ts", "event_id", "event_type",
-        next_purchase.alias("next_purchase_ts"),
+    ordered = salted_suffix_min(
+        e.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.when(F.col("event_type") == "purchase", F.col("ts")).alias(
+                "_pts"
+            ),
+        ),
+        key_cols="user_id",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        value_col="_pts",
+        out_col="next_purchase_ts",
     )
     converted = (
         F.col("next_purchase_ts").isNotNull()
@@ -1504,19 +1504,27 @@ def events_interarrival_percentiles(
     watermark delay: p50/p90/p99 of the gap distribution, not a
     guessed 30 minutes.
 
-    Same scalable shape as agg_weighted_percentiles: gaps come from a
-    (user, type)-partitioned lag window (high-cardinality key —
-    scales out); the corpus then collapses to a (type, gap-seconds)
-    VALUE HISTOGRAM, the cumulative window runs over the gap domain,
-    and the percentile picks are integer cross-multiplications.
+    Same scalable shape as agg_weighted_percentiles: gaps come from
+    the SALTED per-(user, type) lag (operators/relational.salted_prev
+    — per-(key, 6 h bucket) windows + a bucket-summary carry, so a
+    hot user's stream never lands in one task); the corpus then
+    collapses to a (type, gap-seconds) VALUE HISTOGRAM, the cumulative
+    window runs over the gap domain, and the percentile picks are
+    integer cross-multiplications.
     """
+    from ..operators.relational import salted_prev
+
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
+    lagged = salted_prev(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        key_cols=["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        payload_cols=["ts"],
     )
-    gaps = e.select(
+    gaps = lagged.select(
         "event_type",
-        (epoch_s("ts") - epoch_s(F.lag("ts").over(w))).alias("gap_s"),
+        (epoch_s("ts") - epoch_s(F.col("prev_ts"))).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
     hist = gaps.groupBy("event_type", "gap_s").agg(F.count("*").alias("h"))
     wcum = (

@@ -398,16 +398,25 @@ def events_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the user journey:
     consecutive event-type pairs per user (LAG with a unique tiebreak),
-    counted globally, normalized per source state.  The per-user window
-    is partition-local; the transition counts partial-aggregate before
+    counted globally, normalized per source state.  The lag is the
+    SALTED per-user form (operators/relational.salted_prev: per-(user,
+    6 h bucket) windows + a bucket-summary carry — no task owns a hot
+    user's stream); the transition counts partial-aggregate before
     the one small shuffle; probabilities divide two exact BIGINTs in
     double (bit-identical in both engines).  This is the
     journey-mining / next-event-prediction feature shape.
     """
+    from ..operators.relational import salted_prev
+
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = e.select(
-        F.lag("event_type").over(w).alias("prev_type"),
+    pairs = salted_prev(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        key_cols="user_id",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        payload_cols=["event_type"],
+    ).select(
+        F.col("prev_event_type").alias("prev_type"),
         F.col("event_type").alias("next_type"),
     ).filter(F.col("prev_type").isNotNull())
     cnt = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))

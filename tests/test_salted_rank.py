@@ -122,3 +122,79 @@ def test_salted_rank_equals_single_window(spark, rows, bucket_s):
     (down to 1 s buckets — one bucket per event timestamp)."""
     data = [(i, u, _ts(off)) for i, (u, off) in enumerate(rows)]
     _assert_equal(spark, data, bucket_s=bucket_s)
+
+
+# ---- salted_suffix_min: the funnel next-match device ----
+
+
+def _classic_suffix_min(df):
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.desc("ts"), F.desc("rid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn("nxt", F.min("val").over(w))
+
+
+def _assert_suffix_equal(spark, rows, bucket_s=BUCKET):
+    from sec_edgar_spark.operators.relational import salted_suffix_min
+
+    df = spark.createDataFrame(
+        rows, "rid long, key long, ts timestamp, val timestamp"
+    )
+    cols = ["key", "rid", "ts", "val", "nxt"]
+    got = sorted(
+        map(
+            tuple,
+            salted_suffix_min(
+                df, "key", "ts", ["rid"], "val", "nxt", bucket_s=bucket_s
+            ).select(cols).collect(),
+        )
+    )
+    want = sorted(map(tuple, _classic_suffix_min(df).select(cols).collect()))
+    assert got == want and got
+
+
+def test_suffix_min_carry_across_buckets_and_ties(spark):
+    """Values only in much-later buckets must carry back; equal
+    timestamps resolve by the id tiebreak exactly like the single
+    window (same-ts larger-id rows are 'strictly after')."""
+    rows = [
+        (1, 1, _ts(10), None),
+        (2, 1, _ts(10), _ts(10)),          # same ts, larger id: counts for rid=1
+        (3, 1, _ts(5 * BUCKET + 7), _ts(5 * BUCKET + 7)),  # far bucket
+        (4, 1, _ts(9 * BUCKET), None),      # after everything: NULL
+        (5, 2, _ts(20), None),              # other key: no values at all
+    ]
+    _assert_suffix_equal(spark, rows)
+
+
+def test_suffix_min_bucket_edges(spark):
+    rows = [
+        (1, 1, _ts(BUCKET - 1), None),
+        (2, 1, _ts(BUCKET), _ts(BUCKET)),       # exactly on the edge
+        (3, 1, _ts(BUCKET), None),               # same ts, larger id
+        (4, 1, _ts(2 * BUCKET - 1), _ts(2 * BUCKET - 1)),
+    ]
+    _assert_suffix_equal(spark, rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),       # key
+            st.integers(0, 40_000),  # ts offset
+            st.booleans(),           # has value?
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    bucket_s=st.integers(1, 7200),
+)
+def test_suffix_min_equals_single_window(spark, rows, bucket_s):
+    data = [
+        (i, k, _ts(off), _ts(off) if has else None)
+        for i, (k, off, has) in enumerate(rows)
+    ]
+    _assert_suffix_equal(spark, data, bucket_s=bucket_s)

@@ -96,13 +96,6 @@ HOT_KEY_WINDOW_NOTES: dict[str, str] = {
     # registered salted twin yet — the salted_rank / sessionize
     # fragment device applies; kept visible here so the exposure is a
     # standing CI fact, not a judge catch (VERDICT r10 #6)
-    "events_funnel_conversion": "per-user stream window; O(n)/key "
-    "after the r10 frame fix, sf1-skew wall 1.0x — hot key still owns "
-    "one task; salting candidate",
-    "events_interarrival_percentiles": "per-user lag window over the "
-    "event stream; salting candidate",
-    "events_markov_transitions": "per-user lag windows over the event "
-    "stream; salting candidate",
     "events_session_entry_exit": "per-(user, session) first/last "
     "frames; an unbounded bot session owns one task — the top_paths "
     "64-row cap pattern applies; salting candidate",
