@@ -133,9 +133,17 @@ def lsh_upsert_batch(
         .withColumnRenamed("id_a", "new_id")
         .withColumnRenamed("id_b", "corpus_id")
     )
-    matches.write.mode("append").parquet(f"{root}/matches")
-    new_bands.write.mode("append").parquet(f"{root}/bands")
-    new_sets.write.mode("append").parquet(f"{root}/sets")
+    # ONE file per table per batch: a micro-batch increment is small by
+    # definition, and appending at task parallelism (32-64 files per
+    # batch) makes every later batch's store re-read pay file-listing +
+    # footer + task-launch costs that grow with BATCH COUNT, not data —
+    # the 100-batch bench measured the creep (per-batch wall 2.2s → 6.3s
+    # at a constant ~30 MB store, 6,402 files).  At cluster scale raise
+    # the fan-in or add periodic compact_parquet rounds
+    # (operators/maintenance.py); the layout contract is the same.
+    matches.coalesce(1).write.mode("append").parquet(f"{root}/matches")
+    new_bands.coalesce(1).write.mode("append").parquet(f"{root}/bands")
+    new_sets.coalesce(1).write.mode("append").parquet(f"{root}/sets")
     if batch_id is not None:
         write_batch_marker(root, batch_id)
     per_doc.unpersist()

@@ -123,9 +123,14 @@ def scd2_upsert_batch(
     # loss kills the local blocks mid-batch the batch fails and the
     # marker protocol below replays it idempotently.
     merged = merged.transform(lambda d: lineage_cut(d, local_only=True))
-    merged.filter(~F.col("is_current")).write.mode("append").parquet(
-        f"{root}/closed"
-    )
+    # one file per append: the closed-rows delta of one micro-batch is
+    # small, and per-batch multi-file appends make the store's file
+    # count grow with batch count (the incremental_lsh bench measured
+    # the re-read creep that causes); current/ is a full overwrite and
+    # key-bounded, so it keeps natural parallelism
+    merged.filter(~F.col("is_current")).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{root}/closed")
     merged.filter(F.col("is_current")).write.mode("overwrite").parquet(
         f"{root}/current"
     )

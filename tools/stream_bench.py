@@ -346,13 +346,11 @@ def bench_composed(spark, base: str, n_waves: int) -> dict:
     )
     gated = url_intake_stream(stream)  # state store 1: canonical URLs
     quality = quality_columns(gated).filter(F.col("passes_quality"))
-    deduped = (
-        quality.withColumn(
-            "content_hash", F.md5(F.lower(F.trim(F.col("text"))))
-        )
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["content_hash"])  # state store 2
-    )
+    deduped = quality.withColumn(
+        "content_hash", F.md5(F.lower(F.trim(F.col("text"))))
+        # the watermark set inside url_intake_stream carries through —
+        # redefining it between stateful operators is disallowed
+    ).dropDuplicatesWithinWatermark(["content_hash"])  # state store 2
     curve = []
 
     def _sink(batch_df, batch_id: int) -> None:
