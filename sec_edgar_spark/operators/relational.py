@@ -460,6 +460,94 @@ def salted_prev(
     )
 
 
+def salted_next(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    tiebreak_cols: list[str],
+    payload_cols: list[str],
+    out_prefix: str = "next_",
+    bucket_s: int = 6 * 3600,
+) -> DataFrame:
+    """Per-key LEAD WITHOUT a per-key window — the forward mirror of
+    :func:`salted_prev`: for every row, the immediately FOLLOWING
+    row's ``payload_cols`` in ``(ts, *tiebreaks)`` ascending order
+    within its key, as ``<out_prefix><col>`` (NULL for the key's last
+    row).  "Next row" = min over the strictly-following frame of
+    ``struct(_ord, *tiebreaks, payloads)``; the frame is expressed as
+    a DESCENDING sort with a strictly-preceding running min (the r10
+    O(n) frame rule), per (key, bucket), with each bucket inheriting
+    the FIRST row of all later buckets via one map-side-combined min
+    per cell + a synthetic row sorted before the bucket's real rows in
+    the descending traversal (its _ord is the exclusive bucket end, so
+    no real row can tie it).  Same uniqueness/orderability/non-null-ts
+    requirements as salted_prev."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    b_us = int(bucket_s) * 1_000_000
+    ord_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = ord_us - F.pmod(ord_us, F.lit(b_us))
+    ostruct = F.struct(
+        F.col("_sn_ord").alias("_o"),
+        *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tiebreak_cols)],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
+    )
+    e = (
+        df.withColumn("_sn_ord", ord_us)
+        .withColumn("_sn_bkt", (base / F.lit(b_us)).cast("long"))
+        .withColumn("_sn_syn", F.lit(0))
+        .withColumn("_sn_os", ostruct)
+    )
+
+    cells = e.groupBy(*key_cols, "_sn_bkt").agg(F.min("_sn_os").alias("_c"))
+    wcarry = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.desc("_sn_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_rows = (
+        cells.withColumn("_carry", F.min("_c").over(wcarry))
+        .filter(F.col("_carry").isNotNull())
+        .select(
+            *key_cols,
+            *[
+                F.lit(None).cast(e.schema[c].dataType).alias(c)
+                for c in df.columns
+                if c not in key_cols
+            ],
+            (F.col("_sn_bkt") * b_us + b_us).alias("_sn_ord"),
+            F.col("_sn_bkt"),
+            F.lit(-1).alias("_sn_syn"),
+            F.col("_carry").alias("_sn_os"),
+        )
+    )
+
+    wl = (
+        Window.partitionBy(*key_cols, "_sn_bkt")
+        .orderBy(
+            F.desc("_sn_ord"),
+            F.asc("_sn_syn"),
+            *[F.desc(c) for c in tiebreak_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.min("_sn_os").over(wl)
+    out = (
+        e.unionByName(carry_rows.select(*e.columns))
+        .withColumn("_sn_next", nxt)
+        .filter(F.col("_sn_syn") == 0)
+    )
+    return out.select(
+        *df.columns,
+        *[
+            F.col(f"_sn_next._p.{c}").alias(f"{out_prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+
+
 def parallel_ntile(df: DataFrame, order_by: list[str], k: int) -> DataFrame:
     """Exact NTILE(k) over a unique total order without the single-
     partition window: bucket sizes follow SQL NTILE exactly (first

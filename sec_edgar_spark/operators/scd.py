@@ -24,17 +24,43 @@ from pyspark.sql.functions import broadcast
 COLS = ["user_id", "status", "valid_from", "valid_to", "is_current"]
 
 
-def scd2_build(events: DataFrame) -> DataFrame:
+def scd2_build(events: DataFrame, bucket_s: int | None = None) -> DataFrame:
     """events(user_id, event_type, ts, event_id) → SCD2 rows.  The
     (ts, event_id) compound ordering makes LEAD deterministic under
-    timestamp ties."""
-    _W = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    timestamp ties.
+
+    ``bucket_s`` selects the SALTED LEAD
+    (operators/relational.salted_next: per-(user, bucket) windows + a
+    bucket-summary carry — bit-equal, no task owns a hot user's whole
+    change log).  ``None`` keeps the classic single window — right for
+    micro-batch deltas (scd2_merge), whose per-key frames are
+    batch-sized."""
+    if bucket_s is None:
+        _W = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return events.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(_W).alias("valid_to"),
+            F.lead("ts").over(_W).isNull().alias("is_current"),
+        )
+    from .relational import salted_next
+
+    nxt = salted_next(
+        events.select("user_id", "event_type", "ts", "event_id"),
+        key_cols="user_id",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        payload_cols=["ts"],
+        out_prefix="_next_",
+        bucket_s=bucket_s,
+    )
+    return nxt.select(
         "user_id",
         F.col("event_type").alias("status"),
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(_W).alias("valid_to"),
-        F.lead("ts").over(_W).isNull().alias("is_current"),
+        F.col("_next_ts").alias("valid_to"),
+        F.col("_next_ts").isNull().alias("is_current"),
     )
 
 

@@ -57,17 +57,26 @@ def salted_sessionize(
     id_col: str = "event_id",
     gap_s: int = 30 * 60,
     bucket_s: int = 6 * 3600,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """(user, session_id, n_events, first_ep, last_ep) — exact 30-min-gap
     sessions (``session_id`` = per-user 1-based running index, identical
-    to the single-window lag→flag→cumsum numbering)."""
+    to the single-window lag→flag→cumsum numbering).
+
+    ``payload_cols`` additionally returns ``entry`` / ``exit`` structs —
+    the (ts, id, *payloads) of the session's argmin/argmax row by
+    (ts, id) — the entry/exit-page analytics shape, computed exactly
+    through the fragment split because struct-min/max is associative:
+    per-fragment extrema in the local pass, extrema-of-extrema in the
+    merge (a session is the disjoint union of its fragments)."""
     if bucket_s <= gap_s:
         raise ValueError(
             f"bucket_s ({bucket_s}) must exceed gap_s ({gap_s}): a bucket "
             "shorter than the gap can hide a session boundary from both "
             "the local pass and the fragment merge"
         )
-    e = events.select(user_col, ts_col, id_col).withColumn(
+    payload_cols = payload_cols or []
+    e = events.select(user_col, ts_col, id_col, *payload_cols).withColumn(
         "_ep", epoch_s(F.col(ts_col))
     )
     e = e.withColumn("_bkt", F.floor(F.col("_ep") / bucket_s))
@@ -85,11 +94,18 @@ def salted_sessionize(
 
     # fragments: maximal in-bucket runs — grouped on the window's own
     # partition keys, so no new Exchange
+    pay_aggs = []
+    if payload_cols:
+        st = F.struct(
+            F.col(ts_col), F.col(id_col), *[F.col(c) for c in payload_cols]
+        )
+        pay_aggs = [F.min(st).alias("_ent"), F.max(st).alias("_ext")]
     frags = local.groupBy(user_col, "_bkt", "_ls").agg(
         F.count("*").alias("_n"),
         F.min("_ep").alias("_min_ep"),
         F.max("_ep").alias("_max_ep"),
         F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("_first"),
+        *pay_aggs,
     )
 
     wf = Window.partitionBy(user_col).orderBy("_first")
@@ -103,10 +119,16 @@ def salted_sessionize(
         ).otherwise(0),
     ).withColumn("session_id", F.sum("_new").over(wf_run))
 
+    final_pay = (
+        [F.min("_ent").alias("entry"), F.max("_ext").alias("exit")]
+        if payload_cols
+        else []
+    )
     return merged.groupBy(
         user_col, F.col("session_id").cast("bigint").alias("session_id")
     ).agg(
         F.sum("_n").cast("bigint").alias("n_events"),
         F.min("_min_ep").cast("bigint").alias("first_ep"),
         F.max("_max_ep").cast("bigint").alias("last_ep"),
+        *final_pay,
     )

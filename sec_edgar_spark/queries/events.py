@@ -1419,38 +1419,23 @@ def events_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra window pass, identical lexicographic semantics on both
     engines (the event_id tiebreak makes the struct order total).
 
-    Scale shape: the session assembly is the standard lag→flag→cumsum
-    partitioned by user (no global sort); per-session and per-entry
-    aggregates are hash aggs; output is event-type-cardinality rows.
+    Scale shape: the session assembly is the SALTED two-level exact
+    sessionize (operators/sessionize.py) with entry/exit payloads —
+    per-fragment struct-extrema in the local (user, 6 h bucket) pass,
+    extrema-of-extrema in the fragment merge (associative, so
+    bit-identical to the single-window argmin/argmax); per-session and
+    per-entry aggregates are hash aggs; output is
+    event-type-cardinality rows.
     """
+    from ..operators.sessionize import salted_sessionize
+
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    marked = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (epoch_s("ts") - epoch_s(F.lag("ts").over(w)) > 30 * 60),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_start"),
-    )
-    sess = marked.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum("is_start").over(wrun).alias("session_id"),
-    )
-    st = F.struct("ts", "event_id", "event_type")
-    per_session = sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min(st).getField("event_type").alias("entry_type"),
-        F.max(st).getField("event_type").alias("exit_type"),
+    per_session = salted_sessionize(
+        e, payload_cols=["event_type"]
+    ).select(
+        "n_events",
+        F.col("entry.event_type").alias("entry_type"),
+        F.col("exit.event_type").alias("exit_type"),
     )
     bounce = F.sum((F.col("n_events") == 1).cast("long"))
     return per_session.groupBy("entry_type").agg(

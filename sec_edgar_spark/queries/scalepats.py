@@ -365,13 +365,14 @@ def events_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     left side of the battery's as-of join (operators/asof.py) for
     point-in-time enrichment.
 
-    One window over (user_id, ts, event_id) — the unique tiebreak makes
-    LEAD deterministic under ties; per-user partitioning keeps the sort
-    local to each hash partition (no global sort at 100 TB).
+    The LEAD is the SALTED form (operators/relational.salted_next:
+    per-(user, 6 h bucket) windows + a bucket-summary carry — the
+    unique (ts, event_id) tiebreak makes it deterministic under ties
+    and no task ever owns a hot user's whole change log).
     """
     from ..operators.scd import scd2_build
 
-    return scd2_build(table(spark, sf_dir, "events"))
+    return scd2_build(table(spark, sf_dir, "events"), bucket_s=6 * 3600)
 
 
 @query(
@@ -542,7 +543,9 @@ def events_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scd import scd2_build
 
     e = table(spark, sf_dir, "events")
-    dim = scd2_build(e).select("user_id", "status", "valid_from")
+    dim = scd2_build(e, bucket_s=6 * 3600).select(
+        "user_id", "status", "valid_from"
+    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",

@@ -198,3 +198,81 @@ def test_suffix_min_equals_single_window(spark, rows, bucket_s):
         for i, (k, off, has) in enumerate(rows)
     ]
     _assert_suffix_equal(spark, data, bucket_s=bucket_s)
+
+
+# ---- salted_next: the forward LEAD mirror ----
+
+
+def _classic_next(df):
+    w = Window.partitionBy("key").orderBy("ts", "rid")
+    return df.withColumn("next_etype", F.lead("etype").over(w)).withColumn(
+        "next_ts", F.lead("ts").over(w)
+    )
+
+
+def _assert_next_equal(spark, rows, bucket_s=BUCKET):
+    from sec_edgar_spark.operators.relational import salted_next
+
+    df = spark.createDataFrame(
+        rows, "rid long, key long, ts timestamp, etype string"
+    )
+    cols = ["key", "rid", "ts", "etype", "next_etype", "next_ts"]
+    got = sorted(
+        map(
+            tuple,
+            salted_next(
+                df, "key", "ts", ["rid"], ["etype", "ts"],
+                bucket_s=bucket_s,
+            ).select(cols).collect(),
+        )
+    )
+    want = sorted(map(tuple, _classic_next(df).select(cols).collect()))
+    assert got == want and got
+
+
+def test_next_carry_edges_and_ties(spark):
+    rows = [
+        (1, 1, _ts(10), "a"),
+        (2, 1, _ts(10), "b"),            # same ts, larger id: IS rid 1's next
+        (3, 1, _ts(4 * BUCKET), "c"),    # far bucket: rid 2's next via carry
+        (4, 1, _ts(4 * BUCKET), "d"),
+        (5, 2, _ts(BUCKET), "e"),        # exactly on an edge, key alone
+    ]
+    _assert_next_equal(spark, rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 40_000)),
+        min_size=1,
+        max_size=50,
+    ),
+    bucket_s=st.integers(1, 7200),
+)
+def test_next_equals_single_window(spark, rows, bucket_s):
+    data = [
+        (i, k, _ts(off), "t" + str(i % 4))
+        for i, (k, off) in enumerate(rows)
+    ]
+    _assert_next_equal(spark, data, bucket_s=bucket_s)
+
+
+def test_scd2_build_salted_equals_classic(spark):
+    from sec_edgar_spark.operators.scd import scd2_build
+
+    rows = [
+        (1, "signup", _ts(10), 1),
+        (1, "active", _ts(10), 2),          # tie: id order decides
+        (1, "churned", _ts(7 * BUCKET), 3),
+        (2, "signup", _ts(BUCKET), 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    cols = ["user_id", "status", "valid_from", "valid_to", "is_current"]
+    classic = sorted(map(tuple, scd2_build(ev).select(cols).collect()))
+    salted = sorted(
+        map(tuple, scd2_build(ev, bucket_s=BUCKET).select(cols).collect())
+    )
+    assert classic == salted and classic

@@ -148,3 +148,84 @@ def test_local_window_is_bucket_salted(spark):
     for ln in event_windows:
         if "_bkt" not in ln:
             assert "_first" in ln, ln
+
+
+def test_payload_entry_exit_matches_single_window(spark):
+    """payload_cols returns per-session entry/exit structs — argmin/
+    argmax by (ts, id) — bit-equal to the single-window session
+    assembly + struct-extrema aggregation, including sessions spanning
+    bucket edges and same-ts tie rows."""
+    base = 1_700_000_000 - (1_700_000_000 % BUCKET)
+    rows = []
+    # one session crossing two bucket edges, with a same-ts tie pair
+    for i in range(30):
+        rows.append((1, _ts(base + i * 1200), i, f"t{i % 3}"))
+    rows.append((1, _ts(base), 99, "tie"))  # same ts as event 0, larger id
+    # a second session after a gap, single event (bounce)
+    rows.append((1, _ts(base + 30 * 1200 + GAP + 61), 200, "solo"))
+    rows.append((2, _ts(base + 7), 300, "x"))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            salted_sessionize(
+                events, gap_s=GAP, bucket_s=BUCKET,
+                payload_cols=["event_type"],
+            )
+            .select(
+                "user_id",
+                "session_id",
+                "n_events",
+                F.col("entry.event_type").alias("entry_type"),
+                F.col("exit.event_type").alias("exit_type"),
+            )
+            .collect(),
+        )
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_s("ts") - epoch_s(F.lag("ts").over(w)) > GAP),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    st = F.struct("ts", "event_id", "event_type")
+    want = sorted(
+        map(
+            tuple,
+            marked.select(
+                "user_id", "ts", "event_id", "event_type",
+                F.sum("is_start").over(wrun).alias("session_id"),
+            )
+            .groupBy(
+                "user_id",
+                F.col("session_id").cast("bigint").alias("session_id"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.min(st).getField("event_type").alias("entry_type"),
+                F.max(st).getField("event_type").alias("exit_type"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) >= 3
+
+
+def test_payload_none_output_contract_unchanged(spark):
+    """Without payload_cols the output schema stays the r10 5-column
+    contract (events_sessionize_salted's gate hash depends on it)."""
+    df = spark.createDataFrame(
+        [(1, _ts(1_700_000_000), 1)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    assert salted_sessionize(df).columns == [
+        "user_id", "session_id", "n_events", "first_ep", "last_ep",
+    ]

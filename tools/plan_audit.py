@@ -96,15 +96,10 @@ HOT_KEY_WINDOW_NOTES: dict[str, str] = {
     # registered salted twin yet — the salted_rank / sessionize
     # fragment device applies; kept visible here so the exposure is a
     # standing CI fact, not a judge catch (VERDICT r10 #6)
-    "events_session_entry_exit": "per-(user, session) first/last "
-    "frames; an unbounded bot session owns one task — the top_paths "
-    "64-row cap pattern applies; salting candidate",
-    "events_scd2_build": "per-user LEAD over status-change events; "
-    "dimension-build cardinality (changes, not raw events); salting "
-    "candidate",
-    "events_scd2_merge": "per-user windows over dimension rows + one "
-    "batch delta — dimension-sized frames, and the streaming twin "
-    "folds per micro-batch; salting candidate",
+    "events_scd2_merge": "per-user windows over dimension rows + ONE "
+    "micro-batch delta — batch-bounded frames by the daily-delta "
+    "contract (scd2_build(bucket_s=None) is the documented right "
+    "choice there; the full-log build path is salted)",
     "window_moving_avg": "SURVEY §2.5 window-battery demonstration "
     "(oracle-exact rows frame); per-user stream window; salting "
     "candidate",
