@@ -548,6 +548,98 @@ def salted_next(
     )
 
 
+def salted_moving_agg(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    tiebreak_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    frame_rows: int,
+    bucket_s: int = 6 * 3600,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Per-key sliding ROWS frame (``frame_rows-1 PRECEDING .. CURRENT
+    ROW``) WITHOUT a per-key window — the hot-key-safe replacement for
+    ``agg(col).over(Window.partitionBy(key).orderBy(ts, tb)
+    .rowsBetween(-(frame_rows-1), 0))``, whose single task owns a hot
+    key's ENTIRE stream (the class BENCH_SF1_SKEW.md measured).
+
+    ``aggs`` maps output column → (input column, fn) with fn one of
+    'sum'/'count'/'min'/'max'/'avg' ('count' with input '*' counts
+    frame rows).  Unlike the per-key running aggregates (where
+    :func:`salted_suffix_min` / :func:`salted_prev` carry ONE summary
+    per bucket), a bounded rows frame needs the previous W-1 ROWS, so
+    the salt is a RANK BLOCK, not a time bucket:
+
+    1. global per-key rank via :func:`salted_rank` (itself salted on
+       time buckets — no per-key stream window anywhere);
+    2. block = (rank-1) div ``block_rows``; a frame of width W ≤
+       block_rows spans at most two adjacent blocks, so each block's
+       LAST W-1 rows are replicated into the next block as synthetic
+       carry rows (≤ (W-1)/block_rows row overhead);
+    3. one window per (key, block) — every cell holds ≤ block_rows +
+       W - 1 rows regardless of key heat — computes the frame aggs;
+       carry rows contribute to frames but are filtered from output.
+
+    Exactness: the frame of a row at in-block position p < W-1 needs
+    j ≤ W-1-p rows from the previous block, all at positions ≥
+    block_rows-(W-1) there — exactly the carried tail.  Frames at a
+    key's start are naturally short (rank < W rows), matching the SQL
+    frame.  Requires ``(ts, *tiebreaks)`` unique per key (the same
+    caveat as the single-window form) and ``block_rows ≥ frame_rows``.
+    Bit-equal to the single-window frame: tests/test_salted_moving_agg.py
+    (adversarial + hypothesis property).  Input columns pass through.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if frame_rows < 1:
+        raise ValueError(f"frame_rows must be >= 1, got {frame_rows}")
+    if block_rows < frame_rows:
+        raise ValueError(
+            f"block_rows ({block_rows}) must be >= frame_rows "
+            f"({frame_rows}): a frame may span at most two blocks"
+        )
+    _FNS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+            "avg": F.avg}
+    for out, (_, fn) in aggs.items():
+        if fn not in _FNS:
+            raise ValueError(f"unsupported agg fn {fn!r} for {out!r}")
+
+    ranked = salted_rank(
+        df, key_cols, ts_col, tiebreak_cols, bucket_s=bucket_s,
+        out_col="_sma_rn",
+    )
+    pos = (F.col("_sma_rn") - 1) % block_rows
+    native = (
+        ranked
+        .withColumn(
+            "_sma_bkt",
+            ((F.col("_sma_rn") - 1) / block_rows).cast("long"),
+        )
+        .withColumn("_sma_syn", F.lit(False))
+    )
+    carry = (
+        native.filter(pos >= block_rows - (frame_rows - 1))
+        .withColumn("_sma_bkt", F.col("_sma_bkt") + 1)
+        .withColumn("_sma_syn", F.lit(True))
+    ) if frame_rows > 1 else None
+    cells = native.unionByName(carry) if carry is not None else native
+
+    wl = (
+        Window.partitionBy(*key_cols, "_sma_bkt")
+        .orderBy("_sma_rn")
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    out = cells
+    for out_col, (in_col, fn) in aggs.items():
+        src = F.lit(1) if in_col == "*" else F.col(in_col)
+        out = out.withColumn(out_col, _FNS[fn](src).over(wl))
+    return (
+        out.filter(~F.col("_sma_syn"))
+        .drop("_sma_rn", "_sma_bkt", "_sma_syn")
+    )
+
+
 def parallel_ntile(df: DataFrame, order_by: list[str], k: int) -> DataFrame:
     """Exact NTILE(k) over a unique total order without the single-
     partition window: bucket sizes follow SQL NTILE exactly (first

@@ -459,6 +459,13 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding row-frame window (4-event moving average per user).
 
     Decimal-exact sum / count in double — deterministic across engines.
+
+    HOT-KEY WARNING: one window task owns a user's whole event stream,
+    so a key holding 30 % of a 100 TB table is one task holding 30 %
+    of the table (the class BENCH_SF1_SKEW.md measured).  Stays
+    registered as the oracle-exact single-window semantics; the
+    production path is window_moving_avg_salted (bit-identical,
+    rank-block frames via operators.relational.salted_moving_agg).
     """
     w = (
         Window.partitionBy("user_id")
@@ -474,6 +481,51 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("value"))).over(w).cast("double")
             / F.count("*").over(w)
         ).alias("moving_avg"),
+    )
+
+
+@query(
+    "window_moving_avg_salted",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / COUNT(*) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events
+    """,
+)
+def window_moving_avg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_moving_avg with the SALTED rank-block device
+    (operators.relational.salted_moving_agg): global per-user rank via
+    salted_rank (time-bucket salt), then per-(user, rank-block) bounded
+    windows with a ≤3-row carried tail per block — identical output to
+    the single-window form (the oracle IS window_moving_avg's), but no
+    task ever owns more than block_rows + 3 rows of any key, however
+    hot.  Closes the last "salting candidate" in the HotKeyWindow
+    audit: the bounded-ROWS-frame analog of events_sessionize_salted.
+
+    Scale shape: the salted_rank shuffles on (user, time-bucket) + one
+    vocabulary-shaped offsets pass; then one shuffle on (user, block).
+    """
+    from ..operators.relational import salted_moving_agg
+
+    e = table(spark, sf_dir, "events").withColumn("_v", _dec(F.col("value")))
+    out = salted_moving_agg(
+        e,
+        "user_id",
+        "ts",
+        ["event_id"],
+        aggs={"_sum": ("_v", "sum"), "_cnt": ("*", "count")},
+        frame_rows=4,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("_sum").cast("double") / F.col("_cnt")).alias("moving_avg"),
     )
 
 

@@ -17,6 +17,7 @@ TWINS = {
     "dedup_semantic": "dedup_semantic_capped",
     "er_match_score": "er_match_score_capped",
     "dedup_ngram_jaccard_pairs": "dedup_prefix_filter_capped",
+    "window_moving_avg": "window_moving_avg_salted",
 }
 
 

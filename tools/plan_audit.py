@@ -100,9 +100,9 @@ HOT_KEY_WINDOW_NOTES: dict[str, str] = {
     "micro-batch delta — batch-bounded frames by the daily-delta "
     "contract (scd2_build(bucket_s=None) is the documented right "
     "choice there; the full-log build path is salted)",
-    "window_moving_avg": "SURVEY §2.5 window-battery demonstration "
-    "(oracle-exact rows frame); per-user stream window; salting "
-    "candidate",
+    "window_moving_avg": "oracle-exact twin; production path is "
+    "window_moving_avg_salted (bit-identical, rank-block frames via "
+    "salted_moving_agg)",
 }
 
 
