@@ -48,13 +48,25 @@ def md5_hash64(c: Column | str) -> Column:
 
 
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokens with empties dropped (array<string>)."""
-    return F.filter(F.split(_col(c), r"\s+"), lambda t: t != "")
+    """Whitespace tokens with empties dropped (array<string>).
+
+    NULL text tokenizes to the EMPTY array, not NULL: downstream
+    counts/shingles/ranks treat a missing document as zero tokens, the
+    same contract as the oracle's _TOKENS fragment — NULL propagation
+    here made every token statistic engine-divergent on NULL-text rows
+    (engines disagree on NULL ordering/aggregation corners, POISON.md).
+    """
+    return F.filter(
+        F.split(F.coalesce(_col(c), F.lit("")), r"\s+"), lambda t: t != ""
+    )
 
 
 def bpe_tokens(c: Column | str) -> Column:
-    """BPE-ish pre-tokenization via regexp_extract_all."""
-    return F.regexp_extract_all(_col(c), F.lit(BPE_TOKEN_PATTERN), 0)
+    """BPE-ish pre-tokenization via regexp_extract_all (NULL-safe, same
+    empty-array contract as :func:`tokens`)."""
+    return F.regexp_extract_all(
+        F.coalesce(_col(c), F.lit("")), F.lit(BPE_TOKEN_PATTERN), 0
+    )
 
 
 def token_count(c: Column | str) -> Column:

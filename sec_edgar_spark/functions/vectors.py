@@ -107,3 +107,27 @@ def nearest_centroid(a: Column | str, centroids: list[list[float]]) -> Column:
         ),
     )
     return F.array_position(dots, F.array_max(dots)).cast("long")
+
+
+def is_valid(a: Column | str, max_abs: float = 1.0e6) -> Column:
+    """Embedding intake validity contract (POISON.md): the vector is
+    non-NULL, every element is present, finite, and |x| <= ``max_abs``,
+    and at least one element is nonzero.
+
+    Why each clause exists (each one killed a real operator in the
+    poison sweep): a NULL vector or NULL element poisons every fold; a
+    zero vector has no direction (cosine = 0/0, DIVIDE_BY_ZERO under
+    ANSI); NaN propagates through every score and breaks cross-engine
+    ordering; garbage-magnitude elements (the 1e30 corruption row)
+    overflow int64 quantization grids and CAST-to-BIGINT bucket keys.
+    ``max_abs`` = 1e6 is the documented sanity bound for unit-ish
+    embedding scales — emb_norm_outliers is the audit that COUNTS
+    violations; scoring operators exclude them via this gate.
+    """
+    c = _col(a)
+    bad = F.exists(
+        c,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(float(max_abs))),
+    )
+    nonzero = F.exists(c, lambda x: x != 0)
+    return c.isNotNull() & ~bad & nonzero

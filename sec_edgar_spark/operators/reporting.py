@@ -228,9 +228,13 @@ def rate_by_source(pairs: DataFrame, docs: DataFrame) -> DataFrame:
             F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)").alias(
                 "dup_doc_ppm"
             ),
-            F.expr("CAST(_dup_toks * 1000000 DIV _toks AS BIGINT)").alias(
-                "dup_token_ppm"
-            ),
+            # GREATEST guard: a source whose docs are all empty/NULL
+            # text has zero token mass — its token-dup share is 0, not
+            # a job-killing ANSI divide-by-zero (POISON.md)
+            F.expr(
+                "CAST(_dup_toks * 1000000 "
+                "DIV GREATEST(_toks, CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("dup_token_ppm"),
         )
         .orderBy("source")
     )

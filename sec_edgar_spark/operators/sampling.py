@@ -155,6 +155,12 @@ def pack_sequences_ffd(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL token counts arrive as NaN and would poison the integer
+        # fill arithmetic (one unmeasured doc must not kill the shard —
+        # POISON.md); an unknown length packs as 0 tokens.
+        pdf[token_count_col] = (
+            pdf[token_count_col].fillna(0).astype("int64")
+        )
         pdf = pdf.sort_values(
             [token_count_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)

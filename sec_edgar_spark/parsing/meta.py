@@ -78,7 +78,13 @@ def parse_header(header_text: str) -> dict[str, str]:
 
 
 def parse_filing(content: str) -> dict:
-    """One SGML container → {accession_number, metadata, documents}."""
+    """One SGML container → {accession_number, metadata, documents}.
+
+    A NULL/absent container parses to the empty filing (no accession,
+    no documents) instead of raising — one bad row must not kill a
+    whole-corpus parse (poison sweep, POISON.md)."""
+    if content is None:
+        return {"accession_number": None, "metadata": {}, "documents": []}
     header_m = _HEADER_RE.search(content)
     header_text = header_m.group(1) if header_m else ""
     metadata = parse_header(header_text)

@@ -48,7 +48,7 @@ def curation_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH t AS (
       SELECT doc_id, lang,
-        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+        CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> ''))
              AS INT) AS n_tokens
       FROM documents
     )
@@ -82,7 +82,7 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tokd AS (
       SELECT doc_id,
-        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS toks
       FROM documents
     ), shingled AS (
       SELECT doc_id,
@@ -119,9 +119,9 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH stats AS (
       SELECT doc_id, text, lang,
-        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+        len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> ''))
           AS n_tokens,
-        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) AS DOUBLE)
           / greatest(length(text), 1) AS alpha_ratio
       FROM documents
     ), quality AS (
@@ -304,7 +304,7 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-        list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+        list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '') AS ts
       FROM documents
     ), chunks AS (
       SELECT doc_id, len(ts) AS n_doc_tokens,
@@ -563,7 +563,7 @@ _DSIR_TARGET = "en"
     SELECT doc_id, n_feats, tot_ratio / n_feats AS score,
       tot_ratio / n_feats >= 1.0 AS selected
     FROM scored
-    """.replace("{toks}", "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"),
+    """.replace("{toks}", "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')"),
 )
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
@@ -673,9 +673,9 @@ _EXPORT_SHARDS = 8
 _EXPORT_SQL = f"""
     WITH stats AS (
       SELECT doc_id, text,
-        list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+        list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '')
           AS toks,
-        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) AS DOUBLE)
           / greatest(length(text), 1) AS alpha_ratio
       FROM documents
     ), quality AS (
@@ -853,7 +853,7 @@ def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketing, the contamination REPORT (the flip side of the
 # decontaminate filter), and DoReMi-lite static mixture reweighting.
 
-_TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_TOKENS_SQL = "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')"
 
 
 def _ccnet_oracle() -> str:
@@ -1063,11 +1063,11 @@ def curation_contamination_report(
         AS target_tokens,
       CAST(LEAST(1000000,
         (((t.corpus_tokens // 2) // t.n_domains) * 1000000)
-          // d.domain_tokens) AS BIGINT) AS rate_ppm,
+          // GREATEST(d.domain_tokens, 1)) AS BIGINT) AS rate_ppm,
       CAST((LEAST(1000000,
         (((t.corpus_tokens // 2) // t.n_domains) * 1000000)
-          // d.domain_tokens) * d.domain_tokens) // 1000000 AS BIGINT)
-        AS expected_tokens
+          // GREATEST(d.domain_tokens, 1)) * d.domain_tokens) // 1000000
+        AS BIGINT) AS expected_tokens
     FROM dom d CROSS JOIN tot t
     """,
 )
@@ -1077,7 +1077,11 @@ def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     split UNIFORMLY across domains, compute each domain's sampling
     rate and expected token yield.  Oversized domains are down-sampled
     (rate < 1); undersized domains are capped at rate 1 (never
-    up-sampled — repetition is a separate, explicit decision).
+    up-sampled — repetition is a separate, explicit decision).  A
+    ZERO-token domain (all-empty/NULL docs — the poison corpus has
+    one) is maximally undersized: rate 1e6, expected yield 0; the
+    unguarded integer division crashed the whole job under ANSI
+    (POISON.md).
 
     All arithmetic is INTEGER: the per-domain target is
     (corpus_tokens DIV 2) DIV n_domains, the rate is parts-per-million
@@ -1112,7 +1116,7 @@ def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000).cast("bigint"),
         F.expr(
             "CAST((((corpus_tokens DIV 2) DIV n_domains) * 1000000) "
-            "DIV domain_tokens AS BIGINT)"
+            "DIV GREATEST(domain_tokens, CAST(1 AS BIGINT)) AS BIGINT)"
         ),
     )
     # expected = rate*domain_tokens DIV 1e6 in INTEGER arithmetic —
@@ -1128,8 +1132,8 @@ def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((LEAST(CAST(1000000 AS BIGINT), "
             "CAST((((corpus_tokens DIV 2) DIV n_domains) * 1000000) "
-            "DIV domain_tokens AS BIGINT)) * domain_tokens) "
-            "DIV 1000000 AS BIGINT)"
+            "DIV GREATEST(domain_tokens, CAST(1 AS BIGINT)) AS BIGINT)) "
+            "* domain_tokens) DIV 1000000 AS BIGINT)"
         ).alias("expected_tokens"),
     )
 
@@ -1251,8 +1255,9 @@ def curation_cluster_balanced_sample(
     k-partition doc-grain rank, the skew trap).
     """
     from ..operators.kmeans import kmeans_fit_assign
+    from .similarity import _emb
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=4, n_iter=2)
     sized = assign.groupBy("cell").agg(
         F.count("*").cast("bigint").alias("cluster_size")
@@ -1283,7 +1288,7 @@ _CURR_BUCKET_TOKENS = 16
     oracle=f"""
     WITH scored AS (
       SELECT doc_id,
-        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+        len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> ''))
           // {_CURR_BUCKET_TOKENS} AS bucket,
         md5(CAST(doc_id AS VARCHAR)) AS shuf
       FROM documents
@@ -1330,7 +1335,7 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_corpus_summary",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+      CAST(SUM(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
                                t -> t <> ''))) AS BIGINT) AS n_tokens,
       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -1338,7 +1343,7 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*)
         AS BIGINT) AS dup_ratio_ppm,
-      CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+      CAST(SUM(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
                                t -> t <> ''))) // COUNT(*) AS BIGINT)
         AS mean_doc_tokens
     FROM documents
@@ -1384,11 +1389,11 @@ def _budget_oracle() -> str:
     WITH qm AS ({ORACLES["text_quality_model_score"]}),
     scored AS (
       SELECT d.doc_id,
-        GREATEST(len(list_filter(string_split_regex(d.text, '\\s+'),
+        GREATEST(len(list_filter(string_split_regex(COALESCE(d.text, ''), '\\s+'),
                                  t -> t <> '')), 1) AS n_tok,
         CAST(floor(CAST(q.logit_centi * 1000000 AS DOUBLE)
                    / GREATEST(len(list_filter(
-                       string_split_regex(d.text, '\\s+'),
+                       string_split_regex(COALESCE(d.text, ''), '\\s+'),
                        t -> t <> '')), 1)) AS BIGINT) AS ratio
       FROM documents d JOIN qm q ON d.doc_id = q.doc_id
     ), budget AS (

@@ -27,7 +27,7 @@ NUM_MINHASHES = 12
 BANDS = 4  # 3 hashes per band
 ROWS_PER_BAND = NUM_MINHASHES // BANDS
 
-_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_TOKENS = "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')"
 
 
 def _shingles_sql(n: int = 3) -> str:
@@ -573,7 +573,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-        list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+        list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '') AS ts
       FROM documents
     ), chunks AS (
       SELECT doc_id,
@@ -1595,7 +1595,7 @@ def _dup_rate_oracle() -> str:
     ), flagged AS (
       SELECT d.source, d.doc_id,
         CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
-        len(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> ''))
+        len(list_filter(string_split_regex(COALESCE(d.text, ''), '\\s+'), t -> t <> ''))
           AS n_toks
       FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
     )
@@ -1603,8 +1603,8 @@ def _dup_rate_oracle() -> str:
       CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
       CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_doc_ppm,
-      CAST(SUM(is_dup * n_toks) * 1000000 // SUM(n_toks) AS BIGINT)
-        AS dup_token_ppm
+      CAST(SUM(is_dup * n_toks) * 1000000 // GREATEST(SUM(n_toks), 1)
+        AS BIGINT) AS dup_token_ppm
     FROM flagged GROUP BY source ORDER BY source
     """
 

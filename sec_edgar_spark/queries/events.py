@@ -28,7 +28,7 @@ def _dec(c, prec: int = 12, scale: int = 2):
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -45,7 +45,7 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+            F.sum(_dec(F.col("value"), 18)).cast("double").alias("total_value"),
         )
     )
 
@@ -170,18 +170,30 @@ def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_props",
     oracle="""
+    WITH k AS (
+      SELECT event_type,
+        CASE WHEN json_valid(props)
+             THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        END AS k
+      FROM events
+    )
     SELECT event_type,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(SUM(k) AS BIGINT) AS sum_k,
       COUNT(*) AS n
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    FROM k
+    WHERE k > 50
     GROUP BY event_type
     """,
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column access (the reference parses JSON
     payloads from the XBRL REST API, rest.py:126-156; here: get_json_object
-    → typed filter/agg, which Catalyst can't push but evaluates codegen'd)."""
+    → typed filter/agg, which Catalyst can't push but evaluates codegen'd).
+
+    Malformed payloads extract as NULL on both engines (Spark's
+    get_json_object is lenient by design; the oracle needs the
+    json_valid guard because DuckDB's extraction is strict — the
+    poison sweep's '{not json' row crashed the unguarded oracle)."""
     e = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
@@ -639,7 +651,7 @@ def events_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT win_start, win_start + 2 AS win_end, event_type,
       COUNT(*) AS n_events,
       COUNT(DISTINCT user_id) AS n_users,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM w GROUP BY 1, 2, 3
     """,
 )
@@ -668,7 +680,7 @@ def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        F.sum(_dec(F.col("value"), 18)).cast("double").alias("total_value"),
     )
     return agg.select(
         F.col("w.start").cast("date").alias("win_start"),
@@ -685,7 +697,7 @@ def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
       MIN(value) AS min_value,
       MAX(value) AS max_value
     FROM events GROUP BY 1, 2
@@ -721,7 +733,7 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("value"))).alias("sv"),
+            F.sum(_dec(F.col("value"), 18)).alias("sv"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
         )
@@ -743,12 +755,18 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_variant",
     oracle="""
+    WITH k AS (
+      SELECT event_type,
+        CASE WHEN json_valid(props)
+             THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        END AS k
+      FROM events
+    )
     SELECT event_type,
-      COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-           AS BIGINT) AS sum_k,
-      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events GROUP BY event_type
+      COUNT(k) AS n_with_k,
+      CAST(SUM(k) AS BIGINT) AS sum_k,
+      MAX(k) AS max_k
+    FROM k GROUP BY event_type
     """,
 )
 def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,7 +780,10 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reads the same paths with DuckDB's JSON extraction.
     """
     e = table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    # try_parse_json: malformed payloads become NULL variants instead
+    # of failing the job (parse_json raises under ANSI — the poison
+    # sweep's '{not json' row killed the strict form)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -849,7 +870,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), agg AS (
       SELECT win_start, event_type, COUNT(*) AS n_events,
-        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM w GROUP BY 1, 2
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (
@@ -879,7 +900,7 @@ def events_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+            F.sum(_dec(F.col("value"), 18)).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("date").alias("win_start"),
@@ -1294,7 +1315,7 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
                   AS BIGINT) % 2 = 0
              THEN 'A' ELSE 'B' END AS grp
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), ranked AS (
       SELECT grp,
         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
@@ -1336,7 +1357,14 @@ def events_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pur = (
         table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        # NULL measurements have no rank — and engines DISAGREE on
+        # where NULL sorts (Spark NULLS FIRST asc, DuckDB NULLS LAST),
+        # so an unexcluded missing value silently shifts every rank
+        # (poison sweep: u_a off by 87 from one NULL purchase)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
         .select(
             "event_id",
             "value",
@@ -1545,7 +1573,7 @@ def events_interarrival_percentiles(
         date_diff('day', CAST(date_trunc('day', MAX(ts)) AS DATE),
                   a.max_day) AS recency_days,
         COUNT(*) AS frequency,
-        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
       FROM events CROSS JOIN anchor a
       GROUP BY user_id, a.max_day
     )
@@ -1589,7 +1617,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.date_trunc("day", F.max("ts")).cast("date").alias("_last_day"),
             F.count("*").alias("frequency"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
+            F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("monetary"),
         )

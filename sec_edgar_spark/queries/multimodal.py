@@ -21,11 +21,11 @@ from .registry import query
     "multimodal_metadata",
     oracle="""
     SELECT doc_id,
-      CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN NULL
+      CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN NULL
            ELSE 'unknown' END AS format,
       CAST(NULL AS INT) AS width,
       CAST(NULL AS INT) AS height,
-      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents
     """,
 )
@@ -194,7 +194,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
     WITH m AS (
-      SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n
       FROM documents
     )
     SELECT media_id, CAST(unnest(range(0, greatest(CAST(floor(n / 100) AS BIGINT), 1), 2)) AS INT) AS frame_index

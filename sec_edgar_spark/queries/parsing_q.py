@@ -178,7 +178,7 @@ def edgar_xbrl_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       1 AS n_docs,
       '10-K' AS doc_type,
       'doc.htm' AS doc_filename,
-      CAST(length(text) AS INT) AS text_len
+      CAST(length(COALESCE(text, '')) AS INT) AS text_len
     FROM documents
     """,
 )
@@ -203,7 +203,10 @@ def edgar_sgml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit("\n</SEC-HEADER>\n<DOCUMENT>\n<TYPE>10-K\n<SEQUENCE>1\n"),
         F.lit("<FILENAME>doc.htm\n<TEXT>\n"),
-        F.col("text"),
+        # NULL text nulls the whole concat, which would DROP the filing
+        # from the parse (one unreadable doc must not vanish silently —
+        # POISON.md): a missing body roundtrips as an empty TEXT section
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit("\n</TEXT>\n</DOCUMENT>\n</SEC-DOCUMENT>\n"),
     )
     parsed = parse_filings(d.select(container.alias("content")))

@@ -446,7 +446,7 @@ def l1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
       / COUNT(*) OVER (
@@ -478,7 +478,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         (
-            F.sum(_dec(F.col("value"))).over(w).cast("double")
+            F.sum(_dec(F.col("value"), 18)).over(w).cast("double")
             / F.count("*").over(w)
         ).alias("moving_avg"),
     )
@@ -488,7 +488,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg_salted",
     oracle="""
     SELECT event_id, user_id, ts,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
       / COUNT(*) OVER (
@@ -512,7 +512,7 @@ def window_moving_avg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.relational import salted_moving_agg
 
-    e = table(spark, sf_dir, "events").withColumn("_v", _dec(F.col("value")))
+    e = table(spark, sf_dir, "events").withColumn("_v", _dec(F.col("value"), 18))
     out = salted_moving_agg(
         e,
         "user_id",

@@ -281,9 +281,9 @@ def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              dayofweek(ts) + 1 AS dow,
              COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(12,2))) AS s1,
-             SUM(CAST(CAST(value AS DECIMAL(12,2))
-                      * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4)))
+             SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2))
+                      * CAST(value AS DECIMAL(18,2)))
                AS s2
       FROM events GROUP BY event_type, dayofweek(ts) + 1
     ),
@@ -318,11 +318,11 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").alias("dow"),
         F.col("value").cast("double").alias("value"),
     )
-    v2 = F.col("value").cast("decimal(12,2)")
+    v2 = F.col("value").cast("decimal(18,2)")
     base = e.groupBy("event_type", "dow").agg(
         F.count("*").alias("n"),
         F.sum(v2).alias("s1"),
-        F.sum((v2 * v2).cast("decimal(24,4)")).alias("s2"),
+        F.sum((v2 * v2).cast("decimal(38,4)")).alias("s2"),
     )
     cut = base.filter(F.col("n") > 1).select(
         "event_type",
@@ -577,7 +577,7 @@ def events_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('week', ts) AS week, event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -601,7 +601,7 @@ def events_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_dec"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
     )
     # answering the weekly question FROM the MV: algebraic re-agg
     return daily.groupBy(
@@ -867,7 +867,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.cohort_day,
              date_diff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
                AS day_offset,
-             SUM(CAST(e.value AS DECIMAL(12,2))) AS day_rev
+             SUM(CAST(e.value AS DECIMAL(18,2))) AS day_rev
       FROM events e JOIN cohort c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase'
         AND CAST(date_trunc('day', e.ts) AS DATE) >= c.cohort_day
@@ -900,7 +900,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_trunc("day", "ts").cast("date")
     rev = (
         e.filter(F.col("event_type") == "purchase")
-        .select("user_id", day.alias("day"), F.col("value").cast("decimal(12,2)").alias("v"))
+        .select("user_id", day.alias("day"), F.col("value").cast("decimal(18,2)").alias("v"))
         .join(cohort, "user_id")
         .filter(F.col("day") >= F.col("cohort_day"))
         .groupBy(
@@ -2058,7 +2058,17 @@ def _gapfilled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-grained aggregate is cached — it is referenced multiple times
     by every series consumer (bounds + alignment sides) and without
     the pin each reference re-executes the fact scan.  Series-shaped
-    (T rows), so pinning is free at any corpus size."""
+    (T rows), so pinning is free at any corpus size.
+
+    CALENDAR-WIDENING HAZARD (poison sweep, POISON.md): the dense
+    spine spans min(day)..max(day), so ONE misdated row — the classic
+    null→epoch 1970 default, or a far-future clock — widens T from the
+    true observation window to the full error-spanned calendar (47k
+    days for 1970..2100) and every quadratic consumer's pair frame by
+    T'²/T².  The pair loops are repartitioned so that cost spreads,
+    but pipelines ingesting untrusted timestamps should quarantine
+    out-of-window rows upstream (the intake-gate pattern of
+    streaming/url_intake)."""
     e = table(spark, sf_dir, "events")
     epoch = F.lit("1970-01-01").cast("date")
     daily0 = (
@@ -2212,7 +2222,14 @@ def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the T-row frame.
     """
     daily = _gapfilled_daily(spark, sf_dir)
-    x = daily.select(F.col("day").alias("dx"), F.col("c").alias("cx"))
+    # spread the T² sign loop: the spine is a 1-partition frame, so
+    # without this ONE task owns every pair — the poison corpus (one
+    # epoch-zero + one far-future row → 47k-day calendar, 1.1e9 pairs)
+    # measured it at 26s in a single task at sf0.001
+    parts = spark.sparkContext.defaultParallelism
+    x = daily.repartition(parts).select(
+        F.col("day").alias("dx"), F.col("c").alias("cx")
+    )
     y = daily.select(F.col("day").alias("dy"), F.col("c").alias("cy"))
     sgn = (
         F.when(F.col("cy") > F.col("cx"), 1)
@@ -2268,17 +2285,19 @@ def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_trend_theilsen",
     oracle=f"""
-    WITH {_DAILY_SERIES_SQL}, pairs AS (
-      SELECT y.c - x.c AS dy, y.day - x.day AS dx,
-        CAST(y.c - x.c AS DOUBLE) / CAST(y.day - x.day AS DOUBLE) AS slope
+    WITH {_DAILY_SERIES_SQL}, slopes AS (
+      SELECT CAST(y.c - x.c AS DOUBLE) / CAST(y.day - x.day AS DOUBLE)
+        AS slope, COUNT(*) AS cnt
       FROM daily x, daily y WHERE x.day < y.day
-    ), ranked AS (
-      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, dy, dx) AS rn,
-        COUNT(*) OVER () AS n
-      FROM pairs
+      GROUP BY 1
+    ), cum AS (
+      SELECT slope, cnt,
+        SUM(cnt) OVER (ORDER BY slope ROWS UNBOUNDED PRECEDING) AS cw,
+        SUM(cnt) OVER () AS n
+      FROM slopes
     )
     SELECT CAST(n AS BIGINT) AS n_pairs, ROUND(slope, 9) AS sen_slope
-    FROM ranked WHERE rn = (n + 1) // 2
+    FROM cum WHERE cw >= (n + 1) // 2 AND cw - cnt < (n + 1) // 2
     """,
 )
 def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2289,35 +2308,52 @@ def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~29% outlier contamination where an OLS slope is not).
 
     Determinism: each slope is ONE IEEE division of two exact
-    integers (bit-identical in both engines); the median element is
-    selected by rank over the total order (slope, dy, dx) — rows that
-    tie on the full key carry the same slope value, so the selected
-    VALUE is deterministic even where the tie order is not.
+    integers (bit-identical in both engines); the oracle selects the
+    median element by rank over (slope, dy, dx) — rows that tie on the
+    full key carry the same slope VALUE, which is why the Spark side
+    may aggregate pairs to (slope, count) FIRST: the value at
+    cumulative rank (n+1)/2 over slope order is the identical median.
 
     Scale shape: the pair frame is calendar²-bounded (T² of the
-    series length, like Mann-Kendall); the median rank is computed by
-    the two-phase global ranker (range repartition + P-row offsets —
-    no single-partition window over the pair frame), and the corpus
-    feeds only the one pinned day-grained aggregate.
+    series length, like Mann-Kendall) but NEVER shuffled or sorted at
+    pair grain — pairs collapse map-side into per-slope counts
+    (distinct slopes ≤ distinct (Δcount, Δday) combinations, orders of
+    magnitude below T²), then the two-phase grouped cumsum walks slope
+    order and one filter picks the median.  The pair-grain global sort
+    this replaced died of executor memory on the poison corpus's
+    47k-day calendar (1.1e9 pairs — POISON.md class 2); the grouped
+    form runs the same input in seconds.
     """
-    from ..operators.relational import global_rank
+    from ..operators.relational import grouped_weighted_cumsum
 
     daily = _gapfilled_daily(spark, sf_dir)
-    x = daily.select(F.col("day").alias("dxd"), F.col("c").alias("cx"))
-    y = daily.select(F.col("day").alias("dyd"), F.col("c").alias("cy"))
-    pairs = x.join(broadcast(y), F.col("dxd") < F.col("dyd")).select(
-        (F.col("cy") - F.col("cx")).alias("dy"),
-        (F.col("dyd") - F.col("dxd")).alias("dx"),
-        (
-            (F.col("cy") - F.col("cx")).cast("double")
-            / (F.col("dyd") - F.col("dxd")).cast("double")
-        ).alias("slope"),
+    # same 1-partition-spine T² fix as events_trend_mannkendall: spread
+    # the pair generation before the slope exchange
+    parts = spark.sparkContext.defaultParallelism
+    x = daily.repartition(parts).select(
+        F.col("day").alias("dxd"), F.col("c").alias("cx")
     )
-    ranked = global_rank(pairs, ["slope", "dy", "dx"])
-    n = ranked.agg(F.count("*").alias("n"))
+    y = daily.select(F.col("day").alias("dyd"), F.col("c").alias("cy"))
+    slopes = (
+        x.join(broadcast(y), F.col("dxd") < F.col("dyd"))
+        .select(
+            (
+                (F.col("cy") - F.col("cx")).cast("double")
+                / (F.col("dyd") - F.col("dxd")).cast("double")
+            ).alias("slope"),
+        )
+        .groupBy("slope")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_g", F.lit(1))
+    )
+    cum = grouped_weighted_cumsum(slopes, ["_g"], ["slope"], "cnt", out_col="cw")
+    n = cum.agg(F.sum("cnt").alias("n"))
+    target = F.expr("(n + 1) DIV 2")
     return (
-        ranked.crossJoin(broadcast(n))
-        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        cum.crossJoin(broadcast(n))
+        .filter(
+            (F.col("cw") >= target) & (F.col("cw") - F.col("cnt") < target)
+        )
         .select(
             F.col("n").cast("bigint").alias("n_pairs"),
             F.round("slope", 9).alias("sen_slope"),

@@ -38,6 +38,28 @@ def _lsh_planes() -> list[list[float]]:
 
 LSH_PLANES = _lsh_planes()
 
+# POISON.md — the embedding intake validity contract.  Every SCORING /
+# CLUSTERING query below consumes only valid vectors (non-NULL, all
+# elements finite with |x| <= 1e6, at least one nonzero element): a
+# zero vector divides by zero in cosine, NaN poisons every score and
+# breaks cross-engine ordering, and garbage magnitudes overflow int64
+# quantization grids.  The two AUDIT queries (emb_norm_outliers,
+# emb_dim_variance_audit) intentionally stay UNGATED — counting the
+# violations is their job.  Spark side: functions/vectors.is_valid
+# (identical clause-for-clause; parity asserted in
+# tests/test_emb_validity.py).
+EMB_VALID_WHERE = (
+    "embedding IS NOT NULL AND len(list_filter(embedding,"
+    " x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+_EMBV = f"(SELECT * FROM embeddings WHERE {EMB_VALID_WHERE})"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the validity gate (see EMB_VALID_WHERE)."""
+    return table(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
+
 
 def _dot_sql(a: str, b: str) -> str:
     """Left-associated explicit dot product (matches the Spark fold)."""
@@ -61,7 +83,7 @@ _COSINE_SQL = (
     WITH n AS (
       SELECT vec_id, label, embedding,
         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
         {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
@@ -80,7 +102,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan, score JVM-side, take per-query top-k via window (ties
     broken by neighbor_id).  At scale: queries always broadcast; the
     corpus is never shuffled — only (n_queries × k) rows survive."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     # Precompute each vector's norm ONCE in a projection — computing it
     # inside the pair expression multiplies the fold by the pair count.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -120,7 +142,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(round(CAST(embedding[1] AS DOUBLE) * 2) AS BIGINT) AS b1,
         CAST(round(CAST(embedding[2] AS DOUBLE) * 2) AS BIGINT) AS b2,
         CAST(round(CAST(embedding[3] AS DOUBLE) * 2) AS BIGINT) AS b3
-      FROM embeddings
+      FROM {_EMBV} embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.b1, a.b2, a.b3
     FROM keyed a JOIN keyed b
@@ -132,7 +154,7 @@ def ann_quantized_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 dims → equi-join on the bucket key.  The equi-join (not a cross
     product) is what survives 100 TB; the exact re-score of candidates is
     ann_bruteforce_topk's scoring stage applied to this pair set."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     emb = V.as_double("embedding")
     keyed = e.select(
         "vec_id",
@@ -164,7 +186,7 @@ def ann_quantized_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (
       SELECT vec_id, embedding,
         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
-      FROM embeddings
+      FROM {_EMBV} embeddings
     )
     SELECT vec_a, vec_b, cosine FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -187,7 +209,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import cosine_threshold_pairs
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     pairs = cosine_threshold_pairs(
         e, threshold=0.45, id_col="vec_id", vec_col="embedding", n_blocks=8
     )
@@ -222,7 +244,7 @@ def _bucket_sql(vec: str) -> str:
       SELECT vec_id, embedding,
         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
         {_bucket_sql('embedding')} AS bucket
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
@@ -245,7 +267,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate path is value-checked."""
     from ..operators.similarity import lsh_bucketed_topk
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return lsh_bucketed_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), LSH_PLANES, k=TOP_K
     ).select("query_id", "neighbor_id", "cosine", "rk")
@@ -280,7 +302,7 @@ def _cell_sql(vec: str) -> str:
       SELECT vec_id, embedding,
         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
         {_cell_sql('embedding')} AS cell
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
@@ -303,7 +325,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-checked end-to-end."""
     from ..operators.similarity import ivf_bucketed_topk
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return ivf_bucketed_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), IVF_CENTROIDS, k=TOP_K
     ).select("query_id", "neighbor_id", "cosine", "rk")
@@ -315,7 +337,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH nrm AS (
       SELECT vec_id, label, embedding,
         greatest(sqrt({_dot_sql('embedding', 'embedding')}), 1e-12) AS n
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), unit AS (
       SELECT vec_id, label,
         list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS u
@@ -342,7 +364,7 @@ def emb_normalize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums add in deterministic groups."""
     from ..operators.similarity import l2_normalize, mean_pool
 
-    e = table(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "label", l2_normalize("embedding").alias("embedding")
     )
     pooled = mean_pool(e, "label")
@@ -374,7 +396,7 @@ def _absmax_sql(vec: str) -> str:
     WITH scaled AS (
       SELECT vec_id, embedding,
         127.0 / greatest({_absmax_sql('embedding')}, 1e-12) AS scale
-      FROM embeddings
+      FROM {_EMBV} embeddings
     )
     SELECT vec_id, scale,
       CAST(floor(CAST(embedding[1] AS DOUBLE) * scale + 0.5) AS INT) AS q1,
@@ -403,7 +425,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same ``transform`` without the projection.  All expressions
     are per-row codegen'd math over the scan — a pure map stage.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     emb = V.as_double("embedding")
     absmax = F.aggregate(
         emb, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
@@ -447,7 +469,7 @@ def _kmeans_cte(k: int = 4, n_iter: int = 2) -> str:
       SELECT vec_id AS id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), seeds AS (
       SELECT id, qv,
         ROW_NUMBER() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1
@@ -504,7 +526,7 @@ def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.kmeans import kmeans_fit_assign
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     out = kmeans_fit_assign(e, "vec_id", "embedding", k=4, n_iter=2)
     return out.select(F.col("id").alias("vec_id"), "cell")
 
@@ -515,7 +537,7 @@ def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""", keyed AS (
       SELECT e.vec_id, e.embedding,
         sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS nrm, a.cell
-      FROM embeddings e JOIN kassign a ON e.vec_id = a.id
+      FROM {_EMBV} e JOIN kassign a ON e.vec_id = a.id
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
@@ -546,7 +568,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.kmeans import kmeans_fit_assign
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
     keyed = e.join(
         assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
@@ -595,12 +617,12 @@ def _pq_cte(m: int = 4, k: int = 8, n_iter: int = 2) -> str:
         "list_sum(list_transform(range(1, {wp1}), "
         "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
     ).format(wp1=w + 1)
-    sql = """
+    sql = f"""
     WITH pqq AS (
       SELECT vec_id AS id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM {_EMBV} embeddings
     )"""
     for s in range(m):
         lo, hi = s * w + 1, (s + 1) * w
@@ -696,7 +718,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.pq import pq_adc_topk, pq_train_encode
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     codes, books = pq_train_encode(
         e, "vec_id", "embedding", m=4, k=8, n_iter=2
     )
@@ -712,7 +734,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""", keyed AS (
       SELECT e.vec_id, e.embedding,
         sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS nrm, a.cell
-      FROM embeddings e JOIN kassign a ON e.vec_id = a.id
+      FROM {_EMBV} e JOIN kassign a ON e.vec_id = a.id
     )
     SELECT cell, keep_id, drop_id, cosine FROM (
       SELECT a.cell AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
@@ -756,7 +778,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit_assign
     from ..operators.similarity import group_cosine_pairs
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
     keyed = e.join(
         assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
@@ -812,7 +834,7 @@ def _sem_capped_oracle(cap: int) -> str:
         + f""", keyed AS (
       SELECT e.vec_id, e.embedding,
         sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS nrm, a.cell
-      FROM embeddings e JOIN kassign a ON e.vec_id = a.id
+      FROM {_EMBV} e JOIN kassign a ON e.vec_id = a.id
     ), sizes AS (
       SELECT cell, COUNT(*) AS n FROM keyed GROUP BY cell
     ), subbed AS (
@@ -869,7 +891,7 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit_assign
     from ..operators.similarity import group_cosine_pairs
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
     keyed = e.join(
         assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
@@ -932,7 +954,7 @@ def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.kmeans import kmeans_fit_assign
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
     keyed = e.join(
         assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
@@ -1004,7 +1026,7 @@ def _rp_oracle() -> str:
     arr = ", ".join(cols)
     return f"""
     WITH q AS (
-      SELECT vec_id, {qv} AS qv FROM embeddings
+      SELECT vec_id, {qv} AS qv FROM {_EMBV} embeddings
     )
     SELECT vec_id, [{arr}] AS proj FROM q
     """
@@ -1028,7 +1050,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a pure stateless map over the embedding scan (zero
     shuffles, zero Python); whole-stage-codegen folds per row.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * (1 << 20) + 0.5).cast("long"),
@@ -1108,7 +1130,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))
           AS qv
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), per_pos AS (
       SELECT label, i.i AS pos, SUM(qv[i.i]) AS s, COUNT(*) AS n
       FROM q, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) i(i)
@@ -1162,7 +1184,7 @@ def ml_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.kmeans import quantize_vectors
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = quantize_vectors(e, "vec_id", "embedding").join(
         e.select(F.col("vec_id").alias("id"), "label"), "id"
     )
@@ -1223,12 +1245,12 @@ def ml_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_quantile_normalize",
-    oracle="""
+    oracle=f"""
     WITH flat AS (
       SELECT vec_id, dim - 1 AS dim, val
       FROM (SELECT vec_id, unnest(embedding) AS val,
                    generate_subscripts(embedding, 1) AS dim
-            FROM embeddings)
+            FROM {_EMBV} embeddings)
       WHERE dim - 1 < 4
     ),
     ranked AS (
@@ -1257,7 +1279,7 @@ def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     any grouped ranking pays).  The gate samples dims 0-3 to bound
     output; the operator is dimension-agnostic.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     flat = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "val")
     ).filter(F.col("dim") < 4)
@@ -1300,7 +1322,7 @@ def _ridge_oracle() -> str:
         return [b[r] if c == i else A[r * 3 + c]
                 for r in range(3) for c in range(3)]
 
-    toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+    toks = "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')"
     return f"""
     WITH feats AS (
       SELECT doc_id,
@@ -1410,7 +1432,7 @@ def _prefix_dot(a, b, dims: int):
     WITH n AS (
       SELECT vec_id, label, embedding,
         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), stage1 AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
         {_dot_sql_n('q.embedding', 'c.embedding', _COARSE_DIMS)} AS coarse,
@@ -1451,7 +1473,7 @@ def ann_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     only pool rows — corpus-size-independent.  Recall against the
     exact top-k is measured by ann_rerank_recall.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1520,7 +1542,7 @@ def _sign_agree_sql(a: str, b: str) -> str:
     WITH n AS (
       SELECT vec_id, label, embedding,
         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), stage1 AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
         {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
@@ -1566,7 +1588,7 @@ def ann_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pandas UDF over the same pool frame) — the plan shape does not
     change.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1686,7 +1708,7 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding,
         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
         {_bucket_sql('embedding')} AS bucket
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), probes AS (
       SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS q_nrm,
         xor(q.bucket, flip) AS bucket
@@ -1723,7 +1745,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import lsh_multiprobe_topk
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return lsh_multiprobe_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), LSH_PLANES, k=TOP_K
     ).select("query_id", "neighbor_id", "cosine", "rk")
@@ -1750,7 +1772,7 @@ def _mrl_oracle() -> str:
     WITH bf AS ({bf}), n AS (
       SELECT vec_id, embedding,
         sqrt({_dot_sql_dims('embedding', 'embedding', MRL_DIM)}) AS nrm
-      FROM embeddings
+      FROM {_EMBV} embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         {_dot_sql_dims('q.embedding', 'c.embedding', MRL_DIM)}
@@ -1795,7 +1817,7 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    e = table(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", F.slice("embedding", 1, MRL_DIM).alias("emb16")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1843,12 +1865,15 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT nrm, ROW_NUMBER() OVER (ORDER BY nrm, vec_id) AS rn,
         COUNT(*) OVER () AS n
-      FROM normed
+      FROM normed WHERE isfinite(nrm)
     ), med AS (
       SELECT nrm AS m FROM ranked WHERE rn = (n + 1) // 2
     )
-    SELECT vec_id, ROUND(nrm, 9) AS nrm, ROUND(m, 9) AS median_nrm,
-      (nrm < 0.5 * m OR nrm > 2.0 * m) AS is_outlier
+    SELECT vec_id,
+      CASE WHEN isfinite(nrm) THEN ROUND(nrm, 9) END AS nrm,
+      ROUND(m, 9) AS median_nrm,
+      (NOT COALESCE(isfinite(nrm), FALSE)
+       OR nrm < 0.5 * m OR nrm > 2.0 * m) AS is_outlier
     FROM normed CROSS JOIN med
     """,
 )
@@ -1868,9 +1893,19 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.relational import global_rank
 
+    # This audit stays UNGATED by design: it must SEE invalid vectors
+    # to flag them.  The median ranks only MEASURABLE (finite) norms —
+    # engines disagree on where NULL/NaN sort, so an unmeasurable norm
+    # in the rank frame silently shifts the median (POISON.md); an
+    # unmeasurable norm IS an outlier and reports a NULL nrm.
     e = table(spark, sf_dir, "embeddings")
     normed = e.select("vec_id", V.norm("embedding").alias("nrm"))
-    ranked = global_rank(normed, ["nrm", "vec_id"])
+    measurable = (
+        F.col("nrm").isNotNull()
+        & ~F.isnan("nrm")
+        & (F.abs("nrm") < F.lit(float("inf")))
+    )
+    ranked = global_rank(normed.filter(measurable), ["nrm", "vec_id"])
     n = ranked.agg(F.count("*").alias("n"))
     med = (
         ranked.crossJoin(broadcast(n))
@@ -1879,10 +1914,11 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return normed.crossJoin(broadcast(med)).select(
         "vec_id",
-        F.round("nrm", 9).alias("nrm"),
+        F.when(measurable, F.round("nrm", 9)).alias("nrm"),
         F.round("m", 9).alias("median_nrm"),
         (
-            (F.col("nrm") < 0.5 * F.col("m"))
+            ~measurable
+            | (F.col("nrm") < 0.5 * F.col("m"))
             | (F.col("nrm") > 2.0 * F.col("m"))
         ).alias("is_outlier"),
     )
@@ -2047,14 +2083,18 @@ def retrieval_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT dim,
         CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 65536) AS BIGINT)
           AS qv
-      FROM embeddings, LATERAL (SELECT unnest(range({EMB_DIM})) AS dim)
+      FROM {_EMBV} embeddings,
+           LATERAL (SELECT unnest(range({EMB_DIM})) AS dim)
     ), s AS (
       SELECT dim, COUNT(*) AS n, SUM(qv) AS sum_q,
-        SUM(qv * qv) AS sum_q2, MIN(qv) AS min_q, MAX(qv) AS max_q
+        SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0)))
+          AS sum_q2,
+        MIN(qv) AS min_q, MAX(qv) AS max_q
       FROM q GROUP BY dim
     )
     SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
-      CAST(sum_q AS BIGINT) AS sum_q, CAST(sum_q2 AS BIGINT) AS sum_q2,
+      CAST(sum_q AS BIGINT) AS sum_q,
+      CAST(sum_q2 AS DOUBLE) AS sum_q2,
       CAST(min_q AS BIGINT) AS min_q, CAST(max_q AS BIGINT) AS max_q,
       CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0) AS mean,
       (CAST(n AS DOUBLE) * CAST(sum_q2 AS DOUBLE)
@@ -2069,23 +2109,33 @@ def emb_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a near-zero-variance dimension wastes index bits; a huge-range
     one dominates L2).  Values are quantized by an EXACT power-of-two
     scale (v·2¹⁶ — a float-mantissa shift, never a rounding — then
-    floor), so all moment sums are exact BIGINTs and both engines
-    agree bit-for-bit; mean/variance divide those exact integers in a
+    floor), so all moment sums accumulate exactly (sum in int64, squares in
+    DECIMAL(38,0)) and both engines agree bit-for-bit; mean/variance divide those exact integers in a
     single-row double chain at the end.
 
     Scale shape: one posexplode (64 rows per vector) into a
     64-group map-combined aggregate — the frame after the scan is
-    dimension-sized, not corpus-sized.  Overflow headroom: |q| < 2¹⁹
-    for |v| < 8, so Σq² < 2³⁸·n — safe past 10⁹ vectors.
+    dimension-sized, not corpus-sized.  Runs GATED (valid vectors
+    only): one 1e30 corruption element overflowed the original int64
+    square (POISON.md); emb_norm_outliers is the audit that sees
+    invalid rows.  The squared moment accumulates in DECIMAL(38,0) —
+    exact for |v| up to the 1e6 gate bound past 10¹⁶ vectors, where
+    int64 held only |v| < 8.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.select(
         F.posexplode(V.as_double("embedding")).alias("dim", "v")
     ).select("dim", F.floor(F.col("v") * 65536).cast("bigint").alias("qv"))
     s = q.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.sum("qv").alias("sum_q"),
-        F.sum(F.col("qv") * F.col("qv")).alias("sum_q2"),
+        # DECIMAL(38,0) squares: with the 1e6 intake bound, |q| can
+        # reach 2^46 and q² 2^92 — int64 squares were the ANSI
+        # long-overflow the poison sweep hit (POISON.md)
+        F.sum(
+            F.col("qv").cast("decimal(19,0)")
+            * F.col("qv").cast("decimal(19,0)")
+        ).alias("sum_q2"),
         F.min("qv").alias("min_q"),
         F.max("qv").alias("max_q"),
     )
@@ -2094,7 +2144,7 @@ def emb_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("dim"),
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_q").cast("bigint").alias("sum_q"),
-        F.col("sum_q2").cast("bigint").alias("sum_q2"),
+        F.col("sum_q2").cast("double").alias("sum_q2"),
         F.col("min_q").cast("bigint").alias("min_q"),
         F.col("max_q").cast("bigint").alias("max_q"),
         (F.col("sum_q").cast("double") / (nd * 65536.0)).alias("mean"),

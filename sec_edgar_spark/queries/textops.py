@@ -17,7 +17,14 @@ from .registry import query
 
 # DuckDB fragments mirroring functions/text.py primitives (kept in one
 # place so every text oracle stays consistent with the Spark side).
-_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+# COALESCE: NULL text tokenizes to the EMPTY list, matching the Spark
+# side, where exploding split(NULL) yields no rows so every token-level
+# aggregate coalesces to 0 — without it DuckDB propagates NULL through
+# len()/list_filter() and every token stat diverges (POISON.md)
+_TOKENS = (
+    "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),"
+    " t -> t <> '')"
+)
 _HASH64 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
@@ -26,7 +33,7 @@ _HASH64 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
     oracle=f"""
     SELECT doc_id,
       CAST(len({_TOKENS}) AS INT) AS n_tokens,
-      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+      CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
         AS n_bpe_tokens,
       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
@@ -53,8 +60,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id, lang, source,
         len({_TOKENS}) AS n_tokens,
-        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-          / greatest(length(text), 1) AS alpha_ratio,
+        CAST(length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+             AS DOUBLE)
+          / greatest(length(COALESCE(text, '')), 1) AS alpha_ratio,
         CAST(len(list_filter({_TOKENS},
              t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(t))))
              AS DOUBLE) / greatest(len({_TOKENS}), 1) AS stopword_ratio
@@ -90,8 +98,10 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        T.alpha_chars("text").alias("n_alpha"),
-        F.length("text").alias("n_chars"),
+        # NULL text scores as the empty document (ratios 0, gate
+        # false), not as NULL ratios — POISON.md
+        F.coalesce(T.alpha_chars("text"), F.lit(0)).alias("n_alpha"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("n_chars"),
     )
     j = doc.join(tok_agg, "doc_id", "left")
     n_tokens = F.coalesce("n_tokens", F.lit(0))
@@ -743,9 +753,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         regexp_replace(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
         '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
-      CAST(len(regexp_extract_all(text,
+      CAST(len(regexp_extract_all(COALESCE(text, ''),
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS INT) AS n_emails,
-      CAST(len(regexp_extract_all(text,
+      CAST(len(regexp_extract_all(COALESCE(text, ''),
         '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
     FROM built
     """,
@@ -1928,7 +1938,7 @@ def curation_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT d.source,
         CAST(len({_TOKENS}) AS BIGINT) AS ws,
-        CAST(len(regexp_extract_all(text,
+        CAST(len(regexp_extract_all(COALESCE(text, ''),
           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
       FROM documents d
     )
@@ -2090,7 +2100,7 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_length_histogram",
     oracle=f"""
     WITH lens AS (
-      SELECT len(list_filter(string_split_regex(text, '\\s+'),
+      SELECT len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
                              t -> t <> '')) AS n_tok
       FROM documents
     ), b AS (
@@ -2215,7 +2225,7 @@ def _bias_oracle() -> str:
     WITH qm AS ({ORACLES["text_quality_model_score"]}),
     joined AS (
       SELECT d.source,
-        CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+        CAST(len(list_filter(string_split_regex(COALESCE(d.text, ''), '\\s+'),
                              t -> t <> '')) AS HUGEINT) AS x,
         CAST(q.logit_centi AS HUGEINT) AS y
       FROM documents d JOIN qm q ON d.doc_id = q.doc_id
