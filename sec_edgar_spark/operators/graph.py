@@ -61,15 +61,23 @@ def connected_components(
         "id", F.col("id").alias("label")
     ).transform(lineage_cut)
 
+    # Loop joins carry an explicit MERGE hint: at corpus scale both
+    # sides are node/edge-sized so SMJ is the only sane strategy, but
+    # at gate SFs the checkpointed frames carry exact (small) stats and
+    # Catalyst auto-broadcasts EVERY ROUND — one driver-side hash-table
+    # build per iteration, which is exactly what died first under the
+    # 2 GB heap of BENCH_LOWMEM.md (notEnoughMemoryToBuildAndBroadcast
+    # in round 2 of this loop).  SMJ spills; per-round broadcasts
+    # don't.  The hint makes the tight-heap plan THE plan.
     for _ in range(max_iter):
-        nbr_labels = sym.join(
+        nbr_labels = sym.hint("merge").join(
             labels.select(
                 F.col("id").alias("nbr"), F.col("label").alias("nbr_label")
             ),
             "nbr",
         )
         pulled = nbr_labels.groupBy("id").agg(F.min("nbr_label").alias("min_nbr"))
-        hooked = labels.join(pulled, "id", "left").select(
+        hooked = labels.hint("merge").join(pulled, "id", "left").select(
             "id",
             F.least(
                 F.col("label"), F.coalesce("min_nbr", F.col("label"))
@@ -80,6 +88,7 @@ def connected_components(
         # left join + coalesce is belt-and-braces.
         new_labels = (
             hooked.alias("a")
+            .hint("merge")
             .join(
                 hooked.select(
                     F.col("id").alias("label"), F.col("label").alias("gl")
@@ -97,6 +106,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
+            .hint("merge")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()

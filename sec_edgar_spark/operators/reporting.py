@@ -81,9 +81,15 @@ def keep_best_selection(
     Scale shape: one left join (doc-keyed) and one per-component window
     — partition count equals cluster count, and over a component-
     bucketed components input the window's sort needs no Exchange.
+    The join carries an explicit MERGE hint: the components side is
+    corpus-PROPORTIONAL (a heavy-dup corpus clusters most documents),
+    so the auto-broadcast Catalyst picks from gate-scale stats is a
+    driver hash-build that dies first under a tight heap (measured:
+    BENCH_LOWMEM.md — this exact query was the 2 GB casualty) and is
+    no plan at all at 100 TB.
     """
     comp = components.select("doc_id", "component")
-    joined = scored.join(comp, "doc_id", "left").select(
+    joined = scored.hint("merge").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", "doc_id").alias("component"),
         score_col,
@@ -166,13 +172,17 @@ def residual_audit(pairs: DataFrame, kept: DataFrame) -> DataFrame:
     ``pairs``: (doc_a, doc_b); ``kept``: (doc_id) of the keepers.
 
     Scale shape: two joins of the sparse pair list against the kept
-    set, three 1-row counts.
+    set, three 1-row counts.  The kept side is corpus-PROPORTIONAL
+    (keepers are most of the corpus), so the joins carry explicit
+    MERGE hints — the gate-scale auto-broadcast of the kept set is a
+    driver hash-build with no 100 TB analog (the BENCH_LOWMEM.md
+    tight-heap casualty class).
     """
     pairs = pairs.select("doc_a", "doc_b")
     kept = kept.select("doc_id")
-    residual = pairs.join(
+    residual = pairs.hint("merge").join(
         kept.select(F.col("doc_id").alias("doc_a")), "doc_a"
-    ).join(kept.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    ).hint("merge").join(kept.select(F.col("doc_id").alias("doc_b")), "doc_b")
     n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
     n_res = residual.agg(F.count("*").alias("n_residual_pairs"))
     n_kept = kept.agg(F.count("*").alias("n_docs_kept"))
@@ -256,12 +266,15 @@ def funnel_report(
     ``documents``: corpus frame for the ingest denominator.
 
     Scale shape: each stage is a doc-keyed semi-join flag; the rollup
-    is four 1-row aggregates unioned (constant output).
+    is four 1-row aggregates unioned (constant output).  The canon and
+    keep sides are corpus-PROPORTIONAL (survivors are most of the
+    corpus), so the stage joins carry explicit MERGE hints — same
+    rationale as residual_audit.
     """
     s0 = quality.select("doc_id", "n_tokens")
     s1 = quality.filter("passes_quality").select("doc_id", "n_tokens")
-    s2 = s1.join(canon.select("doc_id"), "doc_id")
-    s3 = s2.join(keep.filter("keep").select("doc_id"), "doc_id")
+    s2 = s1.hint("merge").join(canon.select("doc_id"), "doc_id")
+    s3 = s2.hint("merge").join(keep.filter("keep").select("doc_id"), "doc_id")
 
     def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
         return df.agg(
