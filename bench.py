@@ -142,6 +142,8 @@ HEADLINE = [
     "events_hot_key_profile",
     "text_zipf_fit",
     "events_sessionize_salted",
+    # round 11: the salted bounded-ROWS-frame twin (poison/lowmem round)
+    "window_moving_avg_salted",
     "text_langid_confusion",
     "audit_sampler_uniformity",
     "audit_quality_length_bias",
