@@ -125,11 +125,11 @@ EVT_ROWS = (
 )
 
 
-def build(dst: str = DST) -> None:
+def build(dst: str = DST, src: str = SRC) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_TABLES:
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
     con.execute(
         "CREATE TABLE doc_poison (doc_id BIGINT, text VARCHAR, "
@@ -139,7 +139,7 @@ def build(dst: str = DST) -> None:
         "INSERT INTO doc_poison VALUES (?, ?, ?, ?, ?)", DOC_ROWS
     )
     con.execute(
-        f"COPY (SELECT * FROM '{SRC}/documents.parquet' UNION ALL "
+        f"COPY (SELECT * FROM '{src}/documents.parquet' UNION ALL "
         f"SELECT * FROM doc_poison ORDER BY doc_id) TO "
         f"'{dst}/documents.parquet' (FORMAT PARQUET)"
     )
@@ -156,7 +156,7 @@ def build(dst: str = DST) -> None:
     # exact duplicate of benign vec_id 7 under a new id: tied top-k
     # scores force deterministic tie-breaks (or expose their absence)
     dup = con.execute(
-        f"SELECT embedding FROM '{SRC}/embeddings.parquet' WHERE vec_id = 7"
+        f"SELECT embedding FROM '{src}/embeddings.parquet' WHERE vec_id = 7"
     ).fetchone()[0]
     rows.append((100006, dup, 6))
     con.executemany("INSERT INTO emb_poison VALUES (?, ?, ?)", rows)
@@ -165,7 +165,7 @@ def build(dst: str = DST) -> None:
         "array_value(" + ", ".join(["'nan'::FLOAT"] * 64) + "), 7"
     )
     con.execute(
-        f"COPY (SELECT * FROM '{SRC}/embeddings.parquet' UNION ALL "
+        f"COPY (SELECT * FROM '{src}/embeddings.parquet' UNION ALL "
         f"SELECT * FROM emb_poison ORDER BY vec_id) TO "
         f"'{dst}/embeddings.parquet' (FORMAT PARQUET)"
     )
@@ -178,7 +178,7 @@ def build(dst: str = DST) -> None:
         "INSERT INTO evt_poison VALUES (?, ?, ?, ?, ?, ?)", EVT_ROWS
     )
     con.execute(
-        f"COPY (SELECT * FROM '{SRC}/events.parquet' UNION ALL "
+        f"COPY (SELECT * FROM '{src}/events.parquet' UNION ALL "
         f"SELECT * FROM evt_poison ORDER BY event_id) TO "
         f"'{dst}/events.parquet' (FORMAT PARQUET)"
     )
@@ -186,4 +186,9 @@ def build(dst: str = DST) -> None:
 
 
 if __name__ == "__main__":
-    build(sys.argv[1] if len(sys.argv) > 1 else DST)
+    # poison_corpus.py [dst] [src]: e.g. a sf0.01-based replica via
+    #   python tools/poison_corpus.py /tmp/poison_sf0.01 /root/testdata/sf0.01
+    build(
+        sys.argv[1] if len(sys.argv) > 1 else DST,
+        sys.argv[2] if len(sys.argv) > 2 else SRC,
+    )
