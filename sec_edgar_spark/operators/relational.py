@@ -613,8 +613,11 @@ def salted_moving_agg(
     native = (
         ranked
         .withColumn(
+            # integer DIV, never FP: a double quotient can round UP
+            # across an integer boundary at extreme ranks for
+            # non-power-of-two block_rows, misassigning the block
             "_sma_bkt",
-            ((F.col("_sma_rn") - 1) / block_rows).cast("long"),
+            F.expr(f"CAST((_sma_rn - 1) DIV {int(block_rows)} AS BIGINT)"),
         )
         .withColumn("_sma_syn", F.lit(False))
     )

@@ -173,7 +173,7 @@ def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
       SELECT event_type,
         CASE WHEN json_valid(props)
-             THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
         END AS k
       FROM events
     )
@@ -190,12 +190,24 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads from the XBRL REST API, rest.py:126-156; here: get_json_object
     → typed filter/agg, which Catalyst can't push but evaluates codegen'd).
 
-    Malformed payloads extract as NULL on both engines (Spark's
-    get_json_object is lenient by design; the oracle needs the
-    json_valid guard because DuckDB's extraction is strict — the
-    poison sweep's '{not json' row crashed the unguarded oracle)."""
+    Validity contract is STRICT (= DuckDB json_valid): a payload with
+    trailing garbage ('{"k": 99} trash') extracts NULL.  Spark's
+    get_json_object alone is prefix-lenient and WOULD extract 99, so
+    the extraction runs behind the shared strict_json_gate
+    (functions/jsonx.py — Arrow-batched, whitelisted parsing-layer
+    UDF; rationale + 100 TB intake-time shape documented there).  The
+    trailing-garbage poison row pins the parity (ADVICE r11)."""
+    from ..functions.jsonx import strict_json_gate
+
     e = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # try_cast, not cast: a valid payload can hold a NON-numeric k
+    # ('{"k": NaN}' passes json_valid in both engines); the strict
+    # ANSI cast of 'NaN' to bigint crashes Spark AND the DuckDB
+    # oracle (which uses TRY_CAST for the same reason)
+    k = strict_json_gate(
+        F.get_json_object("props", "$.k").try_cast("bigint"),
+        F.col("props"),
+    )
     return (
         e.select("event_type", k.alias("k"))
         .filter(F.col("k") > 50)
@@ -758,7 +770,7 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
       SELECT event_type,
         CASE WHEN json_valid(props)
-             THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
         END AS k
       FROM events
     )
@@ -779,11 +791,18 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-access workload variant parses once instead of N times).
     The oracle reads the same paths with DuckDB's JSON extraction.
     """
+    from ..functions.jsonx import strict_json_gate
+
     e = table(spark, sf_dir, "events")
     # try_parse_json: malformed payloads become NULL variants instead
     # of failing the job (parse_json raises under ANSI — the poison
-    # sweep's '{not json' row killed the strict form)
-    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    # sweep's '{not json' row killed the strict form).  It is still
+    # prefix-LENIENT on trailing garbage, so the strict gate applies
+    # here too (see events_json_props / functions/jsonx.py).
+    k = strict_json_gate(
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint"),
+        F.col("props"),
+    )
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

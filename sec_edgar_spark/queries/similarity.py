@@ -2086,7 +2086,8 @@ def retrieval_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {_EMBV} embeddings,
            LATERAL (SELECT unnest(range({EMB_DIM})) AS dim)
     ), s AS (
-      SELECT dim, COUNT(*) AS n, SUM(qv) AS sum_q,
+      SELECT dim, COUNT(*) AS n,
+        SUM(CAST(qv AS DECIMAL(38,0))) AS sum_q,
         SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0)))
           AS sum_q2,
         MIN(qv) AS min_q, MAX(qv) AS max_q
@@ -2109,8 +2110,9 @@ def emb_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a near-zero-variance dimension wastes index bits; a huge-range
     one dominates L2).  Values are quantized by an EXACT power-of-two
     scale (v·2¹⁶ — a float-mantissa shift, never a rounding — then
-    floor), so all moment sums accumulate exactly (sum in int64, squares in
-    DECIMAL(38,0)) and both engines agree bit-for-bit; mean/variance divide those exact integers in a
+    floor), so all moment sums accumulate exactly (both the first and
+    second moments in DECIMAL(38,0)) and both engines agree
+    bit-for-bit; mean/variance divide those exact integers in a
     single-row double chain at the end.
 
     Scale shape: one posexplode (64 rows per vector) into a
@@ -2118,9 +2120,13 @@ def emb_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized, not corpus-sized.  Runs GATED (valid vectors
     only): one 1e30 corruption element overflowed the original int64
     square (POISON.md); emb_norm_outliers is the audit that sees
-    invalid rows.  The squared moment accumulates in DECIMAL(38,0) —
-    exact for |v| up to the 1e6 gate bound past 10¹⁶ vectors, where
-    int64 held only |v| < 8.
+    invalid rows.  Both moments accumulate in DECIMAL(38,0) — exact
+    for |v| up to the 1e6 gate bound (|q| ≈ 2^36, q² ≈ 2^72) past
+    10¹⁶ vectors, where int64 held the square only for |v| < 8 and
+    the first moment only through ~1.4e8 max-magnitude rows per dim.
+    The exported sum_q stays BIGINT (exact at any gate SF; an actual
+    >2^63 sum would fail the final cast loudly in both engines rather
+    than silently wrap mid-aggregation).
     """
     e = _emb(spark, sf_dir)
     q = e.select(
@@ -2128,10 +2134,11 @@ def emb_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("dim", F.floor(F.col("v") * 65536).cast("bigint").alias("qv"))
     s = q.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum("qv").alias("sum_q"),
-        # DECIMAL(38,0) squares: with the 1e6 intake bound, |q| can
-        # reach 2^46 and q² 2^92 — int64 squares were the ANSI
-        # long-overflow the poison sweep hit (POISON.md)
+        # DECIMAL(38,0) for BOTH moments: with the 1e6 intake bound,
+        # |q| can reach ~6.6e10 (~2^36), so SUM(qv) in int64 would
+        # ANSI-overflow around ~1.4e8 adversarial rows per dim, and
+        # q² (~2^72) overflowed int64 on ONE poison row (POISON.md)
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("sum_q"),
         F.sum(
             F.col("qv").cast("decimal(19,0)")
             * F.col("qv").cast("decimal(19,0)")

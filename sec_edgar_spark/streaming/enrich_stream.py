@@ -39,7 +39,7 @@ def enrich_rollup(events: DataFrame, customers: DataFrame) -> DataFrame:
         .groupBy(F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
+            F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_value"),
         )

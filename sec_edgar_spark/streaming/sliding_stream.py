@@ -37,7 +37,7 @@ def sliding_rollup(events: DataFrame, watermark: str = "3 days") -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.approx_count_distinct("user_id").alias("n_users_approx"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
+            F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_value"),
         )

@@ -29,6 +29,7 @@ CLASS_REPS = [
     ("calendar-widening-pairs", "events_trend_mannkendall"),
     ("theilsen-grouped-median", "events_trend_theilsen"),
     ("malformed-json", "events_json_props"),
+    ("trailing-garbage-json", "events_json_variant"),
     ("null-text-token-contract", "text_quality_filter"),
     ("null-text-sgml", "edgar_sgml_roundtrip"),
     ("embedding-validity-gate", "ann_bruteforce_topk"),

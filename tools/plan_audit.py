@@ -59,6 +59,12 @@ def load_pins() -> dict[str, int]:
 # row-UDF escape hatches — parsing layers, not analytics hot paths).
 PY_UDF_WHITELIST: set[str] = {
     "edgar_uu_roundtrip",  # uudecode is binascii row logic by design
+    # strict-JSON validity gate (functions/jsonx.py): Spark's whole
+    # JSON surface is prefix-lenient, DuckDB's is RFC-strict, and the
+    # strict contract has no JVM expression — Arrow-batched parsing-
+    # layer gate, run once at intake in the 100 TB shape
+    "events_json_props",
+    "events_json_variant",
 }
 
 # Corpus-keyed window rule (VERDICT r10 #6): a Window PARTITIONED BY a

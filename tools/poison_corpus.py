@@ -121,6 +121,24 @@ EVT_ROWS = (
          "view", 1.0, None),
         (100062, datetime.datetime(2024, 1, 17, 0, 0, 2), 900005,
          "view", 1.0, '{"a": {"b": {"c": [1, 2, {"d": "e"}]}}}'),
+        # PARTIALLY-valid JSON (ADVICE r11): Spark's get_json_object /
+        # try_parse_json parse the first document and ignore trailing
+        # bytes (would extract k=99), DuckDB's json_valid is RFC-strict
+        # — these rows pin the strict contract enforced by
+        # functions/jsonx.py in events_json_props/events_json_variant.
+        # k=99 > the k>50 filter cut so a lenient engine CHANGES sum_k.
+        (100063, datetime.datetime(2024, 1, 17, 0, 0, 3), 900005,
+         "view", 1.0, '{"k": 99} trash'),
+        (100064, datetime.datetime(2024, 1, 17, 0, 0, 4), 900005,
+         "view", 1.0, '{"k": 99}}'),
+        (100065, datetime.datetime(2024, 1, 17, 0, 0, 5), 900005,
+         "view", 1.0, '{"k": 81} {"k": 82}'),
+        # NaN constant: BOTH validators accept it ('{"k": NaN}' is
+        # json_valid in DuckDB and json.loads-parsable), so the typed
+        # extraction must TRY_CAST — a strict BIGINT cast of 'NaN'
+        # crashes both engines under ANSI
+        (100066, datetime.datetime(2024, 1, 17, 0, 0, 6), 900005,
+         "view", 1.0, '{"k": NaN}'),
     ]
 )
 
