@@ -285,10 +285,30 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from sec_edgar_spark.session import get_spark
+    # Debug subset (comma-separated names) — BENCH_LOCAL.json is NOT
+    # written for subset runs, so a partial run can't clobber the
+    # round's full stamp.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    headline = [q for q in HEADLINE if not only or q in only]
+    # UI stays on by default for the task-time capture; 0 disables both
+    # (control arm for measuring the listener's own overhead).
+    ui_on = os.environ.get("SPARK_GRAFT_BENCH_UI", "1") != "0"
+
+    load_start = round(os.getloadavg()[0], 2)
+
+    from sec_edgar_spark.session import builder
     import sec_edgar_spark.queries as Q
 
-    spark = get_spark(app_name="sec-edgar-spark-bench")
+    # UI on (engine default is off): the task-time capture below reads
+    # the UI REST API; negligible overhead on a bench box.
+    spark = (
+        builder(app_name="sec-edgar-spark-bench")
+        .config("spark.ui.enabled", "true" if ui_on else "false")
+        .getOrCreate()
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("ERROR")
     # Two-phase integer-cents money aggregation: bit-identical to the
     # decimal path within its documented bound (queries/relational.py;
@@ -346,9 +366,58 @@ def main() -> int:
         .count()
     )
 
+    # Per-sample executor task-time via the UI REST API (VERDICT r11
+    # "what's wrong" #1: a pin-unchanged 3x wall swing was
+    # indistinguishable from a regression in the artifact).  Wall time
+    # on a shared box mixes the plan's cost with ambient load; the SUM
+    # OF TASK DURATIONS is load-shift-resistant (a contending process
+    # delays tasks' scheduling, not their measured run time), so a
+    # wall swing with a flat task_time is attributable to noise from
+    # the artifact alone.  Stages are matched to the sample by
+    # submissionTime >= sample start — never by delta-of-total, which
+    # breaks when the UI evicts old stages (spark.ui.retainedStages).
+    import datetime as _dt
+    import urllib.request
+
+    _ui = spark.sparkContext.uiWebUrl
+    _app_id = None
+
+    def _stage_task_time_s(since_epoch: float) -> float | None:
+        nonlocal _app_id
+        try:
+            if _app_id is None:
+                apps = json.load(
+                    urllib.request.urlopen(
+                        f"{_ui}/api/v1/applications", timeout=10
+                    )
+                )
+                _app_id = apps[0]["id"]
+            stages = json.load(
+                urllib.request.urlopen(
+                    f"{_ui}/api/v1/applications/{_app_id}/stages"
+                    "?status=complete",
+                    timeout=10,
+                )
+            )
+            total_ms = 0
+            for s in stages:
+                sub = s.get("submissionTime")
+                if not sub:
+                    continue
+                # "2026-08-16T09:21:20.123GMT"
+                ep = _dt.datetime.strptime(
+                    sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+                ).timestamp()
+                if ep >= since_epoch - 0.5:
+                    total_ms += s.get("executorRunTime", 0)
+            return round(total_ms / 1000.0, 3)
+        except Exception:  # metrics are best-effort; the wall is not
+            return None
+
     timings: dict[str, float] = {}
+    task_times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         # Per-query scan-spread (see SCAN_PARALLELIZE above); the
         # catalog memo keys on the flag state, so both variants of a
@@ -365,14 +434,16 @@ def main() -> int:
         # the two samples STILL disagree by >1.5x (both hit noise, or
         # one did and min can't tell which), take a third — bounded
         # extra cost, paid only by the noisy queries.
-        samples: list[float] = []
+        samples: list[tuple[float, float | None]] = []
         for attempt in range(3):
             if (
                 attempt == 2
                 and name not in BEST_OF_3
                 and (
                     len(samples) < 2
-                    or max(samples) / max(min(samples), 1e-9) <= 1.5
+                    or max(s[0] for s in samples)
+                    / max(min(s[0] for s in samples), 1e-9)
+                    <= 1.5
                 )
             ):
                 break
@@ -388,9 +459,13 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 break
-            samples.append(time.time() - t0)
+            wall = time.time() - t0
+            samples.append((wall, _stage_task_time_s(t0) if ui_on else None))
         if samples:
-            timings[name] = round(min(samples), 3)
+            best = min(samples, key=lambda s: s[0])
+            timings[name] = round(best[0], 3)
+            if best[1] is not None:
+                task_times[name] = best[1]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -422,12 +497,20 @@ def main() -> int:
     local = dict(out)
     local["git_sha"] = sha or "unknown"
     local["loadavg_1m"] = round(os.getloadavg()[0], 2)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
-    ) as fh:
-        json.dump(local, fh, indent=1)
-        fh.write("\n")
+    local["loadavg_1m_start"] = load_start
+    # task_time: per-query executor task-duration sum of the min-wall
+    # sample (see _stage_task_time_s) — lets round-over-round analysis
+    # split pin-changed plan deltas from pin-unchanged ambient noise.
+    local["task_time"] = task_times
+    if not only:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(local, fh, indent=1)
+            fh.write("\n")
     return 0
 
 

@@ -206,7 +206,7 @@ def salted_rank(
     key_cols: list[str] | str,
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
-    bucket_s: int = 6 * 3600,
+    bucket_s: int | None = 6 * 3600,
     out_col: str = "_rk",
 ) -> DataFrame:
     """Exact per-key 1-based rank ordered by ``(ts, *tiebreaks)``,
@@ -238,10 +238,21 @@ def salted_rank(
     to the single-window rank: tests/test_salted_rank.py (adversarial
     + hypothesis property).  Adds ``out_col``; input columns pass
     through unchanged.
+
+    ``bucket_s=None`` selects the classic PLAIN single-window rank —
+    right when no hot key exists (the salted plan's extra Exchanges
+    then cost more than they save); pass
+    ``operators.heat.pick_bucket(...)`` to decide from measured key
+    heat (VERDICT r11 #1).
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     tiebreak_cols = tiebreak_cols or []
+    if bucket_s is None:
+        w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+        return df.withColumn(out_col, F.row_number().over(w)).select(
+            *df.columns, out_col
+        )
     if bucket_s < 1:
         raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
     b_us = int(bucket_s) * 1_000_000
@@ -286,7 +297,7 @@ def salted_suffix_min(
     tiebreak_cols: list[str],
     value_col: str,
     out_col: str,
-    bucket_s: int = 6 * 3600,
+    bucket_s: int | None = 6 * 3600,
 ) -> DataFrame:
     """Per-key suffix minimum WITHOUT a per-key window: for every row,
     ``out_col`` = min(``value_col``) over the rows STRICTLY AFTER it in
@@ -313,10 +324,20 @@ def salted_suffix_min(
 
     Exact: equal timestamps share a bucket (tie rules stay local) and
     min is associative across the bucket split.  Timestamps must be
-    non-null.
+    non-null.  ``bucket_s=None`` = plain single-window form (heat-
+    dispatched via operators.heat.pick_bucket, VERDICT r11 #1).
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    if bucket_s is None:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(
+                F.desc(ts_col), *[F.desc(c) for c in tiebreak_cols]
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(out_col, F.min(value_col).over(w))
     if bucket_s < 1:
         raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
     b_us = int(bucket_s) * 1_000_000
@@ -376,7 +397,7 @@ def salted_prev(
     tiebreak_cols: list[str],
     payload_cols: list[str],
     out_prefix: str = "prev_",
-    bucket_s: int = 6 * 3600,
+    bucket_s: int | None = 6 * 3600,
 ) -> DataFrame:
     """Per-key LAG WITHOUT a per-key window: for every row, attach the
     immediately preceding row's ``payload_cols`` in ``(ts, *tiebreaks)``
@@ -395,10 +416,21 @@ def salted_prev(
     a per-key running max over bucket summaries, and a synthetic row
     sorted before the bucket's real rows.  Timestamps must be
     non-null; payload columns must be orderable types (they ride
-    inside the comparison struct).
+    inside the comparison struct).  ``bucket_s=None`` = plain LAG
+    single-window form (heat-dispatched via
+    operators.heat.pick_bucket, VERDICT r11 #1).
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    if bucket_s is None:
+        w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+        return df.select(
+            *df.columns,
+            *[
+                F.lag(c).over(w).alias(f"{out_prefix}{c}")
+                for c in payload_cols
+            ],
+        )
     if bucket_s < 1:
         raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
     b_us = int(bucket_s) * 1_000_000
@@ -467,7 +499,7 @@ def salted_next(
     tiebreak_cols: list[str],
     payload_cols: list[str],
     out_prefix: str = "next_",
-    bucket_s: int = 6 * 3600,
+    bucket_s: int | None = 6 * 3600,
 ) -> DataFrame:
     """Per-key LEAD WITHOUT a per-key window — the forward mirror of
     :func:`salted_prev`: for every row, the immediately FOLLOWING
@@ -481,9 +513,20 @@ def salted_next(
     per cell + a synthetic row sorted before the bucket's real rows in
     the descending traversal (its _ord is the exclusive bucket end, so
     no real row can tie it).  Same uniqueness/orderability/non-null-ts
-    requirements as salted_prev."""
+    requirements as salted_prev.  ``bucket_s=None`` = plain LEAD
+    single-window form (heat-dispatched via
+    operators.heat.pick_bucket, VERDICT r11 #1)."""
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    if bucket_s is None:
+        w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+        return df.select(
+            *df.columns,
+            *[
+                F.lead(c).over(w).alias(f"{out_prefix}{c}")
+                for c in payload_cols
+            ],
+        )
     if bucket_s < 1:
         raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
     b_us = int(bucket_s) * 1_000_000
@@ -555,7 +598,7 @@ def salted_moving_agg(
     tiebreak_cols: list[str],
     aggs: dict[str, tuple[str, str]],
     frame_rows: int,
-    bucket_s: int = 6 * 3600,
+    bucket_s: int | None = 6 * 3600,
     block_rows: int = 4096,
 ) -> DataFrame:
     """Per-key sliding ROWS frame (``frame_rows-1 PRECEDING .. CURRENT
@@ -604,6 +647,20 @@ def salted_moving_agg(
     for out, (_, fn) in aggs.items():
         if fn not in _FNS:
             raise ValueError(f"unsupported agg fn {fn!r} for {out!r}")
+
+    # bucket_s=None: plain per-key ROWS-frame window (heat-dispatched
+    # via operators.heat.pick_bucket, VERDICT r11 #1)
+    if bucket_s is None:
+        wp = (
+            Window.partitionBy(*key_cols)
+            .orderBy(ts_col, *tiebreak_cols)
+            .rowsBetween(-(frame_rows - 1), Window.currentRow)
+        )
+        out = df
+        for out_col, (in_col, fn) in aggs.items():
+            src = F.lit(1) if in_col == "*" else F.col(in_col)
+            out = out.withColumn(out_col, _FNS[fn](src).over(wp))
+        return out
 
     ranked = salted_rank(
         df, key_cols, ts_col, tiebreak_cols, bucket_s=bucket_s,

@@ -56,7 +56,7 @@ def salted_sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_s: int = 30 * 60,
-    bucket_s: int = 6 * 3600,
+    bucket_s: int | None = 6 * 3600,
     payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """(user, session_id, n_events, first_ep, last_ep) — exact 30-min-gap
@@ -68,7 +68,43 @@ def salted_sessionize(
     (ts, id) — the entry/exit-page analytics shape, computed exactly
     through the fragment split because struct-min/max is associative:
     per-fragment extrema in the local pass, extrema-of-extrema in the
-    merge (a session is the disjoint union of its fragments)."""
+    merge (a session is the disjoint union of its fragments).
+
+    ``bucket_s=None`` = the classic PLAIN single-window lag→flag→cumsum
+    (heat-dispatched via operators.heat.pick_bucket, VERDICT r11 #1) —
+    identical output, one per-user window instead of the two-level
+    fragment merge."""
+    payload_cols_plain = payload_cols or []
+    if bucket_s is None:
+        e = events.select(
+            user_col, ts_col, id_col, *payload_cols_plain
+        ).withColumn("_ep", epoch_s(F.col(ts_col)))
+        wl = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+        wl_run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        local = e.withColumn(
+            "_start",
+            F.when(
+                F.lag("_ep").over(wl).isNull()
+                | (F.col("_ep") - F.lag("_ep").over(wl) > gap_s),
+                1,
+            ).otherwise(0),
+        ).withColumn("session_id", F.sum("_start").over(wl_run))
+        final_pay = []
+        if payload_cols_plain:
+            st = F.struct(
+                F.col(ts_col),
+                F.col(id_col),
+                *[F.col(c) for c in payload_cols_plain],
+            )
+            final_pay = [F.min(st).alias("entry"), F.max(st).alias("exit")]
+        return local.groupBy(
+            user_col, F.col("session_id").cast("bigint").alias("session_id")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("_ep").cast("bigint").alias("first_ep"),
+            F.max("_ep").cast("bigint").alias("last_ep"),
+            *final_pay,
+        )
     if bucket_s <= gap_s:
         raise ValueError(
             f"bucket_s ({bucket_s}) must exceed gap_s ({gap_s}): a bucket "

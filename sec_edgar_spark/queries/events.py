@@ -231,12 +231,16 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     most recent error event at-or-before it for the same user — the
     feature-attachment shape of a training-data pipeline.  The operator
     (operators/asof.py) is the union+window formulation — no range-join
-    candidate blowup — in its SALTED two-level form: windows per
-    (user, 6 h bucket) plus a bucket-summary carry, so a hot user's
-    stream spreads across tasks instead of one (r11, VERDICT r10 #1);
-    the oracle is DuckDB's native ASOF LEFT JOIN, an independent
-    implementation of the same semantics."""
+    candidate blowup — HEAT-DISPATCHED (r12, VERDICT r11 #1): the
+    sampled key-heat probe (operators/heat.py via
+    queries/_heat.events_user_bucket) picks the plain single window on
+    healthy corpora and the salted two-level form (windows per
+    (user, 6 h bucket) plus a bucket-summary carry) at a measured hot
+    user; both proven bit-identical.  The oracle is DuckDB's native
+    ASOF LEFT JOIN, an independent implementation of the same
+    semantics."""
     from ..operators.asof import asof_join
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
@@ -253,9 +257,10 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["event_id", "value", "ts"],
         suffix="_err",
-        # salted two-level form: a hot user's combined stream spreads
-        # across time buckets instead of one window task (VERDICT r10 #1)
-        bucket_s=6 * 3600,
+        # heat-dispatched (r11 #1): plain single window on healthy
+        # corpora; salted two-level (per-(user, 6 h bucket) + carry)
+        # when the probe measures a hot user — both bit-identical
+        bucket_s=events_user_bucket(spark, sf_dir),
     )
 
 
@@ -330,6 +335,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf10-skew); the daily rollup is a map-combined hash agg.
     """
     from ..operators.relational import salted_suffix_min
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     ordered = salted_suffix_min(
@@ -344,6 +350,9 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
         value_col="_pts",
         out_col="next_purchase_ts",
+        # heat-dispatched (r11 #1): plain suffix-min window unless the
+        # probe measures a hot user
+        bucket_s=events_user_bucket(spark, sf_dir),
     )
     converted = (
         F.col("next_purchase_ts").isNotNull()
@@ -1475,10 +1484,15 @@ def events_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type-cardinality rows.
     """
     from ..operators.sessionize import salted_sessionize
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     per_session = salted_sessionize(
-        e, payload_cols=["event_type"]
+        e,
+        # heat-dispatched (r11 #1): plain lag→flag→cumsum unless the
+        # probe measures a hot user
+        bucket_s=events_user_bucket(spark, sf_dir),
+        payload_cols=["event_type"],
     ).select(
         "n_events",
         F.col("entry.event_type").alias("entry_type"),
@@ -1545,6 +1559,7 @@ def events_interarrival_percentiles(
     integer cross-multiplications.
     """
     from ..operators.relational import salted_prev
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     lagged = salted_prev(
@@ -1553,6 +1568,9 @@ def events_interarrival_percentiles(
         ts_col="ts",
         tiebreak_cols=["event_id"],
         payload_cols=["ts"],
+        # heat-dispatched (r11 #1): the (user, type) key is never
+        # hotter than the user key the probe measures
+        bucket_s=events_user_bucket(spark, sf_dir),
     )
     gaps = lagged.select(
         "event_type",

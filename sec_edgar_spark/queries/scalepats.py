@@ -371,8 +371,14 @@ def events_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no task ever owns a hot user's whole change log).
     """
     from ..operators.scd import scd2_build
+    from ._heat import events_user_bucket
 
-    return scd2_build(table(spark, sf_dir, "events"), bucket_s=6 * 3600)
+    # heat-dispatched (r11 #1): plain LEAD window unless the probe
+    # measures a hot user
+    return scd2_build(
+        table(spark, sf_dir, "events"),
+        bucket_s=events_user_bucket(spark, sf_dir),
+    )
 
 
 @query(
@@ -408,6 +414,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     journey-mining / next-event-prediction feature shape.
     """
     from ..operators.relational import salted_prev
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     pairs = salted_prev(
@@ -416,6 +423,9 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak_cols=["event_id"],
         payload_cols=["event_type"],
+        # heat-dispatched (r11 #1): plain LAG window unless the probe
+        # measures a hot user
+        bucket_s=events_user_bucket(spark, sf_dir),
     ).select(
         F.col("prev_event_type").alias("prev_type"),
         F.col("event_type").alias("next_type"),
@@ -541,9 +551,13 @@ def events_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.asof import asof_join
     from ..operators.scd import scd2_build
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
-    dim = scd2_build(e, bucket_s=6 * 3600).select(
+    # heat-dispatched (r11 #1): both the SCD2 LEAD and the as-of run
+    # plain unless the probe measures a hot user
+    _bkt = events_user_bucket(spark, sf_dir)
+    dim = scd2_build(e, bucket_s=_bkt).select(
         "user_id", "status", "valid_from"
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
@@ -560,8 +574,7 @@ def events_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="valid_from",
         right_cols=["status", "valid_from"],
         suffix="",
-        # salted form: hot-user-safe (VERDICT r10 #1)
-        bucket_s=6 * 3600,
+        bucket_s=_bkt,
     )
     return m.select(
         "event_id",
@@ -756,6 +769,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     independent implementation.
     """
     from ..operators.asof import asof_join
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
@@ -774,8 +788,8 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         right_ts="touch_ts",
         right_cols=["touch_type", "touch_ts"],
         suffix="",
-        # salted form: hot-user-safe (VERDICT r10 #1)
-        bucket_s=6 * 3600,
+        # heat-dispatched (r11 #1): plain unless a measured hot user
+        bucket_s=events_user_bucket(spark, sf_dir),
     )
     from ..functions.scalars import epoch_s
 
@@ -827,6 +841,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.scalars import epoch_s
     from ..operators.asof import asof_join
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
@@ -843,8 +858,8 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="view_ts",
         right_cols=["view_ts"],
         suffix="",
-        # salted form: hot-user-safe (VERDICT r10 #1)
-        bucket_s=6 * 3600,
+        # heat-dispatched (r11 #1): plain unless a measured hot user
+        bucket_s=events_user_bucket(spark, sf_dir),
     ).filter(F.col("view_ts").isNotNull())
     lag_s = (epoch_s("ts") - epoch_s("view_ts")).alias("lag_s")
     lagged = m.select(lag_s)
@@ -2652,6 +2667,7 @@ def events_attribution_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank is unique per user, so the tiebreak is total in both engines.
     """
     from ..operators.interval import capped_recent_join
+    from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
@@ -2672,6 +2688,10 @@ def events_attribution_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="t_eid",
         k=20,
         tolerance="7 DAYS",
+        # heat-dispatched (r11 #1): the internal rank + as-of run
+        # plain unless a measured hot user; the per-left-row k-cap
+        # bounds candidates either way
+        bucket_s=events_user_bucket(spark, sf_dir),
     ).cache()
     wn = Window.partitionBy("event_id")
     wr = Window.partitionBy("event_id").orderBy(F.desc("_rk"))
