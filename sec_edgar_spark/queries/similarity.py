@@ -817,7 +817,20 @@ def _sem_subsplit(keyed: DataFrame, cap: int) -> DataFrame:
     balanced on every stride (measured ≤ ~1.3× ideal on sequential /
     even / ×64 / ×4096 strides).  Pure long arithmetic, overflow-safe
     to 2^63 (ids pre-folded mod 2^31), replayed verbatim by the DuckDB
-    oracle; the cluster-size frame is k rows and broadcasts."""
+    oracle; the cluster-size frame is k rows and broadcasts.
+
+    Bound character (VERDICT r11 finding #3, pinned by
+    tests/test_sem_subsplit_property.py): the ≤ ~1.5× load bound is
+    DISTRIBUTIONAL over natural id families (sequential / strided /
+    clustered / low-bit-dense — hypothesis-tested), not structural: a
+    fixed public multiplicative hash is invertible, so an adversary
+    CHOOSING ids can force one sub-cell (the test constructs that set
+    explicitly).  Pipeline-assigned vec_ids are not attacker-chosen;
+    if that ever changes, the ``max_subcell_rows`` column of
+    ``dedup_semantic_cap_audit`` is the runtime observable that an
+    over-full sub-cell exists (same ledger as the forfeit counts),
+    and the structural alternative is a rank-based split (exact cap,
+    at the price of a per-cell rank pass)."""
     sizes = keyed.groupBy("cell").agg(F.count("*").alias("_n"))
     return keyed.join(broadcast(sizes), "cell").withColumn(
         "_sub",
@@ -929,6 +942,7 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cell,
       CAST(SUM(m) AS BIGINT) AS n_vectors,
       CAST(COUNT(*) AS BIGINT) AS n_subcells,
+      CAST(MAX(m) AS BIGINT) AS max_subcell_rows,
       CAST(SUM(m) * (SUM(m) - 1) // 2 AS BIGINT) AS pairs_possible,
       CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS pairs_scored,
       CAST(SUM(m) * (SUM(m) - 1) // 2 - SUM(m * (m - 1) // 2) AS BIGINT)
@@ -969,6 +983,11 @@ def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("_m").cast("bigint").alias("n_vectors"),
             F.count("*").cast("bigint").alias("n_subcells"),
+            # r12 (VERDICT r11 finding #3): the splitter's cap is
+            # calibrated, not structural — this column makes an
+            # over-full sub-cell OBSERVABLE in the same ledger that
+            # reports forfeited recall
+            F.max("_m").cast("bigint").alias("max_subcell_rows"),
             F.sum(F.expr("_m * (_m - 1) DIV 2")).cast("bigint").alias(
                 "pairs_scored"
             ),
@@ -985,6 +1004,7 @@ def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             "n_vectors",
             "n_subcells",
+            "max_subcell_rows",
             "pairs_possible",
             "pairs_scored",
             "pairs_forfeited",

@@ -50,15 +50,22 @@ def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
 def read_dim(spark: SparkSession, root: str) -> DataFrame:
     """The full dimension: immutable history ∪ current snapshot.
 
-    Closed rows are deduped on their natural key (user_id, valid_from):
-    a crash between the closed append and the current overwrite leaves
-    one batch's closed rows appended twice (the replayed merge re-emits
-    them); they are bit-identical, so first-wins dedup restores
-    exactly-once semantics on read.
+    Closed rows are deduped on the FULL row (all of COLS): a crash
+    between the closed append and the current overwrite leaves one
+    batch's closed rows appended twice (the replayed merge re-emits
+    them bit-identically), so whole-row first-wins dedup restores
+    exactly-once semantics on read.  The key is deliberately NOT
+    (user_id, valid_from): two change events with the SAME timestamp
+    for one key (the poison corpus's 50-event burst) legitimately
+    produce multiple closed rows sharing valid_from — a natural-key
+    dedup silently dropped the distinct-status ones.  The one
+    remaining collapse is bit-identical degenerate rows (N same-type
+    events at one timestamp → N-1 identical zero-length intervals);
+    they carry no distinguishing information, and the parity contract
+    is read_dim == scd2_build up to that multiplicity
+    (tests/test_streaming_poison.py pins it on the burst).
     """
-    closed = _read_or_empty(spark, f"{root}/closed").dropDuplicates(
-        ["user_id", "valid_from"]
-    )
+    closed = _read_or_empty(spark, f"{root}/closed").dropDuplicates()
     return closed.unionByName(_read_or_empty(spark, f"{root}/current"))
 
 

@@ -1,0 +1,383 @@
+"""Hostile values through the STREAMING gates (VERDICT r11 missing #3).
+
+The r11 poison corpus (testdata_sf0.001_poison) swept all 267 batch
+queries; the streaming twins share the fixed functions but "should
+hold" was an inference.  These tests drive the SAME hostile bytes
+through each stateful/stream path and assert batch/stream parity (or
+the operator's documented invariant) exactly like the uniform parity
+tests:
+
+- enrich_rollup / sliding_rollup: the 1e12 purchase value that
+  overflowed DECIMAL(12,2) under ANSI (ADVICE r11 — both streaming
+  casts widened to 18,2);
+- quality/decontam/LSH intake: NULL-text docs (the empty-token
+  contract), non-ASCII, zero-token domains;
+- SCD2 maintenance: same-timestamp bursts (tiebreak contract), NULL /
+  empty event types, epoch-edge timestamps;
+- URL intake gate: hostile URLs (NULL, empty, no scheme, tracking
+  junk, unicode) through canonicalize_url + watermarked dedup.
+
+Event-time note: the poison corpus contains a year-2100 row, which
+would mark everything after it late under any real watermark — the
+value-hostility tests below therefore feed ONE micro-batch (watermark
+only advances after a batch), keeping timing semantics out of scope;
+multi-batch feeds split on a global time boundary where order
+contracts require it.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+POISON = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "testdata_sf0.001_poison")
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(POISON), reason="poison replica not present"
+)
+
+
+def _events(spark):
+    from sec_edgar_spark.catalog import table
+
+    return table(spark, POISON, "events")
+
+
+def _docs(spark):
+    from sec_edgar_spark.catalog import table
+
+    return table(spark, POISON, "documents")
+
+
+@pytest.mark.timeout(240)
+def test_enrich_stream_poison_parity(spark, tmp_path):
+    """Stream-static enrichment over the poison events (1e12 value,
+    NULL value/type) == batch on the same rows.  Would crash with the
+    pre-ADVICE decimal(12,2) cast."""
+    from sec_edgar_spark.catalog import table
+    from sec_edgar_spark.streaming.enrich_stream import (
+        enrich_rollup,
+        run_to_memory_sink,
+    )
+
+    ev = _events(spark).select("ts", "user_id", "event_type", "value")
+    cust = table(spark, POISON, "customer")
+    feed = tmp_path / "feed"
+    ev.coalesce(1).write.parquet(str(feed / "b1"))
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "99")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    q = run_to_memory_sink(stream, cust, query_name="t_enrich_poison")
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        got = {
+            (r.segment, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM t_enrich_poison").collect()
+        }
+        want = {
+            (r.segment, r.event_type): (r.n_events, r.total_value)
+            for r in enrich_rollup(ev, cust).collect()
+        }
+        assert got == want
+        # the 1e12 row actually flowed through a decimal sum (its
+        # group nets 1e12 - 1234.5 with the negative poison row)
+        assert any(
+            v[1] is not None and v[1] >= 9e11 for v in got.values()
+        )
+    finally:
+        q.stop()
+
+
+@pytest.mark.timeout(240)
+def test_sliding_stream_poison_parity(spark, tmp_path):
+    from sec_edgar_spark.streaming.sliding_stream import (
+        run_to_memory_sink,
+        sliding_rollup,
+    )
+
+    ev = _events(spark).select("ts", "event_type", "user_id", "value")
+    feed = tmp_path / "feed"
+    ev.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, event_type string, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "99")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    q = run_to_memory_sink(stream, query_name="t_sliding_poison")
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        key = ("win_start", "event_type")
+        got = {
+            tuple(getattr(r, k) for k in key): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM t_sliding_poison").collect()
+        }
+        want = {
+            tuple(getattr(r, k) for k in key): (r.n_events, r.total_value)
+            for r in sliding_rollup(ev).collect()
+        }
+        assert got == want
+        assert len(got) > 10  # 1970 + 2100 edge windows exist
+    finally:
+        q.stop()
+
+
+@pytest.mark.timeout(240)
+def test_quality_stream_poison(spark, tmp_path):
+    """NULL-text docs tokenize to the EMPTY array (POISON class 4)
+    through the streaming quality gate; dedup state keys on md5(NULL)
+    without crashing."""
+    from sec_edgar_spark.streaming.quality_stream import (
+        quality_columns,
+        quality_stream,
+    )
+
+    docs = _docs(spark).select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("ts"),
+    )
+    feed = tmp_path / "feed"
+    docs.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "99")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    q = (
+        quality_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_quality_poison")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        out = spark.sql("SELECT * FROM t_quality_poison").collect()
+        # batch twin on the same rows (dedup replayed as batch
+        # dropDuplicates on the same key)
+        want = (
+            quality_columns(docs)
+            .withColumn(
+                "content_hash", F.md5(F.lower(F.trim(F.col("text"))))
+            )
+            .dropDuplicates(["content_hash"])
+        )
+        assert len(out) == want.count()
+        nulls = [r for r in out if r.text is None]
+        assert nulls and all(
+            r.n_tokens == 0 and not r.passes_quality for r in nulls
+        )
+    finally:
+        q.stop()
+
+
+@pytest.mark.timeout(240)
+def test_decontam_stream_poison_parity(spark, tmp_path):
+    """The decontamination gate over hostile docs: NULL-text eval rows
+    contribute zero shingles; stream output == the same expressions on
+    the batch frame."""
+    from sec_edgar_spark.streaming.decontam_stream import (
+        decontam_stream,
+        eval_shingle_index,
+    )
+
+    docs = _docs(spark).select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("ts"),
+    )
+    # eval slice INCLUDING the poison rows (doc_id >= 100000)
+    eval_index = eval_shingle_index(
+        docs.filter("doc_id % 20 = 0 OR doc_id >= 100000")
+    ).cache()
+    assert eval_index.filter(F.col("shingle").isNull()).count() == 0
+
+    feed = tmp_path / "feed"
+    docs.coalesce(1).write.parquet(str(feed / "b1"))
+    # watermark-flush batch: append mode only emits a window once the
+    # watermark passes its end, and the poison batch sits at one
+    # constant event time — a later NULL-text row (zero shingles, so
+    # it can't appear in the output) advances the clock past the
+    # 1-day window
+    flush = spark.createDataFrame(
+        [(-1, None, "2024-04-01 00:00:00")],
+        "doc_id bigint, text string, ts_s string",
+    ).select("doc_id", "text", F.to_timestamp("ts_s").alias("ts"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "99")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    q = (
+        decontam_stream(stream, eval_index)
+        .writeStream.format("memory")
+        .queryName("t_decontam_poison")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        flush.coalesce(1).write.parquet(str(feed / "b2"))
+        q.processAllAvailable()
+        assert q.exception() is None
+        got = {
+            (r.doc_id): r.n_overlapping_shingles
+            for r in spark.sql("SELECT * FROM t_decontam_poison").collect()
+        }
+        want = {
+            r.doc_id: r.n_overlapping_shingles
+            for r in decontam_stream(docs, eval_index).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        q.stop()
+        eval_index.unpersist()
+
+
+@pytest.mark.timeout(240)
+def test_scd2_stream_poison_invariant(spark, tmp_path):
+    """closed ∪ current == scd2_build(all poison events) after ordered
+    waves — the merge invariant on hostile bytes: 50-event same-ts
+    burst (event_id tiebreak), NULL/empty event types, 1970/2100
+    timestamps."""
+    from sec_edgar_spark.operators.scd import scd2_build
+    from sec_edgar_spark.streaming.scd_stream import (
+        read_dim,
+        scd2_upsert_batch,
+    )
+
+    ev = _events(spark).select("user_id", "event_type", "ts", "event_id")
+    root = str(tmp_path / "scd_store")
+    cuts = ["2024-01-10", "2024-01-16 00:00:02", "2090-01-01"]
+    lo = None
+    batches = []
+    for c in cuts + [None]:
+        b = ev
+        if lo is not None:
+            b = b.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if c is not None:
+            b = b.filter(F.col("ts") < F.lit(c).cast("timestamp"))
+        batches.append(b)
+        lo = c
+    for i, b in enumerate(batches):
+        scd2_upsert_batch(spark, root, b, batch_id=i)
+
+    got = read_dim(spark, root)
+    want = scd2_build(ev)
+    key = ["user_id", "status", "valid_from", "valid_to", "is_current"]
+
+    def canon(df):
+        return {
+            tuple(str(getattr(r, k)) for k in key) for r in df.collect()
+        }
+
+    assert canon(got) == canon(want)
+    # multiplicity parity holds up to BIT-IDENTICAL degenerate rows
+    # (the 50-event same-ts burst yields N-1 identical zero-length
+    # intervals that the store's whole-row exactly-once dedup
+    # collapses — read_dim's documented contract)
+    assert got.count() == want.dropDuplicates().count()
+    # the burst user's distinct-status rows all survive
+    burst = got.filter(F.col("user_id") == 900002)
+    assert burst.filter(~F.col("is_current")).count() >= 1
+    assert burst.filter(F.col("is_current")).count() == 1
+
+
+@pytest.mark.timeout(240)
+def test_url_intake_poison(spark, tmp_path):
+    """Hostile URLs through the canonicalization gate: NULL, empty,
+    scheme-less, tracking-only query, unicode, 2k-char path — the
+    stream keeps exactly one row per canonical form and the canonical
+    key set equals the batch expression's."""
+    from sec_edgar_spark.functions.text import canonicalize_url
+    from sec_edgar_spark.streaming.url_intake import url_intake_stream
+
+    hostile = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "no-scheme/path?utm_source=x&keep=1"),
+        (5, "https://EXAMPLE.com/a?utm_campaign=x&z=1#frag"),
+        (6, "https://example.com/a?z=1"),  # same canonical as 5?
+        (7, "https://example.com/ünïcode/路径?q=1"),
+        (8, "javascript:alert(1)"),
+        (9, "https://example.com/" + "x" * 2000),
+        (10, "https://example.com/" + "x" * 2000),  # dup of 9
+    ]
+    rows = [
+        (i, u, "2024-03-01 12:00:00") for i, u in hostile
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, url string, ts_s string"
+    ).select("doc_id", "url", F.to_timestamp("ts_s").alias("ts"))
+    feed = tmp_path / "feed"
+    df.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, url string, ts timestamp")
+        .option("maxFilesPerTrigger", "99")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    q = (
+        url_intake_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_url_poison")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        out = spark.sql("SELECT * FROM t_url_poison").collect()
+        got_keys = sorted(
+            str(r.canonical_url) for r in out
+        )
+        want_keys = sorted(
+            str(r.c)
+            for r in df.select(canonicalize_url(F.col("url")).alias("c"))
+            .dropDuplicates(["c"])
+            .collect()
+        )
+        assert got_keys == want_keys
+        # exactly one survivor per canonical form
+        assert len(out) == len(set(got_keys))
+    finally:
+        q.stop()
+
+
+@pytest.mark.timeout(240)
+def test_lsh_upsert_poison(spark, tmp_path):
+    """Incremental LSH over hostile docs: NULL-text rows index as
+    zero-shingle docs (no band rows, no crash); the store stays
+    readable across batches."""
+    from sec_edgar_spark.streaming.incremental_lsh import lsh_upsert_batch
+
+    docs = _docs(spark).select("doc_id", "text")
+    root = str(tmp_path / "lsh_store")
+    benign = docs.filter("doc_id < 100000")
+    poison = docs.filter("doc_id >= 100000")
+    lsh_upsert_batch(spark, root, benign, batch_id=0)
+    lsh_upsert_batch(spark, root, poison, batch_id=1)
+
+    bands = spark.read.parquet(f"{root}/bands")
+    assert bands.count() > 0
+    null_ids = {r.doc_id for r in docs.filter("text IS NULL").collect()}
+    assert null_ids
+    assert bands.filter(F.col("doc_id").isin(list(null_ids))).count() == 0

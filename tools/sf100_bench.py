@@ -1,0 +1,214 @@
+"""Third-decade evidence for the posting-cap family (VERDICT r11 #5).
+
+The heaviest operators in the repo are the capped candidate
+generators — ``dedup_prefix_filter_capped`` (40-50s at sf10),
+``dedup_containment_capped``, ``er_match_score_capped`` — and their
+"≤10×/decade" linearity claim stops at the second decade.  This tool
+builds an sf100-scale replica of exactly the tables those three read
+(documents via the token-suffixed 10× recipe over sf10, part via the
+key-offset recipe; nothing else — embeddings/events are not read by
+this family) and times sf10 → sf100.
+
+The replica recipe is the SAME per-decade construction sf1→sf10 used
+(tools/scale_probe.py): replica k's tokens get a ``_k`` suffix (so
+replicas are not trivial duplicates and posting lists grow with real
+vocabulary), relational keys get disjoint offsets while the BLOCKING
+vocabulary (p_type, p_size, name tokens) stays fixed — per-decade
+posting/block heat grows adversarially, which is precisely what the
+caps exist to survive.
+
+Reading: wall(sf100)/wall(sf10) ≤ ~10 per query = the cap holds a
+decade of linearity; materially above needs a named cause.
+
+Usage: python tools/sf100_bench.py [--rebuild] [query ...]
+Writes BENCH_SF100.md + BENCH_SF100.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF10 = os.path.join(REPO, "testdata_sf10")
+SF100 = os.path.join(REPO, "testdata_sf100")
+
+PROBES = [
+    "dedup_prefix_filter_capped",
+    "dedup_containment_capped",
+    "er_match_score_capped",
+]
+
+ANNOTATIONS = {
+    "dedup_prefix_filter_capped": "PPJoin posting cap: candidate work "
+    "bounded per posting list; the heaviest query in the repo",
+    "dedup_containment_capped": "containment posting cap — same family",
+    "er_match_score_capped": "ER block cap: blocks above _BLOCK_CAP "
+    "dropped before the pair join (fixed blocking vocabulary → blocks "
+    "are 10× hotter per decade; the cap must bind harder, not slower)",
+}
+
+
+def build_sf100(spark) -> None:
+    from sec_edgar_spark import catalog
+    from tools.scale_probe import _KEY_OFFSETS
+
+    os.makedirs(SF100, exist_ok=True)
+    t0 = time.time()
+    print("building sf100 documents (10x of sf10, 100x strides)...",
+          flush=True)
+    doc = catalog.table(spark, SF10, "documents")
+    parts = []
+    for k in range(10):
+        suffixed = F.array_join(
+            F.transform(
+                F.filter(F.split("text", r"\s+"), lambda t: t != ""),
+                lambda t: F.concat(t, F.lit(f"_d{k}")),
+            ),
+            " ",
+        )
+        parts.append(
+            doc.select(
+                (F.col("doc_id") + k * 100 * 1_000_000).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+                *[
+                    c
+                    for c in doc.columns
+                    if c not in ("doc_id", "text", "lang", "source")
+                ],
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.coalesce(32).write.mode("overwrite").parquet(
+        f"{SF100}/documents.parquet"
+    )
+
+    print("building sf100 part (10x of sf10, 100x strides)...", flush=True)
+    pt = catalog.table(spark, SF10, "part")
+    parts = []
+    for k in range(10):
+        cols = [
+            (F.col(c) + k * 100 * _KEY_OFFSETS[c]).alias(c)
+            if c in _KEY_OFFSETS
+            else F.col(c)
+            for c in pt.columns
+        ]
+        parts.append(pt.select(*cols))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.coalesce(16).write.mode("overwrite").parquet(f"{SF100}/part.parquet")
+    print(f"built in {time.time() - t0:.0f}s -> {SF100}", flush=True)
+
+
+def main() -> int:
+    from sec_edgar_spark.session import get_spark
+    import sec_edgar_spark.queries as Q
+    import bench
+
+    probes = [a for a in sys.argv[1:] if not a.startswith("--")] or PROBES
+
+    spark = get_spark(app_name="sf100-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sec_edgar.longcents", "true")
+
+    if not os.path.exists(os.path.join(SF10, "documents.parquet")):
+        print("uniform sf10 missing — run tools/sf10_bench.py first")
+        return 1
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(SF100, "documents.parquet")
+    ):
+        build_sf100(spark)
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    noop(spark.range(10000).mapInPandas(lambda it: it, "id long"))
+    for d in (SF10, SF100):
+        from sec_edgar_spark import catalog
+
+        catalog.table(spark, d, "documents").count()
+        catalog.table(spark, d, "part").count()
+
+    qs = Q.queries()
+    rows = []
+    for name in probes:
+        fn = qs[name]
+        spark.conf.set(
+            "spark.sec_edgar.scan_parallelize",
+            "documents,embeddings" if name in bench.SCAN_PARALLELIZE else "",
+        )
+        walls = {}
+        for label, d in (("sf10", SF10), ("sf100", SF100)):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            noop(fn(spark, d))
+            walls[label] = time.time() - t0
+            print(f"  {name} @ {label}: {walls[label]:.1f}s", flush=True)
+        factor = walls["sf100"] / max(walls["sf10"], 1e-9)
+        rows.append((name, walls["sf10"], walls["sf100"], factor))
+
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip()
+    lines = [
+        "# BENCH_SF100 — the posting-cap family at the third decade",
+        "",
+        f"sf100 = 10× of the uniform sf10 replica (token-suffixed docs, "
+        f"key-offset part; SAME per-decade recipe as sf1→sf10), tables "
+        f"limited to what this family reads.  Fixed blocking/posting "
+        f"vocabulary means per-key heat grows with the decade — the "
+        f"adversarial direction for the caps.  "
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], single "
+        f"timed run per (query, dir) after warmup, noop sink.  git "
+        f"{sha}, loadavg {os.getloadavg()[0]:.1f}.",
+        "",
+        "| query | sf10 | sf100 | ×/decade | note |",
+        "|---|---|---|---|---|",
+    ]
+    for name, w10, w100, f_ in sorted(rows, key=lambda r: -r[3]):
+        lines.append(
+            f"| {name} | {w10:.1f}s | {w100:.1f}s | {f_:.1f}x | "
+            f"{ANNOTATIONS.get(name, '')} |"
+        )
+    worst = max((r[3] for r in rows), default=0)
+    lines += [
+        "",
+        f"**Worst decade factor: {worst:.1f}× (bar: ≤ ~10×/decade "
+        f"linearity; materially above needs a named cause).**",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH_SF100.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(REPO, "BENCH_SF100.json"), "w") as fh:
+        json.dump(
+            {
+                "git_sha": sha,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+                "rows": [
+                    {"query": n, "sf10_s": round(a, 1),
+                     "sf100_s": round(b, 1), "factor": round(f_, 2)}
+                    for n, a, b, f_ in rows
+                ],
+            },
+            fh, indent=1,
+        )
+        fh.write("\n")
+    print("-> BENCH_SF100.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
