@@ -119,7 +119,16 @@ def main() -> int:
 
     probes = [a for a in sys.argv[1:] if not a.startswith("--")] or PROBES
 
-    spark = get_spark(app_name="sf100-bench")
+    # Shuffle partitions scale with DATA, not with the harness default:
+    # the first sf100 run at the gate-scale default (32) measured
+    # containment at 14.4x/decade — per-task shuffle input grows 10x at
+    # a fixed partition count, crossing the in-memory-sort threshold
+    # into spill superlinearity.  128 initial partitions (AQE still
+    # coalesces the small stages) restored 7.1x/decade; at 100 TB this
+    # is the standard size-partitions-to-executor-memory config knob,
+    # not a code property.  Overridable via SPARK_GRAFT_SHUFFLE.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "128"))
+    spark = get_spark(app_name="sf100-bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sec_edgar.longcents", "true")
 
@@ -142,6 +151,16 @@ def main() -> int:
         catalog.table(spark, d, "part").count()
 
     qs = Q.queries()
+    # Untimed warmup execution of the first probe at sf10: the first
+    # heavy query in a fresh JVM pays codegen/JIT/page-cache costs that
+    # inflate its sf10 leg and FLATTER its decade ratio (first run
+    # measured prefix@sf10 at 157s cold vs ~50s warm).
+    spark.conf.set(
+        "spark.sec_edgar.scan_parallelize",
+        "documents,embeddings" if probes[0] in bench.SCAN_PARALLELIZE else "",
+    )
+    print(f"  warmup (untimed): {probes[0]} @ sf10", flush=True)
+    noop(qs[probes[0]](spark, SF10))
     rows = []
     for name in probes:
         fn = qs[name]
@@ -171,9 +190,28 @@ def main() -> int:
         f"limited to what this family reads.  Fixed blocking/posting "
         f"vocabulary means per-key heat grows with the decade — the "
         f"adversarial direction for the caps.  "
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], single "
-        f"timed run per (query, dir) after warmup, noop sink.  git "
-        f"{sha}, loadavg {os.getloadavg()[0]:.1f}.",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], "
+        f"shuffle partitions {shuffle}, single timed run per "
+        f"(query, dir) after an untimed first-probe warmup, noop "
+        f"sink.  git {sha}, loadavg {os.getloadavg()[0]:.1f}.",
+        "",
+        "THE WALL THE THIRD DECADE FOUND (and its name): at the "
+        "gate-scale default of 32 shuffle partitions, "
+        "dedup_containment_capped measured 14.4×/decade (40.8s → "
+        "588.4s) — per-task shuffle input grows 10× at a fixed "
+        "partition count and crosses from in-memory sort into "
+        "spill-merge superlinearity.  With partitions scaled to the "
+        "data (128 initial; AQE still coalesces small stages) the "
+        "same query measures ~7×/decade.  The cap's CANDIDATE volume "
+        "is linear by construction (≤ LEN_CAP postings per token per "
+        "side, vocabulary grows with the corpus); the superlinear "
+        "term was purely physical partition sizing — at 100 TB this "
+        "is the size-partitions-to-executor-memory config every "
+        "deployment sets, which is why this artifact pins the "
+        "data-scaled setting rather than changing the engine-wide "
+        "default (a 128-partition default costs the many-small-query "
+        "gate scale real scheduling overhead: measured, bench.py at "
+        "sf0.1 slowed past its timeout).",
         "",
         "| query | sf10 | sf100 | ×/decade | note |",
         "|---|---|---|---|---|",
