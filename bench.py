@@ -187,6 +187,13 @@ HEADLINE = [
     # dedup_semantic) and its forfeit ledger
     "dedup_semantic_capped",
     "dedup_semantic_cap_audit",
+    # round 12: the remaining heat-dispatched event queries, so the
+    # salt-dispatch economics (HEAT.md) stay visible round-over-round
+    "events_funnel_conversion",
+    "events_scd2_build",
+    "events_scd2_pit_enrich",
+    "events_attribution_last_touch",
+    "events_time_to_convert",
 ]
 
 # Queries whose documents/embeddings scan feeds a per-row CPU-heavy map
