@@ -276,17 +276,28 @@ def salted_rank(
     woff = Window.partitionBy(*key_cols).orderBy("_srk_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # NULL-SAFE join back onto the stream (r12): the window/groupBy
+    # machinery above groups a NULL key like any value (matching the
+    # plain single-window partitionBy semantics), but a plain equi-join
+    # here silently DROPPED every NULL-key row — the one place in the
+    # salted family where NULL keys took a different path than the
+    # plain twin (tests/test_salted_null_keys.py pins parity).
+    # EqualNullSafe is a hash-joinable equi-predicate, so the plan
+    # shape is unchanged.
     offsets = counts.select(
-        *key_cols,
-        "_srk_bkt",
+        *[F.col(c).alias(f"_srk_k{i}") for i, c in enumerate(key_cols)],
+        F.col("_srk_bkt").alias("_srk_bkt2"),
         F.coalesce(F.sum("_srk_n").over(woff), F.lit(0)).alias("_srk_off"),
     )
+    cond = F.col("_srk_bkt") == F.col("_srk_bkt2")
+    for i, c in enumerate(key_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_srk_k{i}"))
     return (
-        local.join(offsets, [*key_cols, "_srk_bkt"])
+        local.join(offsets, cond)
         # int like row_number(): schema-identical to the single-window
         # form (oracle schema checks compare dtypes)
         .withColumn(out_col, (F.col("_srk_lrk") + F.col("_srk_off")).cast("int"))
-        .select(*df.columns, out_col)
+        .select(*[local[c] for c in df.columns], out_col)
     )
 
 
