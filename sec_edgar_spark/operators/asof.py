@@ -80,6 +80,14 @@ def asof_join(
     docstring) — identical output, hot-key-safe; ``None`` keeps the
     classic single window.  Timestamps must be non-null on both sides
     (both forms; a null ts has no place on the time axis).
+
+    NULL equi-keys follow WINDOW semantics — NULL groups like a
+    regular key, so a NULL-key left row matches the latest NULL-key
+    right row (both forms identical; tests/test_salted_null_keys.py).
+    That deliberately DIVERGES from join-based as-of implementations
+    (a SQL ASOF JOIN treats NULL as no-match), which is why the
+    oracle-gated corpora keep join keys non-null; callers wanting
+    join semantics filter NULL keys upstream.
     """
     if isinstance(on, str):
         on = [on]

@@ -126,6 +126,54 @@ def test_moving_agg_null_keys(nulled):
     )
 
 
+def test_asof_null_keys(nulled):
+    """As-of: NULL keys take WINDOW semantics (group like a key) in
+    BOTH forms — documented divergence from join-based ASOF, pinned."""
+    from sec_edgar_spark.operators.asof import asof_join
+
+    L = nulled.filter("event_type = 'a'").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    R = nulled.filter("event_type = 'b'").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    kw = dict(on="user_id", left_ts="ts", right_ts="ts",
+              right_cols=["event_id", "value", "ts"], suffix="_e")
+    got = asof_join(L, R, bucket_s=3600, **kw)
+    want = asof_join(L, R, bucket_s=None, **kw)
+    assert _pdf(got).equals(_pdf(want))
+    assert got.count() == L.count()  # left-outer: nothing dropped
+    # NULL-key lefts DO match NULL-key rights (window semantics)
+    assert (
+        got.filter(F.col("user_id").isNull())
+        .filter(F.col("event_id_e").isNotNull())
+        .count()
+        > 0
+    )
+
+
+def test_capped_recent_join_null_keys(nulled):
+    """The interval family keeps JOIN semantics for NULL keys (no
+    pairs) — consistent with its uncapped range-join twin and the SQL
+    oracles; pinned so the two families' contracts stay explicit."""
+    from sec_edgar_spark.operators.interval import capped_recent_join
+
+    L = nulled.filter("event_type = 'a'").select(
+        "event_id", "user_id", "ts"
+    )
+    R = nulled.filter("event_type = 'b'").select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("t_eid"),
+    )
+    out = capped_recent_join(
+        L, R, on="user_id", left_ts="ts", right_ts="touch_ts",
+        right_id="t_eid", k=5, tolerance="7 DAYS", bucket_s=3600,
+    )
+    assert out.filter(F.col("user_id").isNull()).count() == 0
+    assert out.count() > 0
+
+
 def test_sessionize_null_keys(nulled):
     got = salted_sessionize(nulled, gap_s=1800, bucket_s=6 * 3600)
     want = salted_sessionize(nulled, gap_s=1800, bucket_s=None)
