@@ -7,6 +7,15 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed to full materialization via the noop sink (no
 driver-side collect, no pandas conversion — measures the Spark plan).
+
+Measurement note (r12): per-query executor task-time capture needs
+spark.ui.enabled=true, whose listener/REST machinery costs a measured
+~6% of headline wall on this box (147 queries: 154.5s UI-off vs
+164.6s UI-on, both quiet starts).  The capture stays ON by default —
+task_time is what makes pin-unchanged wall swings attributable, worth
+more than the constant — so r12+ wall totals carry that one-time step
+vs r11-and-earlier stamps (which ran UI-off); SPARK_GRAFT_BENCH_UI=0
+reproduces the old measurement basis.
 """
 
 from __future__ import annotations
