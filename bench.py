@@ -389,16 +389,25 @@ def main() -> int:
     # OF TASK DURATIONS is load-shift-resistant (a contending process
     # delays tasks' scheduling, not their measured run time), so a
     # wall swing with a flat task_time is attributable to noise from
-    # the artifact alone.  Stages are matched to the sample by
-    # submissionTime >= sample start — never by delta-of-total, which
-    # breaks when the UI evicts old stages (spark.ui.retainedStages).
-    import datetime as _dt
+    # the artifact alone.  Attribution is by JOB GROUP (ADVICE r12):
+    # each sample runs under sc.setJobGroup(unique id), and task time
+    # sums executorRunTime of exactly the stages belonging to that
+    # group's jobs — a submissionTime window wrongly swept in
+    # concurrent jobs in the same app (e.g. the memoized heat probe's
+    # first fire landed on whatever query triggered it PLUS the window
+    # start).  With job groups the probe's cost is attributed to the
+    # sample that actually ran it, once, which is the honest shape.
+    # Caveat (recorded in the artifact as task_time_note): the UI
+    # retains spark.ui.{retainedJobs,retainedStages} (default 1000)
+    # entries; we query immediately after each sample so eviction
+    # would only undercount a single sample exceeding ~1000 stages,
+    # which none of the battery does.
     import urllib.request
 
     _ui = spark.sparkContext.uiWebUrl
     _app_id = None
 
-    def _stage_task_time_s(since_epoch: float) -> float | None:
+    def _group_task_time_s(group_id: str) -> float | None:
         nonlocal _app_id
         try:
             if _app_id is None:
@@ -408,6 +417,17 @@ def main() -> int:
                     )
                 )
                 _app_id = apps[0]["id"]
+            jobs = json.load(
+                urllib.request.urlopen(
+                    f"{_ui}/api/v1/applications/{_app_id}/jobs", timeout=10
+                )
+            )
+            stage_ids = set()
+            for j in jobs:
+                if j.get("jobGroup") == group_id:
+                    stage_ids.update(j.get("stageIds", []))
+            if not stage_ids:
+                return 0.0
             stages = json.load(
                 urllib.request.urlopen(
                     f"{_ui}/api/v1/applications/{_app_id}/stages"
@@ -415,17 +435,11 @@ def main() -> int:
                     timeout=10,
                 )
             )
-            total_ms = 0
-            for s in stages:
-                sub = s.get("submissionTime")
-                if not sub:
-                    continue
-                # "2026-08-16T09:21:20.123GMT"
-                ep = _dt.datetime.strptime(
-                    sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
-                ).timestamp()
-                if ep >= since_epoch - 0.5:
-                    total_ms += s.get("executorRunTime", 0)
+            total_ms = sum(
+                s.get("executorRunTime", 0)
+                for s in stages
+                if s.get("stageId") in stage_ids
+            )
             return round(total_ms / 1000.0, 3)
         except Exception:  # metrics are best-effort; the wall is not
             return None
@@ -467,6 +481,8 @@ def main() -> int:
             # the previous run left behind so timings don't depend on
             # HEADLINE ordering.
             spark.catalog.clearCache()
+            group_id = f"bench:{name}:{attempt}"
+            spark.sparkContext.setJobGroup(group_id, name)
             t0 = time.time()
             # One broken query must not zero the whole round's signal:
             # report it under "errors" and keep timing the rest.
@@ -475,8 +491,12 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 break
+            finally:
+                spark.sparkContext.setJobGroup("", "")
             wall = time.time() - t0
-            samples.append((wall, _stage_task_time_s(t0) if ui_on else None))
+            samples.append(
+                (wall, _group_task_time_s(group_id) if ui_on else None)
+            )
         if samples:
             best = min(samples, key=lambda s: s[0])
             timings[name] = round(best[0], 3)
@@ -493,6 +513,10 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
+    if only:
+        # debug-subset runs surface task_time inline (full runs keep
+        # the one-line stdout contract; task_time lives in BENCH_LOCAL)
+        out["task_time"] = task_times
     print(json.dumps(out))
     # Persist the full per-query record next to the repo (VERDICT r8
     # #2: the driver artifact truncates its tail to 2000 chars, so
@@ -515,9 +539,15 @@ def main() -> int:
     local["loadavg_1m"] = round(os.getloadavg()[0], 2)
     local["loadavg_1m_start"] = load_start
     # task_time: per-query executor task-duration sum of the min-wall
-    # sample (see _stage_task_time_s) — lets round-over-round analysis
+    # sample (see _group_task_time_s) — lets round-over-round analysis
     # split pin-changed plan deltas from pin-unchanged ambient noise.
     local["task_time"] = task_times
+    local["task_time_note"] = (
+        "job-group attributed (r13); sums executorRunTime of the "
+        "min-wall sample's own stages only; UI eviction "
+        "(retainedStages=1000) could undercount only a single sample "
+        "with >1000 stages, none exist in the battery"
+    )
     if not only:
         with open(
             os.path.join(

@@ -70,8 +70,13 @@ def _valid_one(s) -> bool:
 @pandas_udf(BooleanType())
 def json_strict_valid(props: pd.Series) -> pd.Series:
     """True iff the string is ONE complete RFC-8259 JSON value
-    (DuckDB ``json_valid`` parity).  Arrow scalar UDF: one C-loop map
-    per batch; never a row-at-a-time Python UDF plan."""
+    (DuckDB ``json_valid`` parity).  Arrow scalar UDF: the batch
+    transfer is Arrow-amortized, but ``Series.map`` over a Python
+    callable is still a per-element CPython call — ``json.loads`` has
+    no vectorized form, so the per-row parse cost is inherent to the
+    contract, not hidden by batching (ADVICE r12).  The 100 TB shape
+    stays the documented bronze→silver intake gate: pay this parse
+    once at ingest, persist a validity bit, keep analytics JVM-only."""
     return props.map(_valid_one).astype("boolean")
 
 

@@ -112,3 +112,31 @@ def pick_bucket(
 def clear_cache() -> None:
     """Drop memoized estimates (tests; or after rewriting a dataset)."""
     _EST_CACHE.clear()
+
+
+def dataset_fingerprint(path: str) -> tuple | None:
+    """Cheap identity of a parquet dataset directory for cache keying
+    (ADVICE r12: a process that rewrites a dataset in place — fixture
+    rebuilds, compaction, SCD2 maintenance — must not reuse a stale
+    heat decision).  One os.scandir: (file count, max mtime_ns, total
+    bytes) changes on any overwrite/append; single-file datasets stat
+    the file directly; None when the path isn't local (remote stores
+    fall back to caller-managed clear_cache()).  Fold the result into
+    ``cache_key`` so staleness is self-healing instead of a
+    discipline."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return (1, st.st_mtime_ns, st.st_size)
+        n, mx, total = 0, 0, 0
+        with os.scandir(path) as it:
+            for e in it:
+                st = e.stat()
+                n += 1
+                mx = max(mx, st.st_mtime_ns)
+                total += st.st_size
+        return (n, mx, total)
+    except OSError:
+        return None

@@ -19,18 +19,25 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+import os
+
 from ..catalog import table
-from ..operators.heat import pick_bucket
+from ..operators.heat import dataset_fingerprint, pick_bucket
 
 
 def events_user_bucket(
     spark: SparkSession, sf_dir: str, bucket_s: int = 6 * 3600
 ) -> int | None:
-    """Probe (memoized per sf_dir) → ``bucket_s`` if events.user_id
-    has a hot key, else ``None``."""
+    """Probe (memoized per dataset STATE, not just path) →
+    ``bucket_s`` if events.user_id has a hot key, else ``None``.
+
+    The cache key folds in a directory fingerprint (file count / max
+    mtime / bytes), so rewriting events.parquet in place re-probes
+    instead of serving a stale decision (ADVICE r12)."""
+    fp = dataset_fingerprint(os.path.join(sf_dir, "events.parquet"))
     return pick_bucket(
         table(spark, sf_dir, "events"),
         "user_id",
         bucket_s=bucket_s,
-        cache_key=(sf_dir, "events", "user_id"),
+        cache_key=(sf_dir, "events", "user_id", fp),
     )

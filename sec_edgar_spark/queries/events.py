@@ -221,8 +221,10 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.event_id, c.ts, c.user_id, c.value,
            e.event_id AS event_id_err, e.value AS value_err, e.ts AS ts_err
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL) c
+    ASOF LEFT JOIN (SELECT * FROM events
+          WHERE event_type = 'error' AND user_id IS NOT NULL) e
       ON c.user_id = e.user_id AND c.ts >= e.ts
     """,
 )
@@ -243,6 +245,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._heat import events_user_bucket
 
     e = table(spark, sf_dir, "events")
+    # NULL join keys dropped on BOTH sides, BOTH engines (ADVICE r12):
+    # asof_join's window semantics group NULL keys together while
+    # DuckDB's ASOF JOIN never matches NULL = NULL, so the gate
+    # contract is self-enforcing only if neither engine ever sees a
+    # NULL user_id — a future NULL-user poison row now cannot split
+    # the engines on designed-but-divergent behavior.
+    e = e.filter(F.col("user_id").isNotNull())
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "ts", "user_id", "value"
     )

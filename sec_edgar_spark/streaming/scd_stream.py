@@ -41,6 +41,10 @@ _EMPTY_SCHEMA = (
     "user_id long, status string, valid_from timestamp, "
     "valid_to timestamp, is_current boolean"
 )
+# closed/ additionally carries an emit ordinal so crash-replay
+# duplicates (same ordinal) are distinguishable from legitimately
+# repeated bit-identical rows (distinct ordinals) — see read_dim
+_CLOSED_SCHEMA = _EMPTY_SCHEMA + ", _emit_ord int"
 
 
 def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
@@ -50,22 +54,34 @@ def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
 def read_dim(spark: SparkSession, root: str) -> DataFrame:
     """The full dimension: immutable history ∪ current snapshot.
 
-    Closed rows are deduped on the FULL row (all of COLS): a crash
-    between the closed append and the current overwrite leaves one
-    batch's closed rows appended twice (the replayed merge re-emits
-    them bit-identically), so whole-row first-wins dedup restores
-    exactly-once semantics on read.  The key is deliberately NOT
-    (user_id, valid_from): two change events with the SAME timestamp
-    for one key (the poison corpus's 50-event burst) legitimately
-    produce multiple closed rows sharing valid_from — a natural-key
-    dedup silently dropped the distinct-status ones.  The one
-    remaining collapse is bit-identical degenerate rows (N same-type
-    events at one timestamp → N-1 identical zero-length intervals);
-    they carry no distinguishing information, and the parity contract
-    is read_dim == scd2_build up to that multiplicity
-    (tests/test_streaming_poison.py pins it on the burst).
+    Closed rows are deduped on the FULL row (COLS + ``_emit_ord``): a
+    crash between the closed append and the current overwrite leaves
+    one batch's closed rows appended twice (the replayed merge
+    re-emits them bit-identically, ordinals included — ordinals are a
+    deterministic multiset over bit-identical rows), so whole-row
+    first-wins dedup restores exactly-once semantics on read.  The key
+    is deliberately NOT (user_id, valid_from): two change events with
+    the SAME timestamp for one key (the poison corpus's 50-event
+    burst) legitimately produce multiple closed rows sharing
+    valid_from — a natural-key dedup silently dropped the
+    distinct-status ones.  The ``_emit_ord`` column (ADVICE r12)
+    additionally preserves EXACT multiplicity of bit-identical
+    degenerate rows (N same-type events at one timestamp → N-1
+    identical zero-length intervals, ordinals 1..N-1): without it,
+    dedup collapsed them to one and downstream COUNTs diverged from
+    the batch twin.  Parity contract: read_dim == scd2_build EXACTLY,
+    duplicates included (tests/test_streaming_poison.py pins it on
+    the burst).  Cross-batch bit-identical closed rows cannot occur —
+    the strictly-newer delta filter advances valid_from per key per
+    batch — so a per-batch per-row-value ordinal is a global key.
+    Stores written before the ordinal read it as NULL and keep the
+    old collapse-to-one behavior.
     """
-    closed = _read_or_empty(spark, f"{root}/closed").dropDuplicates()
+    closed = (
+        read_or_empty(spark, f"{root}/closed", _CLOSED_SCHEMA)
+        .dropDuplicates()
+        .drop("_emit_ord")
+    )
     return closed.unionByName(_read_or_empty(spark, f"{root}/current"))
 
 
@@ -135,9 +151,17 @@ def scd2_upsert_batch(
     # count grow with batch count (the incremental_lsh bench measured
     # the re-read creep that causes); current/ is a full overwrite and
     # key-bounded, so it keeps natural parallelism
-    merged.filter(~F.col("is_current")).coalesce(1).write.mode(
-        "append"
-    ).parquet(f"{root}/closed")
+    # _emit_ord: row_number over bit-identical rows — deterministic as
+    # a multiset across crash-replay (the re-merge re-emits the same
+    # rows, so {(row, 1..N)} reproduces exactly), while giving
+    # legitimately repeated degenerate rows distinct identities so
+    # read_dim's exactly-once dedup keeps their full multiplicity
+    from pyspark.sql.window import Window as _W
+
+    merged.filter(~F.col("is_current")).withColumn(
+        "_emit_ord",
+        F.row_number().over(_W.partitionBy(*COLS).orderBy(F.lit(1))),
+    ).coalesce(1).write.mode("append").parquet(f"{root}/closed")
     merged.filter(F.col("is_current")).write.mode("overwrite").parquet(
         f"{root}/current"
     )
@@ -145,8 +169,9 @@ def scd2_upsert_batch(
         # Marker lands last; every earlier crash point is covered:
         # before the closed append -> replay is a clean first apply;
         # between the writes -> replay re-merges against the OLD
-        # current (untouched) and re-appends identical closed rows,
-        # which read_dim's (user_id, valid_from) dedup absorbs; after
+        # current (untouched) and re-appends identical closed rows
+        # (ordinals included), which read_dim's whole-row dedup
+        # absorbs; after
         # both writes -> the strictly-newer filter above empties the
         # replayed delta and only the marker is (re)written.
         write_batch_marker(root, batch_id)

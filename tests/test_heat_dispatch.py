@@ -203,3 +203,29 @@ def test_probe_picks_plain_on_uniform_gate(spark):
     e = table(spark, sf, "events")
     assert heat.pick_bucket(e, "user_id") is None
     heat.clear_cache()
+
+
+def test_dataset_fingerprint_invalidates_on_rewrite(tmp_path):
+    """ADVICE r12: folding dataset_fingerprint into cache_key makes an
+    in-place rewrite re-probe instead of serving a stale estimate —
+    for both single-file and directory datasets."""
+    import time
+
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"x" * 10)
+    fp1 = heat.dataset_fingerprint(str(f))
+    assert fp1 == (1, f.stat().st_mtime_ns, 10)
+    time.sleep(0.01)
+    f.write_bytes(b"y" * 20)  # overwrite: size and mtime change
+    fp2 = heat.dataset_fingerprint(str(f))
+    assert fp2 != fp1
+
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a" * 5)
+    fpd1 = heat.dataset_fingerprint(str(d))
+    (d / "part-1.parquet").write_bytes(b"b" * 5)  # append: file count
+    fpd2 = heat.dataset_fingerprint(str(d))
+    assert fpd1 != fpd2 and fpd2[0] == 2
+
+    assert heat.dataset_fingerprint(str(tmp_path / "missing")) is None

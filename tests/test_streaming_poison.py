@@ -289,11 +289,12 @@ def test_scd2_stream_poison_invariant(spark, tmp_path):
         }
 
     assert canon(got) == canon(want)
-    # multiplicity parity holds up to BIT-IDENTICAL degenerate rows
-    # (the 50-event same-ts burst yields N-1 identical zero-length
-    # intervals that the store's whole-row exactly-once dedup
-    # collapses — read_dim's documented contract)
-    assert got.count() == want.dropDuplicates().count()
+    # EXACT multiplicity parity (r13, via the closed-store emit
+    # ordinal): the 50-event same-ts burst's N-1 bit-identical
+    # zero-length intervals all survive the exactly-once dedup, so
+    # downstream COUNTs match the batch twin exactly
+    assert got.count() == want.count()
+    assert want.count() > want.dropDuplicates().count()  # burst is real
     # the burst user's distinct-status rows all survive
     burst = got.filter(F.col("user_id") == 900002)
     assert burst.filter(~F.col("is_current")).count() >= 1

@@ -170,7 +170,7 @@ def test_replay_after_writes_but_before_marker_is_noop(spark, tmp_path):
 def test_read_dim_dedups_torn_closed_append(spark, tmp_path):
     """Crash between the closed append and the current overwrite leaves
     one batch's closed rows appended twice; read_dim must first-wins
-    dedup them on (user_id, valid_from)."""
+    dedup them on the full row (COLS + _emit_ord)."""
     import datetime as dt
 
     from sec_edgar_spark.streaming.scd_stream import (

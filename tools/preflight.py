@@ -15,7 +15,16 @@ caught it, so the failure mode costs seconds instead of a round:
    must cover exactly bench.HEADLINE (the driver artifact truncates;
    this file is the round-over-round comparison source of truth).
 
+4. (--stamp-check) SUITE-STAMP + SWEEP-STAMP SHA == HEAD — VERDICT r12
+   #7: r12 ended with the suite stamp six commits behind HEAD, leaving
+   the NULL-key fixes formally unverified by the whole suite.  The
+   round-end discipline is now executable: run
+   `python tools/preflight.py --stamp-check` as the LAST gate; it
+   fails if either COVERAGE.md stamp names a SHA other than HEAD.
+
 Usage: python tools/preflight.py            (exit 0 = green, <5s)
+       python tools/preflight.py --stamp-check  (round-end: both
+           COVERAGE.md stamps must be at HEAD)
        python tools/preflight.py --full     (also runs the whole pytest
            suite and stamps result + SHA into COVERAGE.md — MANDATORY
            for the round's final registry-touching commit; r7 and
@@ -116,6 +125,37 @@ def sweep_stamp(sf_dir: str) -> int:
     return proc.returncode
 
 
+def stamp_head_check() -> int:
+    """Fail unless BOTH COVERAGE.md stamps (SUITE-STAMP, SWEEP-STAMP)
+    name the current HEAD short SHA — the round-end staleness gate
+    (VERDICT r12 #7).  Run AFTER --full and --sweep, as the final
+    check before the round's last commit; note the stamps themselves
+    modify COVERAGE.md, so the closing commit contains exactly the
+    stamp refresh and nothing code-bearing."""
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    with open("COVERAGE.md") as fh:
+        cov = fh.read()
+    bad = []
+    for marker in ("SUITE-STAMP", "SWEEP-STAMP"):
+        m = re.search(
+            rf"<!-- {marker} -->.*?at\s+`([0-9a-f]+)`.*?<!-- /{marker} -->",
+            cov,
+            flags=re.S,
+        )
+        if not m:
+            bad.append(f"{marker}: missing from COVERAGE.md")
+        elif m.group(1) != head:
+            bad.append(f"{marker}: stamped at {m.group(1)}, HEAD is {head}")
+    if bad:
+        for b in bad:
+            print(f"PREFLIGHT FAIL (stamp-check): {b}")
+        return 1
+    print(f"stamp-check green: both stamps at HEAD {head}")
+    return 0
+
+
 def main() -> int:
     import bench
     import sec_edgar_spark.queries as Q
@@ -161,6 +201,8 @@ def main() -> int:
             print(f"PREFLIGHT FAIL: {f}")
         return 1
     print(f"preflight green: {len(qnames)} queries, report current")
+    if "--stamp-check" in sys.argv:
+        return stamp_head_check()
     rc = 0
     if "--full" in sys.argv:
         rc = full_suite_stamp()
