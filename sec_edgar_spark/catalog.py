@@ -36,6 +36,15 @@ _MEMO_ATTR = "_sec_edgar_spark_catalog_memo"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Data-scaled shuffle sizing (operators/partitions.py): every scan
+    # feeds the dataset's input-bytes statistics into
+    # spark.sql.shuffle.partitions so per-task shuffle input stays
+    # bounded as data grows — the engine-behavior fix for the
+    # BENCH_SF100 spill wall.  Runs on every call (memo hits included):
+    # the conf must follow the dataset currently being queried.
+    from .operators.partitions import autosize_shuffle
+
+    autosize_shuffle(spark, sf_dir, table_path=f"{sf_dir}/{name}.parquet")
     memo = getattr(spark, _MEMO_ATTR, None)
     if memo is None:
         memo = {}

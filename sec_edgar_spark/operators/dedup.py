@@ -445,6 +445,43 @@ def blocked_tokens(
     )
 
 
+def token_df_stats(
+    docs: DataFrame, df_cap_pct: int | None, cache_key: tuple | None
+) -> tuple[int, int, int]:
+    """Exact ``(ndocs, max_df, max_unblocked_df)`` over a cached
+    per-doc distinct-token frame (column ``toks_ord``) — the dataset
+    statistic the posting-cap dispatch branches on (r13).
+
+    ``max_unblocked_df`` is the max df among tokens the df-cap would
+    KEEP (df <= pct%·ndocs); with no df-cap it equals ``max_df``.  Two
+    tiny actions over the already-cached docs frame (the probe
+    doubles as the cache materializer the main plan needs anyway);
+    memoized per ``cache_key + (df_cap_pct,)`` in the heat statistics
+    cache, so the prefix-filter and containment queries — which
+    tokenize identically — share ONE probe per dataset."""
+    from .heat import memo_stat
+
+    def compute():
+        ndocs = docs.count()
+        dfreq = (
+            docs.select(F.explode("toks_ord").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+        )
+        keep = F.lit(100) * F.col("df") <= F.lit(df_cap_pct or 100) * F.lit(
+            ndocs
+        )
+        row = dfreq.agg(
+            F.max("df").alias("mx"),
+            F.max(F.when(keep, F.col("df"))).alias("mxu"),
+        ).first()
+        return (ndocs, int(row["mx"] or 0), int(row["mxu"] or 0))
+
+    if cache_key is None:
+        return compute()
+    return memo_stat(cache_key + ("token_df", df_cap_pct), compute)
+
+
 def prefix_filter_join(
     df: DataFrame,
     id_col: str,
@@ -452,6 +489,7 @@ def prefix_filter_join(
     threshold: float = 0.5,
     posting_df_cap_pct: int | None = None,
     posting_len_cap: int | None = None,
+    cap_stats_key: tuple | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join (Jaccard >= ``threshold``) via
     prefix filtering (Chaudhuri et al. ICDE'06 / PPJoin, Xiao et al.
@@ -497,6 +535,27 @@ def prefix_filter_join(
     going quadratic.  Not binding (== exact) while every posting list
     is shorter than L — the usual state on a Zipfian corpus where
     prefixes are rare tokens.  Both caps compose (df-cap first).
+
+    ``cap_stats_key``: dataset identity for memoizing the heat probe
+    (r13, VERDICT r12 #2) — when any cap is requested, an EXACT
+    token-df statistic (one aggregation over the already-cached docs
+    frame) decides per cap whether it can possibly bind:
+
+    - df-cap applied only when some token's df exceeds pct%·ndocs
+      (otherwise ``blocked_tokens`` is provably empty and the
+      anti-join is dead machinery);
+    - len-cap (the posting-sized ROW_NUMBER sort, the expensive one)
+      applied only when some NON-BLOCKED token's df exceeds the cap
+      (prefix posting length <= df, so max unblocked df <= L proves
+      the truncation keeps every row).
+
+    The probe must be exact, not sampled: unlike the salt dispatch
+    (bit-identical plans either way), a capped plan differs in ROWS
+    whenever a cap binds, so only "max <= cap" — a theorem — licenses
+    skipping it (operators/heat.exact_max_group_rows has the full
+    argument).  Skipping a provably-non-binding cap never changes
+    output; the capped oracle agrees because its QUALIFY/WHERE keep
+    every row in that case too.
     """
     toks = df.select(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
@@ -530,7 +589,19 @@ def prefix_filter_join(
     posting = docs.select(
         F.col(id_col), "n", F.explode("prefix").alias("tok")
     )
-    if posting_df_cap_pct is not None:
+    need_df_cap = posting_df_cap_pct is not None
+    need_len_cap = posting_len_cap is not None
+    if need_df_cap or need_len_cap:
+        # exact per-cap dispatch (see docstring): a provably
+        # non-binding cap is skipped, a possibly-binding one applied
+        ndocs, max_df, max_unblocked = token_df_stats(
+            docs, posting_df_cap_pct, cap_stats_key
+        )
+        if need_df_cap and 100 * max_df <= posting_df_cap_pct * ndocs:
+            need_df_cap = False
+        if need_len_cap and max_unblocked <= posting_len_cap:
+            need_len_cap = False
+    if need_df_cap:
         # df <= cap%  ==  NOT df > cap%: anti-join the tiny blocked
         # (stopword) set, broadcast — zero shuffle on the posting side
         # vs the posting-sized dfreq equi-join this replaced (see
@@ -548,7 +619,7 @@ def prefix_filter_join(
             "tok",
             "anti",
         )
-    if posting_len_cap is not None:
+    if need_len_cap:
         from pyspark.sql import Window
 
         posting = (

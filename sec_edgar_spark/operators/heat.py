@@ -109,6 +109,58 @@ def pick_bucket(
     return bucket_s if est >= hot_rows else None
 
 
+def exact_max_group_rows(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    cache_key: tuple | None = None,
+) -> int:
+    """EXACT row count of the hottest group (one map-side-combined
+    aggregation job; scalar result), memoized like the sampled probe.
+
+    Why exact, not sampled (r13, cap-family dispatch): the salted
+    window families could dispatch on a SAMPLED estimate because both
+    plans are bit-identical — estimator noise has zero correctness
+    exposure.  The CAP families (block caps, posting caps, sub-cell
+    caps) are different: capped and uncapped plans produce different
+    ROWS whenever a cap binds, so the only dispatch condition that is
+    safe against the static capped oracle is a THEOREM, not an
+    estimate — "exact max group size <= cap" proves the cap cannot
+    bind, hence capped == uncapped bit-for-bit and the cheaper
+    uncapped plan may be chosen.  A sampled probe at the threshold
+    could pick the uncapped plan while the cap binds, silently
+    changing results.  The exact probe costs one full-column
+    aggregation, amortized by the same per-dataset memoization as
+    table statistics.
+    """
+    if cache_key is not None:
+        key = ("exact_max_group",) + cache_key
+        if key in _EST_CACHE:
+            return int(_EST_CACHE[key])
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    mx = (
+        df.groupBy(*key_cols)
+        .count()
+        .agg(F.max("count").alias("_mx"))
+        .first()["_mx"]
+    )
+    mx = int(mx or 0)
+    if cache_key is not None:
+        _EST_CACHE[("exact_max_group",) + cache_key] = mx
+    return mx
+
+
+def memo_stat(cache_key: tuple, compute):
+    """Memoize an arbitrary dataset statistic in the same
+    process-lifetime statistics cache as the heat estimates (callers
+    fold a ``dataset_fingerprint`` into the key for self-healing
+    staleness, same contract as ``pick_bucket``)."""
+    key = ("stat",) + cache_key
+    if key not in _EST_CACHE:
+        _EST_CACHE[key] = compute()
+    return _EST_CACHE[key]
+
+
 def clear_cache() -> None:
     """Drop memoized estimates (tests; or after rewriting a dataset)."""
     _EST_CACHE.clear()

@@ -23,6 +23,20 @@ from ..catalog import table
 from ..functions import text as T
 from .registry import QUERIES, query
 
+
+def _doc_stats_key(sf_dir: str) -> tuple:
+    """Dataset identity for the posting-cap heat probe (r13): path +
+    directory fingerprint, so the memoized token-df statistic
+    self-heals on an in-place rewrite (same contract as the salt
+    dispatch, queries/_heat.py)."""
+    from ..operators.heat import dataset_fingerprint
+
+    return (
+        sf_dir,
+        "documents",
+        dataset_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
+
 NUM_MINHASHES = 12
 BANDS = 4  # 3 hashes per band
 ROWS_PER_BAND = NUM_MINHASHES // BANDS
@@ -1121,6 +1135,7 @@ def dedup_prefix_filter_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", threshold=_PF_T,
         posting_df_cap_pct=_DF_CAP_PCT,
         posting_len_cap=_LEN_CAP,
+        cap_stats_key=_doc_stats_key(sf_dir),
     )
 
 
@@ -1264,7 +1279,27 @@ def _containment_pairs(
     big = docs.select(
         F.col("doc_id"), "n", F.explode("toks_ord").alias("tok")
     )
+    # exact per-cap heat dispatch (r13, same contract as
+    # prefix_filter_join): the shared memoized token-df statistic —
+    # this tokenization is identical to the prefix-filter query's, so
+    # ONE probe per dataset serves both families — proves per cap
+    # whether it can bind; a provably-non-binding cap is skipped
+    # (blocked set empty / truncation keeps every posting), a
+    # possibly-binding one applied.  Output rows are unchanged either
+    # way; the capped oracle agrees because its WHERE/QUALIFY keep
+    # every row in the non-binding case too.
+    need_df_cap = need_len_cap = df_cap_pct is not None
     if df_cap_pct is not None:
+        from ..operators.dedup import token_df_stats
+
+        ndocs_st, max_df, max_unblocked = token_df_stats(
+            docs, df_cap_pct, _doc_stats_key(sf_dir)
+        )
+        if 100 * max_df <= df_cap_pct * ndocs_st:
+            need_df_cap = False
+        if max_unblocked <= _LEN_CAP:
+            need_len_cap = False
+    if need_df_cap or need_len_cap:
         # Same in-plan df cap as prefix_filter_join's
         # posting_df_cap_pct, inverted into its cheap form: "keep
         # tokens with df <= pct% of corpus" == "drop the BLOCKED
@@ -1285,24 +1320,30 @@ def _containment_pairs(
         # exactly dfreq) — the broadcast subtree reads the
         # InMemoryRelation instead of re-running the parquet-scan →
         # tokenize → distinct → groupBy chain.
-        dfreq_c = (
-            docs.select(F.explode("toks_ord").alias("tok"))
-            .groupBy("tok")
-            .agg(F.count("*").alias("df"))
-        )
-        blocked = F.broadcast(blocked_tokens(dfreq_c, docs, df_cap_pct))
+        if need_df_cap:
+            dfreq_c = (
+                docs.select(F.explode("toks_ord").alias("tok"))
+                .groupBy("tok")
+                .agg(F.count("*").alias("df"))
+            )
+            blocked = F.broadcast(
+                blocked_tokens(dfreq_c, docs, df_cap_pct)
+            )
 
         from pyspark.sql import Window
 
         _w = Window.partitionBy("tok").orderBy("n", "doc_id")
 
         def _cap(p: DataFrame) -> DataFrame:
-            return (
-                p.join(blocked, "tok", "anti")
-                .withColumn("rn", F.row_number().over(_w))
-                .filter(F.col("rn") <= _LEN_CAP)
-                .drop("rn")
-            )
+            if need_df_cap:
+                p = p.join(blocked, "tok", "anti")
+            if need_len_cap:
+                p = (
+                    p.withColumn("rn", F.row_number().over(_w))
+                    .filter(F.col("rn") <= _LEN_CAP)
+                    .drop("rn")
+                )
+            return p
 
         small, big = _cap(small), _cap(big)
     small = small.alias("a")

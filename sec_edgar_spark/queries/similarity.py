@@ -908,9 +908,35 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
     keyed = e.join(
         assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
-    ).select("vec_id", "embedding", "cell")
+    ).select("vec_id", "embedding", "cell").cache()
+    # ^ cached so the exact heat probe below doubles as the
+    # materializer for the scoring plan (kmeans training + assignment
+    # run once, not twice)
     cell_dt = dict(keyed.dtypes)["cell"]
-    subbed = _sem_subsplit(keyed, _SEM_CAP)
+    # exact heat dispatch (r13, VERDICT r12 #2): "largest cluster <=
+    # cap" proves n_sub = 1 for every cell, hence _sub == 0 for every
+    # row (the splitter's fixed-point hash times (n+cap-1) DIV cap = 1
+    # lands in [0,1)), so the sizes-join + hash machinery is dead and
+    # the uncapped plan emits the same rows the capped oracle computes.
+    # Must be exact, not sampled (operators/heat.exact_max_group_rows):
+    # a wrong not-hot call would change rows.  Memoized per dataset
+    # fingerprint — one probe serves every invocation in a process.
+    from ..operators.heat import dataset_fingerprint, exact_max_group_rows
+
+    hottest = exact_max_group_rows(
+        keyed,
+        "cell",
+        cache_key=(
+            sf_dir,
+            "embeddings",
+            "sem_cell",
+            dataset_fingerprint(f"{sf_dir}/embeddings.parquet"),
+        ),
+    )
+    if hottest <= _SEM_CAP:
+        subbed = keyed.withColumn("_sub", F.lit(0).cast("long"))
+    else:
+        subbed = _sem_subsplit(keyed, _SEM_CAP)
     # composite (cell, sub) group key for the cogrouped scorer; cell is
     # a small cluster index and sub < ceil(n/cap), both far below 2^32,
     # so the pack/unpack is exact long arithmetic
