@@ -2,9 +2,9 @@
 
 The transformWithState runtime speaks protobuf to its Python state
 server; this container ships no usable google.protobuf (re-verified
-round 7: ``import google`` -> ModuleNotFoundError — the package is
-absent entirely; earlier rounds had it present but missing the
-descriptor module), so the end-to-end test auto-skips where the
+rounds 7, 10, 11, 13: ``import google`` -> ModuleNotFoundError — the
+package is absent entirely; earlier rounds had it present but missing
+the descriptor module), so the end-to-end test auto-skips where the
 dependency is unusable and runs wherever protobuf is intact.
 applyInPandasWithState (streaming/stateful.py, ewma_stream.py) covers
 the same semantics on the non-protobuf path.
