@@ -72,6 +72,8 @@ def lsh_upsert_batch(
     rows_per_band: int = 3,
     threshold: float = 0.2,
     shingle_n: int = 3,
+    compact_every: int | None = 32,
+    tiny_batches: bool = True,
 ) -> None:
     """One ingest round: hash the batch, probe the index, verify, emit,
     grow the index.  Write order (matches → bands → sets → marker)
@@ -86,31 +88,120 @@ def lsh_upsert_batch(
     cannot collapse) and double-appending the bands.  Two guards close
     that: the corpus side is anti-joined against the batch's own doc
     ids before the probe (so intra pairs only ever come from the
-    symmetric id_a < id_b join), and the index reads dedup on their
-    natural keys so a double append never inflates candidate fan-out.
+    symmetric id_a < id_b join), and candidate/match dedup happens on
+    the SMALL frames (the pair ``distinct`` and a participant-only
+    set dedup), so a double append never changes results.
+
+    Per-batch cost contract (r13, VERDICT r12 #5 — the previous shape
+    measured ~200 docs/s because it broke this): the CORPUS-sized
+    stores are only ever SCANNED map-side, never shuffled —
+
+    - the band probe broadcasts the batch's bands (and the batch's
+      ids for the anti-join), so the index side is a pure scan;
+      the old corpus-wide ``dropDuplicates([doc_id, band])`` (a full
+      index shuffle per batch) is gone: duplicate index rows from a
+      torn replay only duplicate candidate rows, which the pair
+      ``distinct`` collapses;
+    - the shingle-set store is semi-joined down to the docs that
+      actually appear in candidate pairs (broadcast) BEFORE the
+      verify joins and its replay-dedup, so Jaccard verification
+      shuffles O(collisions) rows, not O(corpus);
+    - the store's file count is kept flat by a periodic crash-safe
+      compaction (``compact_every`` batches;
+      operators/maintenance.compact_parquet) — without it, one file
+      per batch makes every later probe pay listing + footer +
+      task-launch costs that grow with BATCH COUNT, the measured
+      2.2s → 6.3s creep at a constant ~30 MB store.
+
+    ``tiny_batches`` (default True): a micro-batch increment is a few
+    hundred rows, so every shuffle in this round is metadata-sized —
+    the r13 profile measured the steady-state batch wall DOMINATED by
+    per-stage scheduling, not data (2.36s/batch at the session's 32
+    partitions + AQE vs 1.25s at 4 partitions with AQE's per-stage
+    re-planning barriers off; the A/B is in STREAM_BENCH.md).  Under
+    the flag the round runs with 4 shuffle partitions and AQE off,
+    restoring the caller's conf afterwards (foreachBatch sinks run
+    serially, so the temporary session conf is race-free).  Pass
+    False for backfill-sized batches where AQE's runtime re-planning
+    is worth its barriers.
     """
     if already_processed(root, batch_id):
         return
+    # Truncate the increment's lineage ONCE, under the CALLER's conf,
+    # before anything else.  Two measured reasons (r13):
+    #
+    # 1. a foreachBatch batch_df re-executes its upstream lineage on
+    #    every action, and in a composed pipeline that lineage is
+    #    expensive (state-store reads, stream-static joins);
+    # 2. worse, .cache()/.persist() on frames DERIVED from a streaming
+    #    batch source register fine but MISS on lookup from larger
+    #    derived plans (the streaming source node does not
+    #    canonicalize equal across re-analysis), so a self-joining
+    #    candidate DAG recomputes its whole subtree per reference —
+    #    the composed bench measured the per-action cost DOUBLING
+    #    with plan depth (pairs 8s → sets 16s → verify 31s on a
+    #    500-row batch whose isolated twin runs in ~2s).
+    #
+    # lineage_cut(local_only) — localCheckpoint (eager) — cuts the
+    # plan at an RDD-backed relation: one upstream compute, and every
+    # downstream cache behaves exactly as in batch context.
+    # local_only is the right durability tier for a per-micro-batch
+    # cut (operators/_lineage.py has the full argument): an executor
+    # loss fails the batch and the stream retries it, which the
+    # exactly-once marker already makes idempotent.
+    from ..operators._lineage import lineage_cut
+
+    batch = lineage_cut(batch, local_only=True)
     if batch.isEmpty():
         if batch_id is not None:
             write_batch_marker(root, batch_id)
         return
+    saved: dict[str, str] = {}
+    if tiny_batches:
+        for k, v in (
+            ("spark.sql.shuffle.partitions", "4"),
+            ("spark.sql.adaptive.enabled", "false"),
+        ):
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+    try:
+        _upsert_inner(
+            spark, root, batch, batch_id, num_hashes, bands,
+            rows_per_band, threshold, shingle_n, compact_every,
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _upsert_inner(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    batch_id: int | None,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    shingle_n: int,
+    compact_every: int | None,
+) -> None:
     per_doc = _fused_doc_frame(batch, "doc_id", "text", num_hashes, shingle_n)
     new_bands = minhash_band_keys(per_doc, "doc_id", bands, rows_per_band)
     new_sets = per_doc.select("doc_id", "sh")
     batch_ids = batch.select("doc_id").distinct()
-    # natural-key dedup absorbs a torn replay's double append
-    corpus_bands = (
-        _read_or_empty(spark, f"{root}/bands", _BANDS_SCHEMA)
-        .dropDuplicates(["doc_id", "band"])
-        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
-    )
+    corpus_bands = _read_or_empty(
+        spark, f"{root}/bands", _BANDS_SCHEMA
+    ).join(F.broadcast(batch_ids), "doc_id", "left_anti")
     corpus_sets = _read_or_empty(spark, f"{root}/sets", _SETS_SCHEMA)
 
     # cross-generation candidates: new probes corpus (one direction;
     # the anti-join above removed any copy of this batch's own docs,
-    # so the probe can never self-match on a torn replay)
-    nb = new_bands.alias("n")
+    # so the probe can never self-match on a torn replay).  The batch
+    # side is broadcast: a micro-batch is small by definition, so the
+    # corpus index never shuffles — the probe is a map-side hash join
+    # over the index scan.
+    nb = F.broadcast(new_bands).alias("n")
     cb = corpus_bands.alias("c")
     cross = (
         nb.join(
@@ -126,8 +217,22 @@ def lsh_upsert_batch(
     )
     # intra-batch candidates: the plain symmetric bucket self-join
     intra = lsh_candidate_pairs(new_bands, "doc_id")
-    pairs = cross.unionByName(intra).distinct()
-    sets = new_sets.unionByName(corpus_sets).dropDuplicates(["doc_id"])
+    # cached: consumed by the participant filter below AND the verify
+    pairs = cross.unionByName(intra).distinct().cache()
+    participants = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # verify reads only the participating docs' sets: the semi-join is
+    # broadcast (collision-sized), so the corpus set store is scanned,
+    # filtered map-side, and only O(collisions) rows reach the
+    # replay-dedup + verify shuffles
+    sets = (
+        new_sets.unionByName(corpus_sets)
+        .join(F.broadcast(participants), "doc_id", "left_semi")
+        .dropDuplicates(["doc_id"])
+    )
     matches = (
         jaccard_verify(pairs, sets, "doc_id", threshold)
         .withColumnRenamed("id_a", "new_id")
@@ -146,7 +251,25 @@ def lsh_upsert_batch(
     new_sets.coalesce(1).write.mode("append").parquet(f"{root}/sets")
     if batch_id is not None:
         write_batch_marker(root, batch_id)
+    pairs.unpersist()
     per_doc.unpersist()
+    # Periodic layout maintenance AFTER the marker: compaction is pure
+    # file layout (crash-safe staging+swap inside compact_parquet), so
+    # exactly-once replay semantics are untouched — a crash mid-compact
+    # recovers on the next round's compaction, and a replayed batch is
+    # marker-skipped before ever seeing the store.
+    if (
+        compact_every
+        and batch_id is not None
+        and batch_id > 0
+        and batch_id % compact_every == 0
+    ):
+        from ..operators.maintenance import compact_parquet
+
+        for sub in ("bands", "sets", "matches"):
+            p = f"{root}/{sub}"
+            if os.path.isdir(p):
+                compact_parquet(spark, p)
 
 
 def run_incremental_dedup(

@@ -75,14 +75,17 @@ def _write_waves(df, key_col: str, out: str, n: int) -> int:
     return total
 
 
-def bench_lsh(spark, base: str, n_waves: int) -> dict:
+def bench_lsh(spark, base: str, n_waves: int, tag: str = "") -> dict:
     from sec_edgar_spark.catalog import table
     from sec_edgar_spark.streaming.incremental_lsh import lsh_upsert_batch
 
-    root = f"{WORK}/lsh_store"
-    feed = f"{WORK}/lsh_feed"
+    root = f"{WORK}/lsh_store{tag}"
+    feed = f"{WORK}/lsh_feed{tag}"
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(feed, ignore_errors=True)
+    # a stale file-source checkpoint would resume batch numbering and
+    # skip same-named wave files — every bench run starts fresh
+    shutil.rmtree(f"{WORK}/lsh_ckpt{tag}", ignore_errors=True)
 
     docs = table(spark, base, "documents").select("doc_id", "text")
     total_rows = _write_waves(docs, "doc_id", feed, n_waves)
@@ -117,7 +120,7 @@ def bench_lsh(spark, base: str, n_waves: int) -> dict:
     t0 = time.time()
     q = (
         stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", f"{WORK}/lsh_ckpt")
+        .option("checkpointLocation", f"{WORK}/lsh_ckpt{tag}")
         .queryName("bench_lsh")
         .start()
     )
@@ -139,7 +142,7 @@ def bench_lsh(spark, base: str, n_waves: int) -> dict:
     except Exception as e:  # noqa: BLE001 — absent column on uniform dirs
         hot["note"] = f"hot-source split unavailable: {str(e)[:60]}"
     return {
-        "stream": "incremental_lsh",
+        "stream": f"incremental_lsh{tag}",
         "total_rows": total_rows,
         "total_wall_s": round(wall, 1),
         "rows_per_s": round(total_rows / wall, 1),
@@ -157,6 +160,7 @@ def bench_decontam(spark, base: str, n_waves: int) -> dict:
 
     feed = f"{WORK}/dc_feed"
     shutil.rmtree(feed, ignore_errors=True)
+    shutil.rmtree(f"{WORK}/dc_ckpt", ignore_errors=True)
 
     docs = table(spark, base, "documents").select(
         "doc_id",
@@ -226,6 +230,7 @@ def bench_scd2(spark, base: str, n_waves: int) -> dict:
     feed = f"{WORK}/scd_feed"
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(feed, ignore_errors=True)
+    shutil.rmtree(f"{WORK}/scd_ckpt", ignore_errors=True)
 
     ev = table(spark, base, "events").select(
         "user_id", "event_type", "ts", "event_id"
@@ -313,6 +318,7 @@ def bench_composed(spark, base: str, n_waves: int) -> dict:
     feed = f"{WORK}/comp_feed"
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(feed, ignore_errors=True)
+    shutil.rmtree(f"{WORK}/comp_ckpt", ignore_errors=True)
 
     docs = table(spark, base, "documents").select("doc_id", "text")
     n_docs = docs.count()
@@ -355,6 +361,13 @@ def bench_composed(spark, base: str, n_waves: int) -> dict:
 
     def _sink(batch_df, batch_id: int) -> None:
         t0 = time.time()
+        # one upstream compute for the whole round: every action on a
+        # foreachBatch frame otherwise replays the stateful lineage
+        # (two state stores + the gates), and caches derived from a
+        # streaming source MISS on derived-plan lookup (see
+        # incremental_lsh.lsh_upsert_batch) — localCheckpoint cuts
+        # the lineage at an RDD-backed relation
+        batch_df = batch_df.localCheckpoint(eager=True)
         arrived = batch_df.count()
         # decontam gate: stream-static shingle join per batch, docs
         # with >= 1 eval shingle overlap are quarantined
@@ -467,6 +480,14 @@ def main() -> int:
     for name in which:
         print(f"=== {name} ({base}, {n_waves} waves) ===", flush=True)
         results.append(runners[name](spark, base, n_waves))
+        if name == "lsh":
+            # The r13 profile showed the micro-batch wall is per-stage
+            # scheduling, not data (A/B in the artifact) — so docs/s
+            # scales with increment size.  The backfill row measures
+            # the SAME corpus in 10 waves: what a catch-up ingest
+            # (bounded feed, bigger increments) actually sustains.
+            print(f"=== lsh backfill ({base}, 10 waves) ===", flush=True)
+            results.append(bench_lsh(spark, base, 10, tag="_backfill"))
 
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
@@ -475,8 +496,40 @@ def main() -> int:
         cwd=REPO,
     ).stdout.strip()
     lines = [
-        "# STREAM_BENCH v2 — Zipf-skew intake, 100-batch sustain, "
-        "composed pipeline",
+        "# STREAM_BENCH v4 — Zipf-skew intake, 100-batch sustain, "
+        "composed pipeline, micro vs backfill increments",
+        "",
+        "v4 (r13, VERDICT r12 #5): the incremental-LSH upsert's "
+        "per-batch cost contract is now O(batch + collisions) — the "
+        "corpus stores are scanned map-side, never shuffled (batch "
+        "side broadcast into the probe; verify sets semi-joined to "
+        "pair participants), the store's file count is held flat by "
+        "periodic crash-safe compaction, and micro-batch rounds run "
+        "with 4 shuffle partitions + AQE off (tiny_batches flag; "
+        "conf restored per batch).  Measured per-batch A/B at the "
+        "steady state, same corpus/waves: 32 partitions + AQE = "
+        "2.36 s/batch, 4 partitions + AQE = 1.76, 4 + no AQE = 1.25, "
+        "32 + no AQE = 1.42 — the wall is per-stage SCHEDULING, not "
+        "data, so sustained docs/s scales with increment size; the "
+        "incremental_lsh_backfill row (same 50k-doc corpus, 10 "
+        "waves) is the catch-up-ingest shape.",
+        "",
+        "THE STREAM-LINEAGE CACHE MISS (r13's named wall, found while "
+        "closing this item): .cache()/.persist() on frames DERIVED "
+        "from a foreachBatch batch frame register but MISS on lookup "
+        "from larger derived plans (the streaming source node does "
+        "not canonicalize equal across re-analysis), so a "
+        "self-joining candidate DAG recomputes its whole subtree per "
+        "reference — measured on the composed pipeline as per-action "
+        "cost DOUBLING with plan depth (pairs 8s → sets 16s → verify "
+        "31s on a 500-row batch whose isolated batch-context twin "
+        "runs in ~2s), while trivial and broadcast-join jobs inside "
+        "the same callback stay at 0.2-0.3s.  Fix: "
+        "localCheckpoint(eager) at upsert entry cuts the plan at an "
+        "RDD-backed relation (composed batch wall 20.4/17.2/15.2/8.9s "
+        "→ 14.6/8.2/7.3/4.4s on the same 12-wave A/B, ~2× the "
+        "PRE-round code); exactly-once markers make the "
+        "non-reliable-checkpoint retry path idempotent.",
         "",
         f"Each stream driven through the real Structured Streaming "
         f"engine (file source, maxFilesPerTrigger=1 → one wave per "
