@@ -446,19 +446,44 @@ def blocked_tokens(
 
 
 def token_df_stats(
-    docs: DataFrame, df_cap_pct: int | None, cache_key: tuple | None
-) -> tuple[int, int, int]:
-    """Exact ``(ndocs, max_df, max_unblocked_df)`` over a cached
-    per-doc distinct-token frame (column ``toks_ord``) — the dataset
-    statistic the posting-cap dispatch branches on (r13).
+    docs: DataFrame,
+    df_cap_pct: int | None,
+    cache_key: tuple | None,
+    len_cap: int | None = None,
+    probe_key: object = None,
+) -> tuple[int, int, int, int, int]:
+    """Exact ``(ndocs, max_df, max_unblocked_df, est_self_pairs,
+    est_cross_pairs)`` over a cached per-doc distinct-token frame
+    (column ``toks_ord``, optionally ``prefix``) — the dataset
+    statistics the posting-cap dispatch AND the operator-level
+    shuffle sizing branch on (r13).
 
     ``max_unblocked_df`` is the max df among tokens the df-cap would
-    KEEP (df <= pct%·ndocs); with no df-cap it equals ``max_df``.  Two
-    tiny actions over the already-cached docs frame (the probe
+    KEEP (df <= pct%·ndocs); with no df-cap it equals ``max_df``.
+
+    The pair estimates are the operators' dominant shuffle volume —
+    the candidate exchange — measured growing 21× across the
+    sf10→sf100 decade (the RELATIVE df-cap unblocks the
+    fixed-absolute-df stopword head as ndocs grows), so the operators
+    size their shuffle from these numbers, not from table bytes.
+    When ``docs`` carries a ``prefix`` column the probe counts the
+    PREFIX posting df (``dfp``) — the side the candidate joins
+    actually index — which keeps the estimate tight: full-df bounds
+    over-provisioned 8× at sf100 (est 7.75e9 vs 790M actual pairs)
+    and the resulting 4096 initial partitions REGRESSED task time 39%
+    (bucket over-provisioning defeats map-side combine: the pair
+    exchange wrote 44 GB at 4096 vs 19.7 GB at 128).  Per kept token:
+
+    - ``est_self_pairs``  = Σ min(dfp, L)²           (prefix self-join)
+    - ``est_cross_pairs`` = Σ min(dfp, L)·min(df, L) (prefix × full,
+      the containment join's small×big shape)
+
+    Two tiny actions over the already-cached docs frame (the probe
     doubles as the cache materializer the main plan needs anyway);
-    memoized per ``cache_key + (df_cap_pct,)`` in the heat statistics
-    cache, so the prefix-filter and containment queries — which
-    tokenize identically — share ONE probe per dataset."""
+    memoized per ``cache_key + (df_cap_pct, len_cap, probe_key)`` —
+    ``probe_key`` carries anything that changes the prefix definition
+    (the similarity threshold), since the cap theorems are
+    prefix-independent but the estimates are not."""
     from .heat import memo_stat
 
     def compute():
@@ -468,18 +493,49 @@ def token_df_stats(
             .groupBy("tok")
             .agg(F.count("*").alias("df"))
         )
+        if "prefix" in docs.columns:
+            dfp = (
+                docs.select(F.explode("prefix").alias("tok"))
+                .groupBy("tok")
+                .agg(F.count("*").alias("dfp"))
+            )
+            dfreq = dfreq.join(dfp, "tok", "left").na.fill({"dfp": 0})
+        else:
+            dfreq = dfreq.withColumn("dfp", F.col("df"))
         keep = F.lit(100) * F.col("df") <= F.lit(df_cap_pct or 100) * F.lit(
             ndocs
         )
+
+        def capped(c):
+            return (
+                F.least(F.col(c), F.lit(len_cap))
+                if len_cap is not None
+                else F.col(c)
+            )
+
         row = dfreq.agg(
             F.max("df").alias("mx"),
             F.max(F.when(keep, F.col("df"))).alias("mxu"),
+            F.sum(F.when(keep, capped("dfp") * capped("dfp"))).alias(
+                "selfp"
+            ),
+            F.sum(F.when(keep, capped("dfp") * capped("df"))).alias(
+                "crossp"
+            ),
         ).first()
-        return (ndocs, int(row["mx"] or 0), int(row["mxu"] or 0))
+        return (
+            ndocs,
+            int(row["mx"] or 0),
+            int(row["mxu"] or 0),
+            int(row["selfp"] or 0),
+            int(row["crossp"] or 0),
+        )
 
     if cache_key is None:
         return compute()
-    return memo_stat(cache_key + ("token_df", df_cap_pct), compute)
+    return memo_stat(
+        cache_key + ("token_df", df_cap_pct, len_cap, probe_key), compute
+    )
 
 
 def prefix_filter_join(
@@ -594,13 +650,27 @@ def prefix_filter_join(
     if need_df_cap or need_len_cap:
         # exact per-cap dispatch (see docstring): a provably
         # non-binding cap is skipped, a possibly-binding one applied
-        ndocs, max_df, max_unblocked = token_df_stats(
-            docs, posting_df_cap_pct, cap_stats_key
+        ndocs, max_df, max_unblocked, est_pairs, _ = token_df_stats(
+            docs, posting_df_cap_pct, cap_stats_key, posting_len_cap,
+            probe_key=threshold,
         )
         if need_df_cap and 100 * max_df <= posting_df_cap_pct * ndocs:
             need_df_cap = False
         if need_len_cap and max_unblocked <= posting_len_cap:
             need_len_cap = False
+        # operator-level shuffle sizing from the SAME probe (r13): the
+        # candidate exchange carries est_pairs (id, id) rows — ~25 B
+        # serialized, 32 B budgeted — which at sf100 is ~25× the input
+        # table's bytes, invisible to the input-bytes rule.  Sized
+        # here so the pair shuffle stays inside the per-task sort
+        # budget instead of spilling (measured 24 GB of spill at
+        # sf100's table-derived 128 partitions).
+        if cap_stats_key is not None:
+            from .partitions import autosize_for_shuffle_bytes
+
+            autosize_for_shuffle_bytes(
+                df.sparkSession, cap_stats_key[0], est_pairs * 32
+            )
     if need_df_cap:
         # df <= cap%  ==  NOT df > cap%: anti-join the tiny blocked
         # (stopword) set, broadcast — zero shuffle on the posting side

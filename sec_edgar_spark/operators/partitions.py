@@ -72,6 +72,19 @@ import os
 from pyspark.sql import SparkSession
 
 BYTES_PER_PARTITION_DEFAULT = 6 * 1024 * 1024
+# Target for DIRECTLY-ESTIMATED shuffle bytes (operator-level sizing,
+# autosize_for_shuffle_bytes).  Calibrated by the r13 sf100 partition
+# sweep on the posting-cap candidate exchange (19.7 GB of pair rows):
+# 128 partitions = 385 s with 24 GB of sort spill; 512 = 342 s cold /
+# no spill (the sweet spot); 1024 grazed the 8 GiB local heap; 4096
+# REGRESSED 39% task-time — bucket over-provisioning defeats map-side
+# combine (the same exchange wrote 44 GB at 4096).  128 MiB of
+# estimated shuffle per task lands that operator's estimate
+# (1-2e9 pairs × 32 B, a ≤2× upper bound on the measured volume) on
+# 512 at sf100 and the session floor at gate scale, and is still
+# comfortably inside an executor thread's sort budget at
+# 128 GiB / 32 threads.
+SHUFFLE_BYTES_PER_PARTITION_DEFAULT = 128 * 1024 * 1024
 HI_DEFAULT = 4096
 
 _STATE_ATTR = "_sec_edgar_autosize_state"
@@ -131,6 +144,56 @@ def autosize_shuffle(
     ever raised for genuinely large data, never lowered or globally
     ratcheted.
     """
+    state = _state(spark)
+    if state is None:
+        return None
+    if table_path is not None:
+        s = suggest_shuffle_partitions(
+            table_bytes(table_path), bytes_per_partition, lo=1, hi=hi
+        )
+        if s > state["sugg"].get(sf_dir, 0):
+            state["sugg"][sf_dir] = s
+    return _apply(spark, state, sf_dir)
+
+
+def autosize_for_shuffle_bytes(
+    spark: SparkSession,
+    sf_dir: str | None,
+    est_shuffle_bytes: int,
+    bytes_per_partition: int = SHUFFLE_BYTES_PER_PARTITION_DEFAULT,
+    hi: int = HI_DEFAULT,
+) -> int | None:
+    """Operator-level sizing (r13): raise the dataset's shuffle
+    suggestion from an operator's OWN shuffle-volume estimate.
+
+    The input-bytes rule (``autosize_shuffle``) cannot see shuffle
+    amplification: the posting-cap candidate join shuffles ~25× its
+    input table at sf100 (19.7 GB of pairs off a 792 MB scan — r13
+    decomposition), so a table-sized partition count left 154 MB/task
+    and 24 GB of spill.  Operators that can BOUND their shuffle volume
+    from the statistics they already probe (the exact token-df probe:
+    candidate pairs ≤ Σ min(df, L)²) report it here; the suggestion
+    joins the same per-dataset state — floor preserved, max over all
+    demands, no cross-dataset ratchet, same env/conf kill switches —
+    so gate-scale estimates (well under one partition's budget) change
+    nothing.  ``sf_dir`` None (no dataset identity available) is a
+    no-op."""
+    if sf_dir is None:
+        return None
+    state = _state(spark)
+    if state is None:
+        return None
+    s = suggest_shuffle_partitions(
+        est_shuffle_bytes, bytes_per_partition, lo=1, hi=hi
+    )
+    if s > state["sugg"].get(sf_dir, 0):
+        state["sugg"][sf_dir] = s
+    return _apply(spark, state, sf_dir)
+
+
+def _state(spark: SparkSession) -> dict | None:
+    """Shared autosize state, or None when autosizing is disabled
+    (explicit SPARK_GRAFT_SHUFFLE pin / conf kill switch)."""
     if "SPARK_GRAFT_SHUFFLE" in os.environ:
         return None
     try:
@@ -138,7 +201,6 @@ def autosize_shuffle(
             return None
     except Exception:
         return None
-
     state = getattr(spark, _STATE_ATTR, None)
     if state is None:
         state = {
@@ -146,14 +208,10 @@ def autosize_shuffle(
             "sugg": {},
         }
         setattr(spark, _STATE_ATTR, state)
+    return state
 
-    if table_path is not None:
-        s = suggest_shuffle_partitions(
-            table_bytes(table_path), bytes_per_partition, lo=1, hi=hi
-        )
-        if s > state["sugg"].get(sf_dir, 0):
-            state["sugg"][sf_dir] = s
 
+def _apply(spark: SparkSession, state: dict, sf_dir: str) -> int:
     eff = max(state["floor"], state["sugg"].get(sf_dir, 0))
     if int(spark.conf.get("spark.sql.shuffle.partitions")) != eff:
         spark.conf.set("spark.sql.shuffle.partitions", str(eff))

@@ -1291,14 +1291,21 @@ def _containment_pairs(
     need_df_cap = need_len_cap = df_cap_pct is not None
     if df_cap_pct is not None:
         from ..operators.dedup import token_df_stats
+        from ..operators.partitions import autosize_for_shuffle_bytes
 
-        ndocs_st, max_df, max_unblocked = token_df_stats(
-            docs, df_cap_pct, _doc_stats_key(sf_dir)
+        ndocs_st, max_df, max_unblocked, _, est_pairs = token_df_stats(
+            docs, df_cap_pct, _doc_stats_key(sf_dir), _LEN_CAP,
+            probe_key=_CONT_T,
         )
         if 100 * max_df <= df_cap_pct * ndocs_st:
             need_df_cap = False
         if max_unblocked <= _LEN_CAP:
             need_len_cap = False
+        # operator-level shuffle sizing from the same probe (r13):
+        # the small×big candidate exchange is the CROSS estimate
+        # Σ min(dfp, L)·min(df, L) (≈32 B/pair) — see
+        # prefix_filter_join / token_df_stats
+        autosize_for_shuffle_bytes(spark, sf_dir, est_pairs * 32)
     if need_df_cap or need_len_cap:
         # Same in-plan df cap as prefix_filter_join's
         # posting_df_cap_pct, inverted into its cheap form: "keep

@@ -183,3 +183,107 @@ def test_semantic_capped_dispatch_equals_forced_capped(spark, monkeypatch):
     finally:
         heat.clear_cache()
         spark.catalog.clearCache()
+
+
+# ------------------------------- operator-level shuffle sizing (r13)
+
+
+def test_token_df_stats_est_pairs(spark):
+    """Pair estimates: self = Σ min(dfp,L)², cross = Σ min(dfp,L)·
+    min(df,L) over kept tokens; dfp falls back to df with no prefix
+    column."""
+    from sec_edgar_spark.operators.dedup import token_df_stats
+
+    rows = [
+        (1, ["a", "b"]),
+        (2, ["a", "b"]),
+        (3, ["a"]),
+        (4, ["a"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, toks_ord array<string>")
+    # dfs: a=4, b=2.  no df-cap, len_cap=3 → min(4,3)²+2² = 13
+    st = token_df_stats(docs, None, None, len_cap=3)
+    assert st == (4, 4, 4, 13, 13)
+    # df-cap 50%: a (df 4 > 2) blocked → kept only b → 2² = 4
+    st = token_df_stats(docs, 50, None, len_cap=3)
+    assert st == (4, 4, 2, 4, 4)
+    # no len_cap: Σ df² over kept = 16 + 4
+    st = token_df_stats(docs, None, None)
+    assert st == (4, 4, 4, 20, 20)
+    # with a prefix column the estimates index the PREFIX posting:
+    # prefixes {1:[a], 2:[b], 3:[a], 4:[]} → dfp: a=2, b=1
+    pdocs = spark.createDataFrame(
+        [
+            (1, ["a", "b"], ["a"]),
+            (2, ["a", "b"], ["b"]),
+            (3, ["a"], ["a"]),
+            (4, ["a"], []),
+        ],
+        "doc_id int, toks_ord array<string>, prefix array<string>",
+    )
+    st = token_df_stats(pdocs, None, None, len_cap=3)
+    # self = 2² + 1² = 5; cross = 2·min(4,3) + 1·2 = 8
+    assert st == (4, 4, 4, 5, 8)
+
+
+def test_prefix_filter_join_reports_pair_volume(spark, monkeypatch):
+    """The capped join must report est_pairs×32 B to the operator-level
+    sizer under the dataset key (cap_stats_key[0]); rows unchanged."""
+    from sec_edgar_spark.operators import partitions as P
+
+    calls = []
+    monkeypatch.setattr(
+        P,
+        "autosize_for_shuffle_bytes",
+        lambda spark_, key, nbytes, **kw: calls.append((key, nbytes)),
+    )
+    heat.clear_cache()
+    try:
+        d = _mini_docs(spark)
+        capped = prefix_filter_join(
+            d, "doc_id", "text", threshold=0.5,
+            posting_len_cap=2, cap_stats_key=("ds-x", "documents"),
+        )
+        plain = prefix_filter_join(d, "doc_id", "text", threshold=0.5)
+        assert calls and calls[0][0] == "ds-x" and calls[0][1] > 0
+        assert calls[0][1] % 32 == 0
+        # sizing is physical only: binding cap still subsets, plain
+        # results unchanged by the report
+        assert set(_rows(capped)) <= set(_rows(plain))
+    finally:
+        heat.clear_cache()
+        spark.catalog.clearCache()
+
+
+def test_autosize_for_shuffle_bytes_raises_and_floors(spark, monkeypatch):
+    from sec_edgar_spark.operators import partitions as P
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
+    old_state = getattr(spark, P._STATE_ATTR, None)
+    old_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if hasattr(spark, P._STATE_ATTR):
+            delattr(spark, P._STATE_ATTR)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # tiny estimate: stays at the session floor
+        assert P.autosize_for_shuffle_bytes(spark, "ds-a", 1024) == 8
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        # 10 GiB of pairs at 128 MiB/task → 80 → pow2 128
+        eff = P.autosize_for_shuffle_bytes(spark, "ds-a", 10 << 30)
+        assert eff == 128
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "128"
+        # smaller later estimate never lowers the dataset's max demand
+        assert P.autosize_for_shuffle_bytes(spark, "ds-a", 1024) == 128
+        # a DIFFERENT dataset re-sizes down to its own demand
+        assert P.autosize_for_shuffle_bytes(spark, "ds-b", 1024) == 8
+        # no dataset identity → no-op
+        assert P.autosize_for_shuffle_bytes(spark, None, 10 << 30) is None
+        # env pin disables
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "32")
+        assert P.autosize_for_shuffle_bytes(spark, "ds-a", 10 << 30) is None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+        if old_state is not None:
+            setattr(spark, P._STATE_ATTR, old_state)
+        elif hasattr(spark, P._STATE_ATTR):
+            delattr(spark, P._STATE_ATTR)

@@ -46,6 +46,21 @@ def classify(
 ) -> dict:
     qo, qn = old.get("queries", {}), new.get("queries", {})
     to, tn = old.get("task_time", {}) or {}, new.get("task_time", {}) or {}
+    # task_time is only comparable when both artifacts measured it the
+    # SAME way: r12's stage-window attribution booked concurrent jobs'
+    # stages into every sample (Σtask 1184.9s) while r13's job-group
+    # scoping does not (112.4s) — a cross-method ratio is a metric
+    # artifact, and classifying on it labeled all 145 shared queries
+    # "compute" for a round that was actually flat-to-faster.  The
+    # method is identified by task_time_note; on mismatch, fall back
+    # to wall-only classification and say so.
+    task_incomparable = (
+        bool(to)
+        and bool(tn)
+        and old.get("task_time_note") != new.get("task_time_note")
+    )
+    if task_incomparable:
+        to, tn = {}, {}
     shared = sorted(set(qo) & set(qn))
     rows = []
     for name in shared:
@@ -105,6 +120,7 @@ def classify(
         ],
         "sha_old": old.get("git_sha"),
         "sha_new": new.get("git_sha"),
+        "task_incomparable": task_incomparable,
         "rows": rows,
         "n_compute": sum(1 for r in rows if r["kind"] == "compute"),
         "n_ambient": sum(
@@ -141,12 +157,22 @@ def main() -> int:
     print(
         f"loadavg old {rep['loadavg_old']}, new {rep['loadavg_new']}"
     )
-    print(
+    if rep["task_incomparable"]:
+        print(
+            "WARNING: task_time attribution methods differ between "
+            "artifacts (task_time_note mismatch) — task columns "
+            "ignored, classification is wall-only"
+        )
+    line = (
         f"Σwall {rep['sum_wall_old_s']}s -> {rep['sum_wall_new_s']}s "
-        f"({rep['wall_total_ratio']}x); "
-        f"Σtask {rep['sum_task_old_s']}s -> {rep['sum_task_new_s']}s "
-        f"({rep['task_total_ratio']}x)"
+        f"({rep['wall_total_ratio']}x)"
     )
+    if rep["task_total_ratio"] is not None:
+        line += (
+            f"; Σtask {rep['sum_task_old_s']}s -> "
+            f"{rep['sum_task_new_s']}s ({rep['task_total_ratio']}x)"
+        )
+    print(line)
     print(
         f"{rep['n_compute']} compute / {rep['n_ambient']} ambient / "
         f"{rep['n_flat']} flat (threshold {threshold}x)"

@@ -149,32 +149,64 @@ def main() -> int:
         catalog.table(spark, d, "part").count()
 
     qs = Q.queries()
-    # Untimed warmup execution of the first probe at sf10: the first
-    # heavy query in a fresh JVM pays codegen/JIT/page-cache costs that
-    # inflate its sf10 leg and FLATTER its decade ratio (first run
-    # measured prefix@sf10 at 157s cold vs ~50s warm).
+    # Untimed warmup execution of the first probe at BOTH dirs (r13:
+    # symmetric — the r12 run warmed only sf10): the first heavy query
+    # in a fresh JVM pays codegen/JIT/page-cache costs, and the first
+    # capped query on a DATASET additionally pays the one-time exact
+    # token-df probe (memoized per dataset, shared by the prefix and
+    # containment queries).  Warming only sf10 books those one-time
+    # sf100 costs into the timed sf100 leg and inflates the decade
+    # factor (first run measured prefix@sf10 at 157s cold vs ~50s
+    # warm; the sf100 probe alone is tens of seconds).  The cold
+    # first-run walls are recorded in the JSON as first_run_s so the
+    # one-time cost stays visible rather than hidden.
     spark.conf.set(
         "spark.sec_edgar.scan_parallelize",
         "documents,embeddings" if probes[0] in bench.SCAN_PARALLELIZE else "",
     )
-    print(f"  warmup (untimed): {probes[0]} @ sf10", flush=True)
-    noop(qs[probes[0]](spark, SF10))
+    first_run = {}
+    for label, d in (("sf10", SF10), ("sf100", SF100)):
+        print(f"  warmup (untimed): {probes[0]} @ {label}", flush=True)
+        t0 = time.time()
+        noop(qs[probes[0]](spark, d))
+        first_run[label] = round(time.time() - t0, 1)
+        spark.catalog.clearCache()
+    # min over PASSES per leg: single-pass walls on this box swing up
+    # to 2× run-to-run at the sf10 scale (containment@sf10 measured
+    # 44-89s across three same-code runs) while the sf100 legs repeat
+    # within ±2% — a single-pass decade factor is ambient noise, not a
+    # scaling statement.  Min wall is the least-noise estimator of the
+    # steady-state cost; all passes are recorded in the JSON.
+    passes = int(os.environ.get("SF100_BENCH_PASSES", "2"))
+    all_walls: dict[str, dict[str, list]] = {
+        n: {"sf10": [], "sf100": []} for n in probes
+    }
+    for p in range(passes):
+        for name in probes:
+            fn = qs[name]
+            spark.conf.set(
+                "spark.sec_edgar.scan_parallelize",
+                "documents,embeddings"
+                if name in bench.SCAN_PARALLELIZE
+                else "",
+            )
+            for label, d in (("sf10", SF10), ("sf100", SF100)):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                noop(fn(spark, d))
+                w = time.time() - t0
+                all_walls[name][label].append(round(w, 1))
+                print(
+                    f"  [pass {p + 1}/{passes}] {name} @ {label}: "
+                    f"{w:.1f}s (shuffle="
+                    f"{spark.conf.get('spark.sql.shuffle.partitions')})",
+                    flush=True,
+                )
     rows = []
     for name in probes:
-        fn = qs[name]
-        spark.conf.set(
-            "spark.sec_edgar.scan_parallelize",
-            "documents,embeddings" if name in bench.SCAN_PARALLELIZE else "",
-        )
-        walls = {}
-        for label, d in (("sf10", SF10), ("sf100", SF100)):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            noop(fn(spark, d))
-            walls[label] = time.time() - t0
-            print(f"  {name} @ {label}: {walls[label]:.1f}s", flush=True)
-        factor = walls["sf100"] / max(walls["sf10"], 1e-9)
-        rows.append((name, walls["sf10"], walls["sf100"], factor))
+        w10 = min(all_walls[name]["sf10"])
+        w100 = min(all_walls[name]["sf100"])
+        rows.append((name, w10, w100, w100 / max(w10, 1e-9)))
 
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
@@ -191,9 +223,14 @@ def main() -> int:
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], "
         f"shuffle partitions AUTOSIZED by the engine from input bytes "
         f"(operators/partitions.py — no per-run conf; sf10 legs at the "
-        f"32-partition session floor, sf100 legs data-scaled), single "
-        f"timed run per (query, dir) after an untimed first-probe "
-        f"warmup, noop sink.  git {sha}, "
+        f"32-partition session floor, sf100 legs data-scaled), "
+        f"wall = MIN of {passes} passes per (query, dir) after a "
+        f"PER-DIR untimed first-probe warmup (the one-time exact "
+        f"token-df probe and page-cache fill are excluded from BOTH "
+        f"legs symmetrically; single-pass walls swing up to 2× "
+        f"run-to-run at sf10 scale on this box — all passes + cold "
+        f"first-run walls recorded in the JSON), noop sink.  "
+        f"git {sha}, "
         f"loadavg {os.getloadavg()[0]:.1f}.",
         "",
         "THE WALL THE THIRD DECADE FOUND (and its name): at the "
@@ -236,6 +273,9 @@ def main() -> int:
             {
                 "git_sha": sha,
                 "loadavg_1m": round(os.getloadavg()[0], 2),
+                "first_run_s": first_run,
+                "passes": passes,
+                "all_walls_s": all_walls,
                 "rows": [
                     {"query": n, "sf10_s": round(a, 1),
                      "sf100_s": round(b, 1), "factor": round(f_, 2)}

@@ -84,7 +84,7 @@ ANNOTATIONS = {
     "shuffle is |E| both decades",
     "graph_components_modularity": "MinHash->LSH->components->modularity "
     "composition over documents (the heaviest composed graph query)",
-]
+}
 
 
 def build_sf100_events(spark) -> None:
@@ -172,13 +172,19 @@ def build_sf100_relational(spark) -> None:
 
 
 def main() -> int:
-    from sec_edgar_spark.session import get_spark
+    from sec_edgar_spark.session import builder
     import sec_edgar_spark.queries as Q
     import bench
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
 
-    spark = get_spark(app_name="sf100-families")
+    # UI on for job-group task metrics (the shared builder disables
+    # it; the listener cost applies equally to both legs of a factor)
+    spark = (
+        builder(app_name="sf100-families")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sec_edgar.longcents", "true")
 
@@ -210,6 +216,9 @@ def main() -> int:
 
     # untimed warmup: first probe of each family at its sf10 dir pays
     # codegen/JIT/page-cache for the whole family
+    from tools.taskmetrics import GroupMetrics
+
+    gm = GroupMetrics(spark)
     warmed = set()
     rows = []
     for name, variant, d10, d100 in legs:
@@ -223,19 +232,34 @@ def main() -> int:
             print(f"  warmup (untimed): {name} @ sf10/{variant}", flush=True)
             noop(fn(spark, d10))
             warmed.add(fam)
-        walls = {}
+        walls, tasks = {}, {}
         for label, d in (("sf10", d10), ("sf100", d100)):
             spark.catalog.clearCache()
+            gid = f"fam:{name}:{variant}:{label}"
+            spark.sparkContext.setJobGroup(gid, name)
             t0 = time.time()
             noop(fn(spark, d))
+            spark.sparkContext.setJobGroup("", "")
             walls[label] = time.time() - t0
+            # executor task-time per leg (tools/taskmetrics.py): the
+            # wall/task split separates compute growth from local[32]
+            # stage-scheduling latency in the decade factor
+            tasks[label] = gm.task_time_s(gid)
             print(
                 f"  {name} [{variant}] @ {label}: {walls[label]:.1f}s "
+                f"task={tasks[label]} "
                 f"(shuffle={spark.conf.get('spark.sql.shuffle.partitions')})",
                 flush=True,
             )
         factor = walls["sf100"] / max(walls["sf10"], 1e-9)
-        rows.append((name, variant, walls["sf10"], walls["sf100"], factor))
+        tf = (
+            round(tasks["sf100"] / tasks["sf10"], 2)
+            if tasks.get("sf10") and tasks.get("sf100")
+            else None
+        )
+        rows.append(
+            (name, variant, walls["sf10"], walls["sf100"], factor, tf)
+        )
 
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
@@ -253,16 +277,23 @@ def main() -> int:
         f"— the printed per-leg partition counts are part of the "
         f"measurement.  local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}],"
         f" single timed run per (query, dir) after per-family untimed "
-        f"warmup, noop sink.  git {sha}, "
+        f"warmup, noop sink; each leg also records job-group executor "
+        f"task-time (tools/taskmetrics.py), so a wall factor above the "
+        f"task factor reads as local[32] stage-scheduling latency, not "
+        f"compute growth.  git {sha}, "
         f"loadavg {os.getloadavg()[0]:.1f}.",
         "",
-        "| query | corpus | sf10 | sf100 | ×/decade | note |",
-        "|---|---|---|---|---|---|",
+        "| query | corpus | sf10 | sf100 | ×/decade wall | ×/decade "
+        "task | note |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, variant, w10, w100, f_ in sorted(rows, key=lambda r: -r[4]):
+    for name, variant, w10, w100, f_, tf in sorted(
+        rows, key=lambda r: -r[4]
+    ):
         lines.append(
             f"| {name} | {variant} | {w10:.1f}s | {w100:.1f}s | "
-            f"{f_:.1f}x | {ANNOTATIONS.get(name, '')} |"
+            f"{f_:.1f}x | {tf if tf is not None else '—'}x | "
+            f"{ANNOTATIONS.get(name, '')} |"
         )
     worst = max((r[4] for r in rows), default=0)
     lines += [
@@ -285,8 +316,9 @@ def main() -> int:
                         "sf10_s": round(a, 1),
                         "sf100_s": round(b, 1),
                         "factor": round(f_, 2),
+                        "task_factor": tf,
                     }
-                    for n, v, a, b, f_ in rows
+                    for n, v, a, b, f_, tf in rows
                 ],
             },
             fh,

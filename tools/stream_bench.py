@@ -277,12 +277,14 @@ def bench_scd2(spark, base: str, n_waves: int) -> dict:
     q.stop()
     wall = time.time() - t0
 
-    # hot-key state share: dimension rows owned by the hot user
+    # hot-key state share: dimension rows owned by the hot user —
+    # through read_dim (closed/ carries the r13 _emit_ord column; a
+    # raw unionByName against current/ is a width mismatch)
     hot = {}
     try:
-        cur = spark.read.parquet(f"{root}/current")
-        clo = spark.read.parquet(f"{root}/closed")
-        dim = cur.unionByName(clo)
+        from sec_edgar_spark.streaming.scd_stream import read_dim
+
+        dim = read_dim(spark, root)
         hot["dim_rows_total"] = dim.count()
         hot["dim_rows_hot_user"] = dim.filter(
             F.col("user_id") == HOT_USER
