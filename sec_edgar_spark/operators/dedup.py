@@ -637,19 +637,21 @@ def prefix_filter_join(
         "toks_ord",
         n.alias("n"),
         F.slice("toks_ord", 1, prefix_len).alias("prefix"),
-    ).cache()
-    # ^ three consumers (posting + both verify sides); measured 1.5x at
-    # sf0.01.  The cache lives until the session drops it — long-lived
-    # sessions running many queries should spark.catalog.clearCache()
-    # between them (bench.py and tools/check_oracle.py already do).
-    posting = docs.select(
-        F.col(id_col), "n", F.explode("prefix").alias("tok")
     )
     need_df_cap = posting_df_cap_pct is not None
     need_len_cap = posting_len_cap is not None
     if need_df_cap or need_len_cap:
         # exact per-cap dispatch (see docstring): a provably
-        # non-binding cap is skipped, a possibly-binding one applied
+        # non-binding cap is skipped, a possibly-binding one applied.
+        # The probe runs over the UNCACHED docs plan, BEFORE the
+        # .cache() below registers it: a probe through the cached
+        # frame materialized the InMemoryRelation at plan-build time
+        # on the first (un-memoized) construction only, and Catalyst
+        # compiles different join strategies against materialized vs
+        # unregistered cache statistics — the same query then pinned
+        # 11 Exchanges probe-fresh and 9 on a memo hit (r13, caught by
+        # the pin gate).  Probing first keeps the cache unmaterialized
+        # at every plan build, so the plan is one deterministic shape.
         ndocs, max_df, max_unblocked, est_pairs, _ = token_df_stats(
             docs, posting_df_cap_pct, cap_stats_key, posting_len_cap,
             probe_key=threshold,
@@ -671,6 +673,14 @@ def prefix_filter_join(
             autosize_for_shuffle_bytes(
                 df.sparkSession, cap_stats_key[0], est_pairs * 32
             )
+    docs = docs.cache()
+    # ^ three consumers (posting + both verify sides); measured 1.5x at
+    # sf0.01.  The cache lives until the session drops it — long-lived
+    # sessions running many queries should spark.catalog.clearCache()
+    # between them (bench.py and tools/check_oracle.py already do).
+    posting = docs.select(
+        F.col(id_col), "n", F.explode("prefix").alias("tok")
+    )
     if need_df_cap:
         # df <= cap%  ==  NOT df > cap%: anti-join the tiny blocked
         # (stopword) set, broadcast — zero shuffle on the posting side

@@ -1272,12 +1272,6 @@ def _containment_pairs(
         "toks_ord",
         n.alias("n"),
         F.slice("toks_ord", 1, prefix_len).alias("prefix"),
-    ).cache()
-    small = docs.select(
-        F.col("doc_id"), "n", F.explode("prefix").alias("tok")
-    )
-    big = docs.select(
-        F.col("doc_id"), "n", F.explode("toks_ord").alias("tok")
     )
     # exact per-cap heat dispatch (r13, same contract as
     # prefix_filter_join): the shared memoized token-df statistic —
@@ -1287,7 +1281,11 @@ def _containment_pairs(
     # (blocked set empty / truncation keeps every posting), a
     # possibly-binding one applied.  Output rows are unchanged either
     # way; the capped oracle agrees because its WHERE/QUALIFY keep
-    # every row in the non-binding case too.
+    # every row in the non-binding case too.  The probe runs BEFORE
+    # the .cache() below registers docs (prefix_filter_join has the
+    # full plan-determinism argument: probing through the cached frame
+    # materialized it at build time on the first construction only,
+    # flipping join strategies between probe-fresh and memo-hit plans).
     need_df_cap = need_len_cap = df_cap_pct is not None
     if df_cap_pct is not None:
         from ..operators.dedup import token_df_stats
@@ -1306,6 +1304,13 @@ def _containment_pairs(
         # Σ min(dfp, L)·min(df, L) (≈32 B/pair) — see
         # prefix_filter_join / token_df_stats
         autosize_for_shuffle_bytes(spark, sf_dir, est_pairs * 32)
+    docs = docs.cache()
+    small = docs.select(
+        F.col("doc_id"), "n", F.explode("prefix").alias("tok")
+    )
+    big = docs.select(
+        F.col("doc_id"), "n", F.explode("toks_ord").alias("tok")
+    )
     if need_df_cap or need_len_cap:
         # Same in-plan df cap as prefix_filter_join's
         # posting_df_cap_pct, inverted into its cheap form: "keep

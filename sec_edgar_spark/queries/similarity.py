@@ -908,10 +908,7 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
     keyed = e.join(
         assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
-    ).select("vec_id", "embedding", "cell").cache()
-    # ^ cached so the exact heat probe below doubles as the
-    # materializer for the scoring plan (kmeans training + assignment
-    # run once, not twice)
+    ).select("vec_id", "embedding", "cell")
     cell_dt = dict(keyed.dtypes)["cell"]
     # exact heat dispatch (r13, VERDICT r12 #2): "largest cluster <=
     # cap" proves n_sub = 1 for every cell, hence _sub == 0 for every
@@ -933,6 +930,14 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             dataset_fingerprint(f"{sf_dir}/embeddings.parquet"),
         ),
     )
+    # cache AFTER the probe (plan determinism — prefix_filter_join has
+    # the full argument: probing through the registered cache
+    # materializes it at build time on the first construction only,
+    # and Catalyst compiles different plans against materialized vs
+    # unregistered cache statistics).  The kmeans train+assign runs
+    # once per process for the probe (memoized) and once more when the
+    # scoring plan materializes this cache.
+    keyed = keyed.cache()
     if hottest <= _SEM_CAP:
         subbed = keyed.withColumn("_sub", F.lit(0).cast("long"))
     else:

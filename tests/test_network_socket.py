@@ -122,6 +122,17 @@ def test_fetch_urls_real_socket_rate_conformance(spark, server):
     from sec_edgar_spark.sources.filings import fetch_urls
 
     port = server.server_address[1]
+    # Warm the executor-side fetch path first (Python-worker imports,
+    # thread-pool spin-up, first socket connect): a COLD first batch
+    # delays its arrivals by ~0.4s, which compresses the observed
+    # cluster-start gap below the pacing window even though the client
+    # initiated the batches a full second apart (the contract under
+    # test is initiation pacing, reference client.py:266-277).  The
+    # warm-up hits a non-/doc/ path so the stamp filter excludes it.
+    warm = spark.createDataFrame(
+        [(f"http://127.0.0.1:{port}/warmup",)], "url string"
+    )
+    fetch_urls(warm, _http_get_factory(port), rate_limit=10).collect()
     urls = spark.createDataFrame(
         [(f"http://127.0.0.1:{port}/doc/{i}",) for i in range(25)], "url string"
     )
