@@ -77,8 +77,15 @@ def connected_components(
             "nbr",
         )
         pulled = nbr_labels.groupBy("id").agg(F.min("nbr_label").alias("min_nbr"))
+        # The round's STARTING label rides along as `old` so the
+        # convergence check below is a filter over the checkpointed
+        # round output instead of a fourth merge-join of new vs old
+        # labels per round (r13, guide §2.4 — one long column through
+        # the checkpoint buys one sort-merge join, its two sorts and
+        # its exchange, every round).
         hooked = labels.hint("merge").join(pulled, "id", "left").select(
             "id",
+            F.col("label").alias("old"),
             F.least(
                 F.col("label"), F.coalesce("min_nbr", F.col("label"))
             ).alias("label"),
@@ -98,20 +105,15 @@ def connected_components(
             )
             .select(
                 "id",
+                "old",
                 F.least(F.col("label"), F.coalesce("gl", F.col("label"))).alias(
                     "label"
                 ),
             )
             .transform(lineage_cut)
         )
-        changed = (
-            new_labels.alias("n")
-            .hint("merge")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(

@@ -1754,11 +1754,22 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .cache()
     )
-    comp = QUERIES["dedup_connected_components"](spark, sf_dir).select(
-        "doc_id", "component"
-    )
+    # components derived from the SAME cached pair frame (r13, guide
+    # §2.4): invoking the registered dedup_connected_components here
+    # re-ran the whole shingle→MinHash→LSH→verify pipeline a second
+    # time inside this one query to reach the identical edge set
+    # already cached above.  dedup_connected_components ==
+    # canonical_assignment over exactly these pairs (its own
+    # definition), and this consumer reads only (doc_id, component) —
+    # the connected_components output — so the derivation is
+    # value-identical by construction; the oracle CTE replays the
+    # same composition.
+    from ..operators.graph import connected_components
     from ..operators.reporting import components_modularity
 
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
     return components_modularity(pairs, comp)
 
 
@@ -1840,6 +1851,13 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh")
     ).cache()
+    # r13 measured note: a verify-once restructure (one shared
+    # Jaccard map over the distinct union of all three configs'
+    # candidates, per-config rollups equi-joined against it) was
+    # tried and REVERTED — the extra cached candidate frames and the
+    # union/distinct/join stages cost more at gate scale than the
+    # ~2 redundant subset verifies they remove (interleaved min-of-2
+    # A/B at sf0.1: 4.16 s original vs 5.35 s restructured).
     out = None
     for bands, rpb in _TUNE_CONFIGS:
         keyed = None
@@ -1944,11 +1962,30 @@ def dedup_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
         "doc_a", "doc_b"
     ).cache()
+    # keep-best derived from the SAME cached pair frame (r13, guide
+    # §2.4 "do fewer passes"): invoking the registered
+    # curation_keep_best here re-ran the whole shingle→MinHash→LSH→
+    # verify pipeline a second time inside this one query (~19 s of
+    # executor task-time at sf0.1) only to reach the identical pair
+    # set already cached above.  keep_best == keep_best_selection ∘
+    # connected_components over exactly these pairs (that is the
+    # registered query's own definition, queries/dedup.py
+    # curation_keep_best), so deriving it from the cache is
+    # value-identical by construction — the oracle CTE replays the
+    # same composition.
+    from ..functions import text as T
+    from ..operators.graph import connected_components
+    from ..operators.reporting import keep_best_selection, residual_audit
+
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    scored = table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("int").alias("n_tokens")
+    )
     kept = (
-        QUERIES["curation_keep_best"](spark, sf_dir)
+        keep_best_selection(comp, scored, score_col="n_tokens")
         .filter("keep")
         .select("doc_id")
     )
-    from ..operators.reporting import residual_audit
-
     return residual_audit(pairs, kept)

@@ -1022,18 +1022,51 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with the (score, doc_id) total order.
     """
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # One tokenize pass, ZERO corpus-wide token explodes (r13, guide
+    # §2.3/§2.4).  The previous shape exploded every token of every
+    # document into rows and consumed that stream THREE times (doc
+    # lengths, the total-token scalar, the term filter) — three full
+    # tokenize+Generate passes, ~24 s of executor task-time at sf0.1
+    # for three numbers per document.  Identical values from array
+    # ops on the token array built once per row:
+    #   dl  = size(tokens)            (== the exploded per-doc count)
+    #   tt  = Σ dl                    (== the exploded stream's count)
+    #   tf_t = size(filter(toks, = t))(== explode→filter→count per doc)
+    # The dl join disappears entirely — dl rides on the same row as
+    # the term counts.  The term unpivot is a 3-way stack over
+    # already-computed ints; rows with tf = 0 are dropped exactly as
+    # the inner explode→groupBy produced only tf >= 1 rows.
+    toked = d.select("doc_id", T.tokens("text").alias("_toks"))
+
+    def _count_of(term: str):
+        # closure factory, NOT a default-arg lambda: F.filter treats a
+        # second lambda parameter as the element index
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    per_doc = toked.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        *[
+            _count_of(t).cast("bigint").alias(f"_tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
     # both corpus scalars ride one broadcast 1-row frame — no driver
-    # action at plan-build time
-    scal = d.agg(F.count("*").alias("n_docs")).crossJoin(
-        tok.agg(F.count("*").cast("double").alias("tt"))
+    # action at plan-build time; ONE aggregate serves both (n_docs
+    # counts every document row, tt sums dl over every row — the same
+    # totals the two separate aggregates computed)
+    scal = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("double").alias("tt"),
     )
-    tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    stack_args = ", ".join(
+        f"'{t}', _tf{i}" for i, t in enumerate(_BM25_TERMS)
     )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(_BM25_TERMS)}, {stack_args}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     tfd = F.col("tf").cast("double")
     score = (
@@ -1051,7 +1084,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scal))
         .select("doc_id", "term", score.alias("s"))
     )
@@ -1407,6 +1439,15 @@ def text_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented, not needed at gate scale).
     """
     d = table(spark, sf_dir, "documents")
+    # r13 measured note: caching each round's string corpus here was
+    # tried (the persist-between-rounds production shape) and REVERTED
+    # — at gate scale the bigram aggregate dominates each round and
+    # re-running the cheap replace chain is FASTER than paying cache
+    # materialization + storage of the wide string column (interleaved
+    # min-of-2 A/B at sf0.1: 3.68 s / 37.6 s task-time uncached vs
+    # 4.13 s / 60.7 s cached).  The docstring's persist-per-round
+    # advice stands for 100 TB where lineage depth, not cache
+    # bandwidth, is the binding constraint.
     cur = d.select(
         "doc_id",
         F.concat(
