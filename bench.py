@@ -277,6 +277,25 @@ SCAN_PARALLELIZE = {
     "events_sessionize_salted",
 }
 
+# r13: the flag is per-query TABLES, not just membership — the fact
+# tables (orders/lineitem) have the same one-row-group layout as
+# documents, so their per-row-CPU-heavy readers (8 md5s/row bootstrap
+# fan-out, 4-hash count-min build, the 7-way distinct-agg Expand,
+# per-doc trigram explode) also ran their whole map stage on one core.
+# Queries in the legacy set keep the historical documents/embeddings
+# value; the entries below override with the table whose scan feeds
+# the heavy map.  Cheap aggregate-only readers of the fact tables stay
+# unflagged for the measured r5 reason above.
+SCAN_PARALLELIZE = {q: "documents,embeddings" for q in SCAN_PARALLELIZE}
+SCAN_PARALLELIZE.update(
+    {
+        "agg_bootstrap_ci": "orders",
+        "agg_selfjoin_size_estimate": "lineitem",
+        "profile_lineitem": "lineitem",
+        "text_trigram_search": "documents",
+    }
+)
+
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ
 # codebook fits, centroid assignment).  Their first run routinely eats
 # a codegen/JIT warmup spike that best-of-2 can't always dodge — r6's
@@ -454,7 +473,7 @@ def main() -> int:
         # table coexist without re-reading footers.
         spark.conf.set(
             "spark.sec_edgar.scan_parallelize",
-            "documents,embeddings" if name in SCAN_PARALLELIZE else "",
+            SCAN_PARALLELIZE.get(name, ""),
         )
         # Best-of-2 per query (same policy as tools/scale_probe.py):
         # single-shot wall times on a shared box swing up to 5x on

@@ -50,7 +50,9 @@ from pyspark.sql import DataFrame
 CHECKPOINT_DIR_CONF = "spark.sec_edgar.checkpoint_dir"
 
 
-def lineage_cut(df: DataFrame, local_only: bool = False) -> DataFrame:
+def lineage_cut(
+    df: DataFrame, local_only: bool = False, eager: bool = True
+) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
     Uses reliable ``checkpoint()`` when ``spark.sec_edgar.checkpoint_dir``
@@ -60,11 +62,22 @@ def lineage_cut(df: DataFrame, local_only: bool = False) -> DataFrame:
     sites whose durability comes from an idempotent replay protocol
     (see module docstring) and which would otherwise write a full
     reliable copy per micro-batch, forever.
+
+    ``eager=False`` (r13) defers materialization to the caller's next
+    action while still truncating the PLAN immediately (the returned
+    frame is a LogicalRDD either way, so Catalyst analysis stays O(1)
+    deep across loop rounds).  Iterative drivers use it to fold the
+    per-round checkpoint job into the action they were about to run
+    anyway (a convergence count), or — in fixed-iteration loops with
+    no per-round action — to collapse ALL rounds into the final job.
+    Only honored on the localCheckpoint path: a lazy RELIABLE
+    checkpoint recomputes the RDD a second time to write it (Spark
+    semantics without a persist), so the production path stays eager.
     """
     spark = df.sparkSession
     ckpt_dir = "" if local_only else spark.conf.get(CHECKPOINT_DIR_CONF, "")
     if not ckpt_dir:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
     # setCheckpointDir nests a per-context UUID subdir under the given
     # path (and getCheckpointDir returns it scheme-qualified), so track

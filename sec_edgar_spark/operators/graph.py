@@ -110,7 +110,9 @@ def connected_components(
                     "label"
                 ),
             )
-            .transform(lineage_cut)
+            # lazy cut (r13): the changed-count below materializes the
+            # round — one job instead of checkpoint + count per round.
+            .transform(lambda d: lineage_cut(d, eager=False))
         )
         changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.select("id", "label")
@@ -184,7 +186,11 @@ def pagerank_int(
                     + F.expr("85 * coalesce(s_in, 0L) div 100")
                 ).cast("bigint").alias("rank"),
             )
-            .transform(lineage_cut)
+            # lazy cut (r13): fixed-iteration loop with no per-round
+            # action and ONE consumer of each round's output — the
+            # final action computes the whole chain in one job while
+            # the plan stays truncated per round.
+            .transform(lambda d: lineage_cut(d, eager=False))
         )
     return ranks
 
@@ -248,7 +254,9 @@ def label_propagation(
             votes.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("id", "label")
-            .transform(lineage_cut)
+            # lazy cut (r13): one consumer per round, no per-round
+            # action — all rounds compute in the final job.
+            .transform(lambda d: lineage_cut(d, eager=False))
         )
     return labels.select("id", F.col("label").alias("community"))
 
@@ -329,7 +337,10 @@ def kcore_fixpoint(
         und = (
             und.join(keep, "s", "semi")
             .join(keep.withColumnRenamed("s", "d"), "d", "semi")
-        ).transform(lineage_cut)
+        ).transform(lambda d: lineage_cut(d, eager=False))
+        # the count IS the round's materialization (lazy cut, r13) —
+        # one job per round instead of checkpoint + count; the three
+        # next-round consumers then read the materialized partitions.
         n = und.count()
         if n == n_prev:
             break
@@ -366,13 +377,26 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, pre_oriented: bool = False) -> DataFrame:
     """Kiveris small-star: orient each edge to (larger, smaller); every
     node connects its smaller-or-equal neighbourhood (itself included)
-    to that neighbourhood's minimum."""
-    oriented = e.select(
-        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
-    ).distinct()
+    to that neighbourhood's minimum.
+
+    ``pre_oriented=True`` (r13) skips the orient+distinct exchange
+    when the input is ALREADY oriented-and-distinct — which
+    ``_large_star`` output provably is: its rows are (old_v, m) with
+    m = least(min_nbr, old_u) <= old_u < old_v, so u > v strictly on
+    every row (greatest/least are the identity), and it ends in its
+    own ``.distinct()``.  Fusing small∘large on that proof removes one
+    |E|-row shuffle per WCC round.
+    """
+    oriented = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        if pre_oriented
+        else e.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).distinct()
+    )
     mins = oriented.groupBy("a").agg(F.min("b").alias("mb"))
     joined = oriented.join(mins, "a")
     kids = joined.filter(F.col("b") != F.col("mb")).select(
@@ -420,12 +444,20 @@ def wcc_star(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .transform(lineage_cut)
+        .transform(lambda d: lineage_cut(d, eager=False))
     )
     n_prev = -1
     for _ in range(max_rounds):
         prev_e = e
-        e = _small_star(_large_star(e)).transform(lineage_cut)
+        # Lazy cut + immediate count (r13): the count IS the round's
+        # materialization, so each round runs ONE job instead of a
+        # checkpoint job followed by a count job; the plan is still
+        # truncated at build time.  _small_star fuses on _large_star's
+        # oriented-and-distinct output (see its docstring) — one
+        # fewer |E|-row exchange per round.
+        e = _small_star(_large_star(e), pre_oriented=True).transform(
+            lambda d: lineage_cut(d, eager=False)
+        )
         n = e.count()
         if n == n_prev and e.join(prev_e, ["u", "v"], "left_anti").isEmpty():
             break
@@ -508,6 +540,8 @@ def ppr_int(
                 .cast("bigint")
                 .alias("rank"),
             )
-            .transform(lineage_cut)
+            # lazy cut (r13): same single-consumer chain argument as
+            # pagerank_int — all rounds compute in the final job.
+            .transform(lambda d: lineage_cut(d, eager=False))
         )
     return ranks

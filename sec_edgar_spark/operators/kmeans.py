@@ -48,6 +48,37 @@ def _sqdist(a, b):
     return F.aggregate(prods, F.lit(0).cast("long"), lambda s, p: s + p)
 
 
+def _argmin_cell(cents: DataFrame):
+    """Nearest-centroid assignment as a MAP-ONLY expression (r13,
+    guide §2.4): collapse the k-row centroid frame to ONE broadcast
+    row holding array<struct(cell, cv)>, and compute the argmin per
+    data row with array_min over struct(d², cell) — lexicographic
+    struct ordering gives "nearest, ties to lowest cell id", exactly
+    the min(struct(d, cell)) hash agg this replaces.  What it removes,
+    per assignment pass: the k× crossJoin row fan-out and the
+    groupBy(id) exchange+aggregate that un-fanned it (each data row
+    carried its full qv array through that agg via first(qv)).
+    array_min is order-free, so the nondeterministic collect_list
+    order cannot affect the result.
+
+    Returns (carr, expr): crossJoin ``F.broadcast(carr)`` onto the
+    quantized frame and select ``expr.alias("cell")``.
+    """
+    carr = cents.agg(
+        F.collect_list(F.struct("cell", "cv")).alias("_cs")
+    )
+    m = F.array_min(
+        F.transform(
+            "_cs",
+            lambda c: F.struct(
+                _sqdist(F.col("qv"), c["cv"]).alias("d"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return carr, m["cell"]
+
+
 def lloyd_fit(q: DataFrame, k: int, n_iter: int) -> DataFrame:
     """Run ``n_iter`` integer Lloyd iterations over a quantized
     ``(id, qv)`` frame; returns the trained centroids ``(cell, cv)``
@@ -61,29 +92,14 @@ def lloyd_fit(q: DataFrame, k: int, n_iter: int) -> DataFrame:
         F.col("qv").alias("cv"),
     )
     for _ in range(n_iter):
-        # Assignment inline (not assign_cells + re-join) so qv rides
-        # along through the argmin — one shuffle, not two.  The argmin
-        # is min(struct(d2, cell)): struct ordering is lexicographic,
-        # so this is exactly "nearest, ties to lowest cell id" as a
-        # map-combinable hash agg — no per-id window sort of the
-        # corpus×k pair stream.  Locally the two are comparable (these
-        # trainers are plan-analysis-bound at test scale); at cluster
-        # scale the agg partial-combines map-side while the window
-        # must shuffle AND sort all corpus×k rows.  qv is constant
-        # within an id group, so first(qv) is value-deterministic.
-        pairs = q.crossJoin(broadcast(cents))
+        # Assignment is the map-only argmin over the broadcast
+        # centroid array (_argmin_cell, r13) — zero shuffle per pass;
+        # the previous crossJoin + groupBy(id) hash agg paid a k× row
+        # fan-out and an exchange of every qv array per iteration.
+        carr, cell_expr = _argmin_cell(cents)
         assigned = (
-            pairs.groupBy("id")
-            .agg(
-                F.min(
-                    F.struct(
-                        _sqdist(F.col("qv"), F.col("cv")).alias("d"),
-                        F.col("cell").alias("cell"),
-                    )
-                ).alias("m"),
-                F.first("qv").alias("qv"),
-            )
-            .select("id", "qv", F.col("m.cell").alias("cell"))
+            q.crossJoin(broadcast(carr))
+            .select("id", "qv", cell_expr.alias("cell"))
         )
         per_pos = assigned.select(
             "cell", F.posexplode("qv").alias("pos", "x")
@@ -107,22 +123,14 @@ def lloyd_fit(q: DataFrame, k: int, n_iter: int) -> DataFrame:
 
 def assign_cells(q: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment ``(id, cell)`` — integer argmin,
-    ties to the lowest cell id; centroids broadcast.  Argmin via
-    min(struct(d2, cell)) — a hash agg with map-side combine, not a
-    per-id window sort (same lexicographic-struct trick as
-    ``lloyd_fit``; identical results, combiner-friendly at scale)."""
-    pairs = q.crossJoin(broadcast(cents))
+    ties to the lowest cell id, as the map-only broadcast-array
+    argmin (``_argmin_cell``; identical results to the former
+    min(struct(d², cell)) hash agg, with the k× fan-out and the
+    groupBy(id) exchange removed)."""
+    carr, cell_expr = _argmin_cell(cents)
     return (
-        pairs.groupBy("id")
-        .agg(
-            F.min(
-                F.struct(
-                    _sqdist(F.col("qv"), F.col("cv")).alias("d"),
-                    F.col("cell").alias("cell"),
-                )
-            ).alias("m")
-        )
-        .select("id", F.col("m.cell").alias("cell"))
+        q.crossJoin(broadcast(carr))
+        .select("id", cell_expr.alias("cell"))
     )
 
 
@@ -173,19 +181,25 @@ def lloyd_fit_grouped(qg: DataFrame, k: int, n_iter: int) -> DataFrame:
         "g", "cell", F.col("qv").alias("cv")
     )
     for _ in range(n_iter):
-        pairs = qg.join(broadcast(cents), "g")
-        assigned = (
-            pairs.groupBy("g", "id")
-            .agg(
-                F.min(
-                    F.struct(
-                        _sqdist(F.col("qv"), F.col("cv")).alias("d"),
-                        F.col("cell").alias("cell"),
-                    )
-                ).alias("m"),
-                F.first("qv").alias("qv"),
+        # Map-only grouped argmin (r13, same move as _argmin_cell):
+        # per-group centroids collapse to one array row per g, the
+        # equi-join on g broadcasts M rows, and the argmin runs as an
+        # expression — no k× fan-out, no (g, id) exchange per pass.
+        carr_g = cents.groupBy("g").agg(
+            F.collect_list(F.struct("cell", "cv")).alias("_cs")
+        )
+        cell_expr = F.array_min(
+            F.transform(
+                "_cs",
+                lambda c: F.struct(
+                    _sqdist(F.col("qv"), c["cv"]).alias("d"),
+                    c["cell"].alias("cell"),
+                ),
             )
-            .select("g", "id", "qv", F.col("m.cell").alias("cell"))
+        )["cell"]
+        assigned = (
+            qg.join(broadcast(carr_g), "g")
+            .select("g", "id", "qv", cell_expr.alias("cell"))
         )
         per_pos = assigned.select(
             "g", "cell", F.posexplode("qv").alias("pos", "x")
@@ -209,17 +223,21 @@ def lloyd_fit_grouped(qg: DataFrame, k: int, n_iter: int) -> DataFrame:
 
 def assign_cells_grouped(qg: DataFrame, cents: DataFrame) -> DataFrame:
     """Per-group nearest-centroid assignment ``(g, id, cell)`` —
-    grouped twin of ``assign_cells`` (same min-struct argmin)."""
-    pairs = qg.join(broadcast(cents), "g")
-    return (
-        pairs.groupBy("g", "id")
-        .agg(
-            F.min(
-                F.struct(
-                    _sqdist(F.col("qv"), F.col("cv")).alias("d"),
-                    F.col("cell").alias("cell"),
-                )
-            ).alias("m")
+    grouped twin of ``assign_cells`` (map-only broadcast-array argmin,
+    identical results to the former min-struct hash agg)."""
+    carr_g = cents.groupBy("g").agg(
+        F.collect_list(F.struct("cell", "cv")).alias("_cs")
+    )
+    cell_expr = F.array_min(
+        F.transform(
+            "_cs",
+            lambda c: F.struct(
+                _sqdist(F.col("qv"), c["cv"]).alias("d"),
+                c["cell"].alias("cell"),
+            ),
         )
-        .select("g", "id", F.col("m.cell").alias("cell"))
+    )["cell"]
+    return (
+        qg.join(broadcast(carr_g), "g")
+        .select("g", "id", cell_expr.alias("cell"))
     )

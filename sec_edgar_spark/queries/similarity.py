@@ -570,11 +570,16 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     assign = kmeans_fit_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+    # cached: keyed feeds BOTH the broadcast probe side and the
+    # candidate side of the within-cell join; uncached, the broadcast
+    # subquery job replays the whole k-means training chain a second
+    # time (r13 profile: 44.8 s executor time, half of it the twin
+    # trainer pass).
     keyed = e.join(
         assign.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
     ).select(
         "vec_id", "embedding", V.norm("embedding").alias("nrm"), "cell"
-    )
+    ).cache()
     q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -392,6 +392,11 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # full windows only: last window starts at n_grams - W
         F.col("pos") <= F.col("n_toks") - (_WIN_N - 1) - _WIN_W
     )
+    # NOT cached despite three consumers (r13, measured): caching the
+    # posting frame doubled executor task-time at sf0.1 (16.2 s ->
+    # 31.2 s; wall 1.43 s -> 2.08 s) — InMemoryRelation build +
+    # columnar (de)serialization cost more than the replayed gram-hash
+    # chain, whose twin subtrees overlap in wall anyway.
     posting = wins.select("doc_id", "fp").distinct()
     # NOTE: `rare` is the NON-hot side of the df cap — nearly all
     # distinct fingerprints, i.e. corpus-sized.  No broadcast hint
@@ -700,27 +705,40 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(bigram_arr).alias("g")
     )
     bgc = bg.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "g")
-    top = (
-        bgc.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("g").alias("top_bigram"), F.col("cnt").alias("top_cnt"))
-    )
-    dup = bgc.groupBy("doc_id").agg(
+    # top bigram + duplicated-bigram mass in ONE aggregation over bgc
+    # (r13, guide §2.4): the argmax is min(struct(-cnt, g)) — smallest
+    # negated count = highest count, ties to the lexicographically
+    # smallest bigram, exactly the row_number()-over-(desc cnt, g)
+    # winner this replaces — which turns the per-doc window sort plus
+    # the separate dup rollup plus their join into one map-combined
+    # hash agg.
+    bgagg = bgc.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("g").alias("g"))
+        ).alias("m"),
         F.coalesce(
             F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
-        ).alias("dup_bigram_occ")
+        ).alias("dup_bigram_occ"),
+    ).select(
+        "doc_id",
+        F.col("m.g").alias("top_bigram"),
+        (-F.col("m.neg")).alias("top_cnt"),
+        "dup_bigram_occ",
     )
-    tok_rows = toks.select("doc_id", F.explode("_toks").alias("t"))
-    uni = tok_rows.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"), F.countDistinct("t").alias("n_distinct")
+    # unigram stats are per-row identities of the token array (the
+    # bm25 dl = size(tokens) move, r13): COUNT(*) over the explode is
+    # size(ts), COUNT(DISTINCT t) is size(array_distinct(ts)) — the
+    # second corpus explode + hash agg deleted outright.
+    uni = toks.select(
+        "doc_id",
+        F.size("_toks").alias("n_tok"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct"),
     )
     slots = F.greatest(F.col("n_tok") - 1, F.lit(1))
     dup_uni = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tok")
     top_frac = F.col("top_cnt").cast("double") / slots
     return (
-        uni.join(top, "doc_id")
-        .join(dup, "doc_id")
+        uni.join(bgagg, "doc_id")
         .select(
             "doc_id",
             F.col("n_tok").cast("int").alias("n_tokens"),

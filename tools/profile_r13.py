@@ -69,7 +69,7 @@ def main() -> int:
             continue
         spark.conf.set(
             "spark.sec_edgar.scan_parallelize",
-            "documents,embeddings" if name in B.SCAN_PARALLELIZE else "",
+            B.SCAN_PARALLELIZE.get(name, ""),
         )
         best = None
         for attempt in range(samples_n):
