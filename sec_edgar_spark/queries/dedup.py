@@ -539,7 +539,8 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=50
+        d, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=50,
+        eager=True,
     )
 
 
