@@ -1,14 +1,20 @@
 """Deduplication operators (library surface).
 
-Why explode-based, not array-transform-based: computing K minhashes as
-``array_min(transform(shingles, hash_i))`` K times makes Catalyst's
-CollapseProject inline the shingle-building expression into every one of
-the K output columns — the text gets re-tokenized O(K × shingles) times
-per row.  Exploding shingles to rows puts a Generate barrier in the
-plan: tokenize/shingle run once, the K hashes evaluate per shingle row,
-and ``groupBy(id).agg(min...)`` computes signatures with map-side
-partial aggregation.  That is also the formulation that scales: shingle
-rows distribute evenly regardless of document-length skew.
+Signature computation is MAP-ONLY (r13): shingle set, base hashes, and
+the K minhashes are all per-row array expressions staged through
+projections whose intermediates (``sh``, ``_hs``) are each referenced
+MORE THAN ONCE downstream — that multi-reference is what stops
+Catalyst's CollapseProject from inlining the shingle-building
+expression into every one of the K output columns (the re-tokenize-
+O(K × shingles)-times trap that originally motivated an explode +
+``groupBy(id).agg(min...)`` shape; plans/r13 show tokenize/shingle
+evaluate once per row).  Relative to that explode shape this removes
+the Generate, the signature Exchange, and the map-side agg from every
+consumer — measured value-identical and faster at sf0.1, and the
+100 TB shape is strictly better: signatures never shuffle at all, and
+per-document work is embarrassingly parallel regardless of
+document-length skew (a document's shingles were always hashed by one
+reducer anyway — the min is per-document).
 
 All hashes are md5-based (functions/text.py) → engine-portable values.
 """
@@ -71,6 +77,47 @@ def shingle_rows(
     )
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) distinct word n-gram sets, MAP-ONLY.
+
+    Same shingle construction as :func:`shingle_rows` but kept as one
+    array per document — no Generate, no shuffle.  ``_toks`` is
+    referenced twice in the outer projection (``size`` bound +
+    ``element_at``) so CollapseProject cannot inline the tokenize into
+    the lambda (the higher-order recompute trap, see module docstring).
+    """
+    d = df.select(F.col(id_col), T.tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    sh_arr = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_toks", (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return d.select(F.col(id_col), F.array_distinct(sh_arr).alias("sh"))
+
+
+def _minhash_cols(num_hashes: int):
+    """K ``array_min(transform(_hs, affine_i))`` signature columns over a
+    bound ``_hs`` base-hash array column (must be a materialized column
+    reference, not an inline expression — K references keep it from
+    being inlined K times)."""
+    return [
+        F.array_min(
+            F.transform(
+                F.col("_hs"),
+                (lambda ab: (lambda h: (F.lit(ab[0]) * h + F.lit(ab[1])) % MINHASH_P))(
+                    ab
+                ),
+            )
+        ).alias(f"mh{i}")
+        for i, ab in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -78,14 +125,20 @@ def minhash_signatures(
     num_hashes: int,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh0..mhK-1) MinHash signatures.
+    """(id, mh0..mhK-1) MinHash signatures, MAP-ONLY (r13).
 
-    shingle explode → K hash columns per shingle row → min-agg per doc
-    (partial aggregation map-side; the only shuffle carries K longs per
-    document).
+    Per row: shingle set → one md5 base hash per shingle → K
+    ``array_min`` affine transforms.  Zero shuffles; values identical
+    to the historical explode → min-agg shape (min over the same
+    multiset).
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
-    return minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    base = shingle_arrays(df, id_col, text_col, shingle_n)
+    hs = base.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.transform(F.col("sh"), lambda s: T.md5_hash64(s) % MINHASH_P).alias("_hs"),
+    )
+    return hs.select(F.col(id_col), *_minhash_cols(num_hashes))
 
 
 def minhash_signatures_from_shingles(
@@ -185,8 +238,9 @@ def jaccard_verify(
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, sh: array<string>) — collected distinct shingle sets."""
-    return shingle_sets_from_rows(shingle_rows(df, id_col, text_col, n), id_col)
+    """(id, sh: array<string>) — distinct shingle sets, map-only (the
+    per-row array IS the set; no explode + collect_list round trip)."""
+    return shingle_arrays(df, id_col, text_col, n)
 
 
 def shingle_sets_from_rows(sh: DataFrame, id_col: str) -> DataFrame:
@@ -200,21 +254,20 @@ def _fused_doc_frame(
     num_hashes: int,
     shingle_n: int,
 ) -> DataFrame:
-    """ONE shingle explode + ONE aggregation producing both the MinHash
-    signature (K mins) and the exact shingle set per document; cached
-    (lazily) because banding and verify both consume it."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
-    hashed = sh.select(
+    """(id, sh, mh0..mhK-1) per-document frame, MAP-ONLY (r13): the
+    shingle set and the K signature mins are per-row array expressions
+    — no Generate, no signature Exchange (the historical explode + one
+    fused aggregation shape shuffled K longs + the shingle set per
+    document).  Cached (lazily) because banding and verify both
+    consume it."""
+    base = shingle_arrays(df, id_col, text_col, shingle_n)
+    hs = base.select(
         F.col(id_col),
-        F.col("shingle"),
-        (T.md5_hash64(F.col("shingle")) % MINHASH_P).alias("h"),
+        F.col("sh"),
+        F.transform(F.col("sh"), lambda s: T.md5_hash64(s) % MINHASH_P).alias("_hs"),
     )
-    return hashed.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("sh"),
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
-        ],
+    return hs.select(
+        F.col(id_col), F.col("sh"), *_minhash_cols(num_hashes)
     ).cache()
 
 
@@ -827,33 +880,35 @@ def simhash_hamming_pairs(
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
-    """(id, simhash) portable SimHash over whitespace tokens.
+    """(id, simhash) portable SimHash over whitespace tokens, MAP-ONLY
+    (r13).
 
-    Token explode → one md5 hash column → ``bits`` conditional-sum
-    aggregates (all partial/map-side) → fingerprint assembly.
-    Documents with no tokens get fingerprint 0 via the left join.
+    Per row: one md5 hash per token (``transform``), then per bit a
+    set-bit count over the hash array — bit b of the fingerprint is set
+    iff 2·count_b > n_tokens, which is exactly the historical
+    +1/−1 vote sum being positive (vote_b = 2·count_b − n).  Zero
+    shuffles; the explode → ``bits``-way agg → distinct → left-join
+    shape paid three Exchanges for the same values.  Documents with no
+    tokens get fingerprint 0 (every count is 0, no bit set).
     """
-    tok = df.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
-    hashed = tok.select(F.col(id_col), T.md5_hash64(F.col("tok")).alias("h"))
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
-    )
+    hs = F.transform(T.tokens(text_col), lambda t: T.md5_hash64(t))
+    base = df.select(F.col(id_col), hs.alias("_hs"))
+    n = F.size("_hs")
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+        cnt = F.size(
+            F.filter(
+                F.col("_hs"),
+                (lambda bb: (lambda h: h.bitwiseAND(F.lit(1 << bb).cast("long")) != 0))(
+                    b
+                ),
+            )
+        )
+        bit = F.when(cnt * 2 > n, F.lit(2**b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         fp = bit if fp is None else fp + bit
-    ids = df.select(F.col(id_col)).distinct()
-    return (
-        ids.join(votes.select(F.col(id_col), fp.alias("simhash")), id_col, "left")
-        .select(F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
-    )
+    return base.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_adaptive_pairs(

@@ -1840,18 +1840,17 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle+hash cost is the expensive part); each config adds only a
     band-key explode and a bucket equi-join whose candidate output is
     collision-sized.  Exactly how a production tuning sweep should run
-    — never re-shingling per config.
+    — never re-shingling per config.  r13: one MAP-ONLY fused
+    (id, sh, mh*) frame (operators/dedup._fused_doc_frame) replaces
+    the two separate shingle-row aggregations (signature min-agg +
+    collect_set) — one cache, zero Exchanges to build it.
     """
     from ..operators import dedup as D
 
     d = table(spark, sf_dir, "documents")
-    sh = D.shingle_rows(d, "doc_id", "text", n=3)
-    sigs = D.minhash_signatures_from_shingles(
-        sh, "doc_id", num_hashes=NUM_MINHASHES
-    ).cache()
-    shs = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
-    ).cache()
+    per_doc = D._fused_doc_frame(d, "doc_id", "text", NUM_MINHASHES, 3)
+    sigs = per_doc
+    shs = per_doc.select("doc_id", "sh")
     # r13 measured note: a verify-once restructure (one shared
     # Jaccard map over the distinct union of all three configs'
     # candidates, per-config rollups equi-joined against it) was

@@ -2070,17 +2070,20 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the brute-force LIKE scan — the gate proves the
     index path returns byte-identical results to the full scan.
 
-    Scale shape: the trigram explode is a map stage bounded by text
-    length; the needle's trigram set is a plan literal (isin — no join
-    against a query table needed); the agg groups by doc_id with an
-    integer count condition; the verify joins candidates (tiny) back
-    to the doc scan on doc_id.  At 100 TB the posting table would be
-    materialized once and shared across needles — here each needle's
-    branch shares the one scan and the union preserves that shape.
+    Scale shape (r13, map-only): the doc's distinct-trigram set is a
+    per-row array; the needle's trigram set is a plan literal, so the
+    posting-list intersection is ``size(array_intersect(tg, needle_tg))
+    == |needle_tg|`` evaluated in the scan stage — the explode →
+    posting agg → candidate join of the original shape removed (that
+    shape scanned documents TWICE per needle; this one scans once per
+    needle with zero shuffles — same candidate set by definition:
+    membership in the trigram array ⇔ the needle trigram occurs in the
+    doc).  At 100 TB the posting table would be materialized once and
+    shared across needles; the per-row intersection here is the
+    index-probe semantics inlined, which the gate can value-check.
     Selectivity discipline: candidates = docs matching all |needle|-2
     trigrams, a superset of true matches only where trigrams reorder
-    (verified away); no candidate blowup because trigram df is
-    vocabulary-shaped, not corpus-shaped.
+    (verified away).
     """
     d = table(spark, sf_dir, "documents")
     # greatest(..., 0) guards sub-3-char texts: sequence(1, -1) would
@@ -2092,20 +2095,20 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substring(text, i, 3))"
         )
     )
-    posting = d.select("doc_id", F.explode(trgm).alias("tg"))
+    keyed = d.select("doc_id", "text", trgm.alias("_tg"))
     out = None
     for pat in _TRGM_PATTERNS:
         n = len(pat)
         q_trgms = sorted({pat[i : i + 3] for i in range(n - 2)})
-        cand = (
-            posting.filter(F.col("tg").isin(q_trgms))
-            .groupBy("doc_id")
-            .agg(F.count_distinct("tg").alias("k"))
-            .filter(F.col("k") == len(q_trgms))
-            .select("doc_id")
-        )
         hits = (
-            d.join(cand, "doc_id")
+            keyed.filter(
+                F.size(
+                    F.array_intersect(
+                        F.col("_tg"), F.array(*[F.lit(t) for t in q_trgms])
+                    )
+                )
+                == len(q_trgms)
+            )
             .filter(F.col("text").contains(pat))
             .select(
                 F.lit(pat).alias("pattern"),
