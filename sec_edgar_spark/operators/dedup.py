@@ -379,11 +379,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
-    Cache policy: LAZY cache of the shingle rows — cold-session A/B
-    at sf0.1 shows parity with eager (6.1s vs 5.8s) while dropping the
-    extra materialization job; NO cache recomputes the window per
-    consumer (13s).  Branches racing to populate a lazy cache can
-    duplicate some partition computes but never affect results.
+    Cache policy: the per-doc shingle-ARRAY frame is cached (eager at
+    the gate call site — r13 measured the lazy cache being raced by
+    the plan's concurrent broadcast legs, each recomputing full
+    partitions before the cache populated; one up-front
+    materialization job fixes that and is construction-state
+    deterministic).  Branches racing a lazy cache can duplicate some
+    partition computes but never affect results.
 
     Candidate generation: two docs are candidates iff they share at
     least one *discriminative* shingle — shingles occurring in more
@@ -408,9 +410,15 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.functions import broadcast
 
-    sh = shingle_rows(df, id_col, text_col, n).cache()
+    # r13: cache the per-doc shingle ARRAY frame (map-only to build —
+    # no Generate, no shuffle); the posting rows derive from it by a
+    # cheap explode of the cached column, and the per-doc size / hot
+    # overlap frames become per-row expressions instead of two more
+    # aggregations over the exploded stream.
+    base = shingle_arrays(df, id_col, text_col, n).cache()
     if eager:
-        sh.count()
+        base.count()
+    sh = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -435,17 +443,19 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter_capped"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    hot_sets = (
-        sh.join(broadcast(hot), "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("hot_sh"))
-    )
-    empty = F.array().cast("array<string>")
-    per_doc = sizes.join(hot_sets, id_col, "left").select(
+    # Per-doc size and hot-shingle overlap are PER-ROW facts of the
+    # cached array frame: |distinct shingles| = size(sh), and the hot
+    # overlap = array_intersect against the hot vocabulary collected
+    # into ONE broadcast row (bounded: shingles with df > cap are the
+    # boilerplate vocabulary, never corpus-shaped — the same bounded
+    # contract the per-row hot arrays below already rely on).  The
+    # historical shape paid two more aggregations over the exploded
+    # stream (count per doc, semi-join + collect_list) plus their join.
+    hot_arr = hot.agg(F.collect_list("shingle").alias("hot_all"))
+    per_doc = base.crossJoin(broadcast(hot_arr)).select(
         F.col(id_col),
-        F.col("sz"),
-        F.coalesce("hot_sh", empty).alias("hot_sh"),
+        F.size("sh").cast("long").alias("sz"),
+        F.array_intersect("sh", "hot_all").alias("hot_sh"),
     )
     pa = per_doc.select(
         F.col(id_col).alias("id_a"),
@@ -666,9 +676,13 @@ def prefix_filter_join(
     output; the capped oracle agrees because its QUALIFY/WHERE keep
     every row in that case too.
     """
+    # r13: (id, tok) distinct is PER-DOCUMENT — per-row array_distinct
+    # before the explode replaces the corpus-token-sized distinct
+    # Exchange the historical shape paid.
     toks = df.select(
-        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
-    ).distinct()
+        F.col(id_col),
+        F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"),
+    )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # global order: rank tokens by (df, tok); per doc, sort token ranks
     # ascending — rarest first (rank is dense enough for ordering; ties

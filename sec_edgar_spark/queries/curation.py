@@ -1023,12 +1023,16 @@ def curation_contamination_report(
 
     d = table(spark, sf_dir, "documents")
     sh = shingle_rows(d, "doc_id", "text", 8)
+    # r13: no .distinct() — shingle_rows explodes array_distinct'd
+    # per-row shingle sets, so (doc, shingle) rows are ALREADY unique;
+    # the two distincts were pure no-op Exchanges (guide §2.4: "a
+    # distinct on data that is already unique").
     train_sh = sh.filter(F.col("doc_id") % 13 != 0).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
-    ).distinct()
+    )
     eval_sh = sh.filter(F.col("doc_id") % 13 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
-    ).distinct()
+    )
     return (
         eval_sh.join(train_sh, "shingle")
         .groupBy("eval_doc_id")

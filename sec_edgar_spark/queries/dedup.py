@@ -648,11 +648,11 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    posting = (
-        toks.select("doc_id", F.explode(chunk_arr).alias("chunk_md5"))
-        .groupBy("chunk_md5", "doc_id")
-        .agg(F.lit(1).alias("_one"))
-        .select("chunk_md5", "doc_id")
+    # r13: the (chunk, doc) posting dedup is PER-DOCUMENT — per-row
+    # array_distinct before the explode replaces the corpus-sized
+    # groupBy(chunk, doc) exchange the historical shape paid.
+    posting = toks.select(
+        "doc_id", F.explode(F.array_distinct(chunk_arr)).alias("chunk_md5")
     )
     rare = (
         posting.groupBy("chunk_md5")
@@ -1251,10 +1251,10 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_pairs(
     spark: SparkSession, sf_dir: str, df_cap_pct: int | None = None
 ) -> DataFrame:
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-        .distinct()
+    # r13: (doc, tok) distinct is per-document — array_distinct before
+    # the explode (no corpus-sized distinct Exchange).
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("tok")
     )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     per_doc = (

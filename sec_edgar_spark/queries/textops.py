@@ -346,14 +346,17 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     detected regardless of alignment, while fingerprint density stays
     <= 2/(w+1) of the grams — position-robust AND sub-linear storage.
 
-    Scale shape: each gram hashes ONCE (the hash array builds in one
-    pass and immediately explodes to (doc, pos, h) rows — building it
-    inside a nested window lambda would re-evaluate the whole array per
-    window after projection collapse, a measured O(n²) md5 blowup);
-    the window-min then runs as a per-doc ordered frame
-    [pos, pos+w-1] — the same single per-key sort any grouped ranking
-    pays — and only winnowed survivors reach the df-capped posting
-    join.
+    Scale shape (r13, MAP-ONLY winnowing): each gram hashes ONCE into a
+    per-row hash array (its OWN projection, referenced twice downstream
+    — building it inside a nested lambda would re-evaluate the whole
+    array per window after projection collapse, a measured O(n²) md5
+    blowup), and the window-min is ``array_min(slice(h, i, w))`` per
+    position — a per-row expression, because winnowing is per-document
+    by definition.  The historical shape posexploded the gram stream
+    and ran a doc-partitioned ordered window (one corpus-sized
+    exchange + sort) plus a ``(doc, fp).distinct()`` exchange; both are
+    gone — per-doc ``array_distinct`` IS that distinct.  Only winnowed
+    survivors reach the df-capped posting join.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("ts")).filter(
@@ -373,31 +376,22 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = toks.select(
         "doc_id",
-        F.size("ts").alias("n_toks"),
-        F.posexplode(
-            F.transform(F.sequence(F.lit(1), n_grams), lambda i: h_at(i))
-        ).alias("pos", "h"),
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: h_at(i)).alias(
+            "_h"
+        ),
     )
-    wmin = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, _WIN_W - 1)
-    )
-    wins = grams.select(
-        "doc_id",
-        "pos",
-        "n_toks",
-        F.min("h").over(wmin).alias("fp"),
-    ).filter(
-        # full windows only: last window starts at n_grams - W
-        F.col("pos") <= F.col("n_toks") - (_WIN_N - 1) - _WIN_W
+    fp_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_h") - (_WIN_W - 1)),
+            lambda i: F.array_min(F.slice("_h", i, _WIN_W)),
+        )
     )
     # NOT cached despite three consumers (r13, measured): caching the
     # posting frame doubled executor task-time at sf0.1 (16.2 s ->
     # 31.2 s; wall 1.43 s -> 2.08 s) — InMemoryRelation build +
     # columnar (de)serialization cost more than the replayed gram-hash
     # chain, whose twin subtrees overlap in wall anyway.
-    posting = wins.select("doc_id", "fp").distinct()
+    posting = grams.select("doc_id", F.explode(fp_arr).alias("fp"))
     # NOTE: `rare` is the NON-hot side of the df cap — nearly all
     # distinct fingerprints, i.e. corpus-sized.  No broadcast hint
     # (AQE may still broadcast it at small SFs): forcing it would OOM
@@ -1356,20 +1350,25 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first occurrence" is an integer min over doc_id — no floats
     anywhere upstream.
 
-    Scale shape: shingles assemble per row in codegen (sequence +
-    transform + array_distinct — zero shuffle) and the exploded stream
-    feeds exactly TWO aggregates — per-doc distinct-shingle counts,
-    and the shingle-keyed min(doc_id) whose output re-aggregates BY
-    first_doc into per-doc novel counts.  The final join is between
-    two doc-cardinality aggregate frames; the shingle stream itself is
-    never joined back (the original formulation did, and that
-    corpus-sized string-keyed join-back was ~35% of its wall time).
+    Scale shape (r13): the per-doc distinct-shingle count is the SIZE
+    of the per-row shingle array — computed map-only in the scan stage
+    (``size(shingles)``), not by re-exploding the corpus into a second
+    aggregate; only the shingle-keyed min(doc_id) still consumes the
+    exploded stream (it is inherently cross-document), and its output
+    re-aggregates BY first_doc into per-doc novel counts.  One corpus
+    8-gram explode instead of two; the final join is between two
+    doc-cardinality frames; the shingle stream itself is never joined
+    back (the original formulation did, and that corpus-sized
+    string-keyed join-back was ~35% of its wall time).
     """
     d = table(spark, sf_dir, "documents")
-    sh = d.filter(T.token_count("text") >= 8).select(
-        "doc_id", F.explode(T.shingles("text", 8)).alias("sh")
+    keyed = d.filter(T.token_count("text") >= 8).select(
+        "doc_id", T.shingles("text", 8).alias("_sh8")
     )
-    nsh = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh = keyed.select("doc_id", F.explode("_sh8").alias("sh"))
+    nsh = keyed.select(
+        "doc_id", F.size("_sh8").cast("bigint").alias("n_shingles")
+    )
     nno = (
         sh.groupBy("sh")
         .agg(F.min("doc_id").alias("doc_id"))
