@@ -296,6 +296,29 @@ SCAN_PARALLELIZE.update(
     }
 )
 
+# r14 (guide §4.2, VERDICT r13 #3): trainer queries evaluate the
+# integer argmin over broadcast codebooks; as a Catalyst higher-order
+# expression that evaluation is INTERPRETED and was the dominant task
+# cost of every trainer (~35 s task in ann_pq_adc_topk).  Under this
+# per-query flag the same argmin runs as one vectorized NumPy
+# ArrowEvalPython stage (operators/kmeans.VECTORIZED_ARGMIN_CONF) —
+# bit-identical results (exact int64 arithmetic both ways, ties to the
+# lowest cell id, parity oracle-checked at sf0.01/sf0.1).  The
+# correctness gate never sets the flag, so oracle-gated plans keep the
+# pure-expression path — same declared-flag discipline as
+# SCAN_PARALLELIZE above; a production deployment turns the conf on
+# globally.
+VECTORIZED_ARGMIN = {
+    "ml_kmeans_assign",
+    "ml_cluster_quality",
+    "ann_ivf_trained",
+    "ann_pq_adc_topk",
+    "dedup_semantic",
+    "dedup_semantic_capped",
+    "dedup_semantic_cap_audit",
+    "curation_cluster_balanced_sample",
+}
+
 # Iterative-trainer queries (multi-job loops: k-means iterations, PQ
 # codebook fits, centroid assignment).  Their first run routinely eats
 # a codegen/JIT warmup spike that best-of-2 can't always dodge — r6's
@@ -475,6 +498,10 @@ def main() -> int:
             "spark.sec_edgar.scan_parallelize",
             SCAN_PARALLELIZE.get(name, ""),
         )
+        spark.conf.set(
+            "spark.sec_edgar.vectorized_argmin",
+            "true" if name in VECTORIZED_ARGMIN else "false",
+        )
         # Best-of-2 per query (same policy as tools/scale_probe.py):
         # single-shot wall times on a shared box swing up to 5x on
         # whichever query catches a GC pause or a contending process —
@@ -523,20 +550,26 @@ def main() -> int:
                 task_times[name] = best[1]
 
     total = round(sum(timings.values()), 3)
+    # Field order + compactness are deliberate (VERDICT r13 #7: the r12
+    # driver artifact kept only a truncated tail of this line and lost
+    # the whole round's per-query table): totals/sf/errors lead so a
+    # head-keeping capture still carries the headline numbers, the
+    # per-query map comes last, and compact separators shave ~25% off
+    # the line.  Same ONE-JSON-LINE contract, same keys.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+    out["queries"] = timings
     if only:
         # debug-subset runs surface task_time inline (full runs keep
         # the one-line stdout contract; task_time lives in BENCH_LOCAL)
         out["task_time"] = task_times
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
     # Persist the full per-query record next to the repo (VERDICT r8
     # #2: the driver artifact truncates its tail to 2000 chars, so
     # round-over-round per-query comparisons need a repo-side record).

@@ -82,9 +82,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # deterministic predicates through Repartition.  Cheap
             # aggregate-only queries are NOT flagged: for them the
             # extra shuffle costs more than the single-task scan.
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+            #
+            # r14 (VERDICT r13 #1): the spread count is bounded by the
+            # TABLE'S OWN ROW COUNT (parquet footer metadata — no job),
+            # not raw defaultParallelism: per-task work here is
+            # per-row CPU, so a 2 000-row table fanned 32 ways makes
+            # 32 tasks of ~60 rows whose scheduling overhead exceeds
+            # the work — the r13 driver measured the battery's 32-core
+            # leg losing to its own 8-core leg on exactly these
+            # shapes.  ≥256 rows per spread task keeps small tables on
+            # few tasks at any core count while big tables still use
+            # the whole executor (50 k rows → the full parallelism).
+            df = df.repartition(_spread_parts(spark, path))
         memo[key] = df
     return memo[key]
+
+
+SPREAD_ROWS_PER_TASK = 256
+
+
+def _spread_parts(spark: SparkSession, path: str) -> int:
+    """Scan-spread partition count: ceil(rows / SPREAD_ROWS_PER_TASK)
+    clamped to [1, defaultParallelism].  Row count comes from the
+    parquet footer (a metadata read, no Spark job); unreadable footers
+    fall back to the historical defaultParallelism."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        import pyarrow.parquet as _pq
+
+        rows = _pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return par
+    return max(1, min(par, -(-rows // SPREAD_ROWS_PER_TASK)))
 
 
 def _parallelize_tables(spark: SparkSession) -> frozenset[str]:

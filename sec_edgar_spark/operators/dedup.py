@@ -247,7 +247,7 @@ def shingle_sets_from_rows(sh: DataFrame, id_col: str) -> DataFrame:
     return sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh"))
 
 
-def _fused_doc_frame(
+def fused_doc_frame(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -259,7 +259,16 @@ def _fused_doc_frame(
     — no Generate, no signature Exchange (the historical explode + one
     fused aggregation shape shuffled K longs + the shingle set per
     document).  Cached (lazily) because banding and verify both
-    consume it."""
+    consume it.
+
+    Public API (ADVICE r13): three call-site families consume it —
+    the LSH pipeline here, the streaming incremental-LSH upsert, and
+    dedup_band_tuning's shared fused frame.  Cache lifetime: the
+    cache is registered per returned DataFrame and lives until
+    ``spark.catalog.clearCache()`` or session end; batch callers that
+    time/isolate queries (bench.py, tools/*) clear the catalog cache
+    between runs, and the streaming path re-builds it per micro-batch
+    (each batch is a new frame, so no cross-batch growth)."""
     base = shingle_arrays(df, id_col, text_col, shingle_n)
     hs = base.select(
         F.col(id_col),
@@ -297,7 +306,7 @@ def minhash_lsh_dedup(
     ``eager=True`` remains available for deterministic one-pass
     materialization when profiling.
     """
-    per_doc = _fused_doc_frame(df, id_col, text_col, num_hashes, shingle_n)
+    per_doc = fused_doc_frame(df, id_col, text_col, num_hashes, shingle_n)
     if eager:
         per_doc.count()
 
@@ -338,8 +347,8 @@ def incremental_lsh_dedup(
     sides computed fresh, which is what the correctness gate can
     replay.
     """
-    per_new = _fused_doc_frame(new_df, id_col, text_col, num_hashes, shingle_n)
-    per_corpus = _fused_doc_frame(
+    per_new = fused_doc_frame(new_df, id_col, text_col, num_hashes, shingle_n)
+    per_corpus = fused_doc_frame(
         corpus_df, id_col, text_col, num_hashes, shingle_n
     )
     nb = minhash_band_keys(per_new, id_col, bands, rows_per_band).alias("n")
@@ -443,19 +452,30 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter_capped"))
     )
-    # Per-doc size and hot-shingle overlap are PER-ROW facts of the
-    # cached array frame: |distinct shingles| = size(sh), and the hot
-    # overlap = array_intersect against the hot vocabulary collected
-    # into ONE broadcast row (bounded: shingles with df > cap are the
-    # boilerplate vocabulary, never corpus-shaped — the same bounded
-    # contract the per-row hot arrays below already rely on).  The
-    # historical shape paid two more aggregations over the exploded
-    # stream (count per doc, semi-join + collect_list) plus their join.
-    hot_arr = hot.agg(F.collect_list("shingle").alias("hot_all"))
-    per_doc = base.crossJoin(broadcast(hot_arr)).select(
-        F.col(id_col),
-        F.size("sh").cast("long").alias("sz"),
-        F.array_intersect("sh", "hot_all").alias("hot_sh"),
+    # Per-doc size is a PER-ROW fact of the cached array frame
+    # (|distinct shingles| = size(sh)).  The per-doc HOT overlap is a
+    # broadcast SEMI join + collect_list over the posting rows
+    # (ADVICE r13): with an ABSOLUTE df cap the hot set grows with the
+    # corpus, so collecting it into ONE array value risks the ~2 GB
+    # single-value ceiling and pays an O(|hot|) hash-set build per
+    # document row; the semi-join shape broadcasts ``hot`` as a hash
+    # RELATION (no single-value ceiling) and the resulting per-doc hot
+    # arrays are bounded by document length, not corpus size.
+    hot_per_doc = (
+        sh.join(broadcast(hot), "shingle", "semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("hot_sh"))
+    )
+    per_doc = (
+        base.select(F.col(id_col), F.size("sh").cast("long").alias("sz"))
+        .join(hot_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("sz"),
+            F.coalesce(
+                "hot_sh", F.array().cast("array<string>")
+            ).alias("hot_sh"),
+        )
     )
     pa = per_doc.select(
         F.col(id_col).alias("id_a"),

@@ -172,8 +172,18 @@ def global_rank(df: DataFrame, order_by: list[str]) -> DataFrame:
     with a unique key the rank is independent of where the range
     partitioner happens to cut, so the result is deterministic even
     though boundary sampling isn't.  Adds column ``rn``.
+
+    Partition count is sized by the frame's estimated bytes, clamped
+    to [1, defaultParallelism] (operators/partitions.range_parts,
+    r14): ranks are cheap per row, so a small frame in one partition
+    beats paying 3 stages × core-count tasks of scheduling overhead;
+    a large frame still gets the full parallelism.  The rank VALUE is
+    partitioning-independent (unique total order), so this is a pure
+    physical choice.
     """
-    parts = df.sparkSession.sparkContext.defaultParallelism
+    from .partitions import range_parts
+
+    parts = range_parts(df)
     # lineage_cut pins ONE materialization of the range shuffle:
     # the offsets subtree and the final pass below must see the SAME
     # partition boundaries.  Without it they are two independent
@@ -762,8 +772,14 @@ def grouped_weighted_cumsum(
     (group_cols + order_cols) must be a unique key (callers append
     tiebreaks); uniqueness makes the running total independent of
     where the range partitioner cuts.  Adds ``out_col``.
+
+    Partition count: bytes-derived with a defaultParallelism ceiling
+    (operators/partitions.range_parts, r14 — same rationale as
+    global_rank; the running total is partitioning-independent).
     """
-    parts = df.sparkSession.sparkContext.defaultParallelism
+    from .partitions import range_parts
+
+    parts = range_parts(df)
     sorted_df = (
         df.repartitionByRange(parts, *group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())

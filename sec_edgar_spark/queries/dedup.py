@@ -1841,14 +1841,14 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key explode and a bucket equi-join whose candidate output is
     collision-sized.  Exactly how a production tuning sweep should run
     — never re-shingling per config.  r13: one MAP-ONLY fused
-    (id, sh, mh*) frame (operators/dedup._fused_doc_frame) replaces
+    (id, sh, mh*) frame (operators/dedup.fused_doc_frame) replaces
     the two separate shingle-row aggregations (signature min-agg +
     collect_set) — one cache, zero Exchanges to build it.
     """
     from ..operators import dedup as D
 
     d = table(spark, sf_dir, "documents")
-    per_doc = D._fused_doc_frame(d, "doc_id", "text", NUM_MINHASHES, 3)
+    per_doc = D.fused_doc_frame(d, "doc_id", "text", NUM_MINHASHES, 3)
     sigs = per_doc
     shs = per_doc.select("doc_id", "sh")
     # r13 measured note: a verify-once restructure (one shared

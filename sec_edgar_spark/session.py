@@ -37,6 +37,22 @@ def builder(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14 (guide §2.2, VERDICT r13 #1): AQE's parallelism-first
+        # coalescing sizes post-shuffle partitions to
+        # totalBytes/defaultParallelism bounded below by this value —
+        # at the 1 MB default a small-but-not-tiny shuffle still fans
+        # out proportionally to CORE COUNT (32 tasks at local[32] vs 8
+        # at local[8] for the same bytes), which is why the r13 driver
+        # measured 28 gate-scale queries >2× slower at 32 cores than
+        # at 8.  4 MB makes small stages coalesce to the same
+        # byte-derived task count at any core count; large shuffles
+        # are unaffected (totalBytes/parallelism dominates long before
+        # 100 TB).  Env-overridable for deployments that want the
+        # stock behavior.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "4m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    _fused_doc_frame,
+    fused_doc_frame,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_band_keys,
@@ -186,7 +186,7 @@ def _upsert_inner(
     shingle_n: int,
     compact_every: int | None,
 ) -> None:
-    per_doc = _fused_doc_frame(batch, "doc_id", "text", num_hashes, shingle_n)
+    per_doc = fused_doc_frame(batch, "doc_id", "text", num_hashes, shingle_n)
     new_bands = minhash_band_keys(per_doc, "doc_id", bands, rows_per_band)
     new_sets = per_doc.select("doc_id", "sh")
     batch_ids = batch.select("doc_id").distinct()
