@@ -94,9 +94,16 @@ def test_table_bytes_missing_path_is_zero(tmp_path):
 
 
 def _fake_dataset(tmp_path, name, nbytes):
+    # Sparse file: the sizing rule only reads st_size, and materializing
+    # the bytes made the two 1 GB fixtures the suite's #3/#5 slowest
+    # tests (177 s + 112 s of disk writes for a size-stat check).
     d = tmp_path / name
     d.mkdir(exist_ok=True)
-    (d / "events.parquet").write_bytes(b"x" * nbytes)
+    p = d / "events.parquet"
+    with open(p, "wb") as fh:
+        if nbytes:
+            fh.seek(nbytes - 1)
+            fh.write(b"\0")
     return str(d)
 
 

@@ -57,7 +57,12 @@ def _registry():
     return entrymod.queries(), entrymod.oracle_sql()
 
 
+@pytest.mark.slow
 def test_no_hash_fragile_gate_outputs(spark):
+    # slow tier (r14): builds every registry plan (~6 min — the probe
+    # jobs some constructions run dominate); the same registry-wide
+    # build runs in test_plan_audit's slow tier and the driver's own
+    # gate exercises the actual output hashing every round.
     queries, oracles = _registry()
     offenders = {}
     for name, fn in sorted(queries.items()):

@@ -137,6 +137,31 @@ def test_plan_audit_report_is_current():
     )
 
 
+def test_plan_audit_report_has_no_exchange_drift():
+    """A committed PLAN_AUDIT.md must carry ZERO ExchangeDrift rows
+    (VERDICT r13 #6: the r13 report was regenerated before the final
+    re-pins and shipped drift rows the pins had already resolved — the
+    count-match test above can't see that).  The audit flags drift
+    when a measured plan's Exchange count disagrees with
+    tools/plan_pins.json AT GENERATION TIME; pins are regenerated with
+    every intentional plan change, so a drift row in the committed
+    report always means the report is stale (or a regression shipped
+    unpinned) — both are regenerate-and-look errors.
+
+    The pin side of each drift annotation is the pins-file value at
+    generation time, so any drift row also means report and pins were
+    generated at different code states."""
+    import re
+
+    with open("PLAN_AUDIT.md") as fh:
+        report = fh.read()
+    drift = re.findall(r"\|\s*(\w+)\s*\|[^|\n]*ExchangeDrift×(\d+)!=(\d+)", report)
+    assert not drift, (
+        "PLAN_AUDIT.md carries ExchangeDrift rows — regenerate the "
+        f"report at HEAD (python tools/plan_audit.py): {drift[:5]}"
+    )
+
+
 def test_whitelists_reference_live_queries():
     """Fast no-Spark hygiene gate: every name in the plan-audit
     whitelists must exist in the registry — a renamed or deleted query
