@@ -208,6 +208,37 @@ def lsh_candidate_pairs(
     )
 
 
+# r14 NEGATIVE RESULT (guide §1.2/§4.2, VERDICT r13 #3b): a vectorized
+# Arrow twin of the verify-tier set overlap was built and MEASURED
+# SLOWER, so the expression path below stays.  Two kernel shapes were
+# tried at an at-scale synthetic (200k candidate pairs × 120-shingle
+# string arrays, 8 cores, interleaved min-of-2): a pandas_udf
+# (factorize + int64 row-key set ops) at 11.95 s and a pyarrow-native
+# mapInArrow (ListArray offsets + dictionary_encode codes, zero Python
+# string objects) at 12.59 s — vs 3.66-4.64 s for the expression path.
+# Unlike the trainers' argmin (an INTERPRETED Catalyst higher-order
+# fold, where the NumPy kernel wins ~2× — operators/kmeans.py),
+# array_intersect/array_union are codegen'd JVM expressions: there is
+# no interpretation penalty to recover, and shipping every candidate
+# pair's string arrays across the JVM→Python Arrow boundary costs ~3×
+# the whole set-op stage.  Results were verified bit-identical before
+# discarding (OPTIMIZATION_r14.md has the full numbers).
+
+
+def jaccard_expr(sh_a: str, sh_b: str):
+    """Exact set Jaccard ``|A∩B| / |A∪B|`` as one expression — the
+    shared verify-tier definition (LSH verify, prefix-filter verify,
+    band tuning)."""
+    return F.size(F.array_intersect(sh_a, sh_b)).cast("double") / F.size(
+        F.array_union(sh_a, sh_b)
+    )
+
+
+def intersect_size_expr(xs: str, ys: str):
+    """``size(array_intersect(xs, ys))`` — the containment numerator."""
+    return F.size(F.array_intersect(xs, ys)).cast("bigint")
+
+
 def jaccard_verify(
     pairs: DataFrame,
     shingle_sets: DataFrame,
@@ -225,14 +256,12 @@ def jaccard_verify(
     sb = shingle_sets.select(
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
-    )
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select(
+            "id_a", "id_b", jaccard_expr("sh_a", "sh_b").alias("jaccard")
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -822,14 +851,10 @@ def prefix_filter_join(
     sb = docs.select(
         F.col(id_col).alias("id_b"), F.col("toks_ord").alias("sb")
     )
-    jac = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_union("sa", "sb"))
-    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select("id_a", "id_b", jaccard_expr("sa", "sb").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

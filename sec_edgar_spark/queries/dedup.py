@@ -1388,8 +1388,10 @@ def _containment_pairs(
     y = docs.select(
         F.col("doc_id").alias("big_id"), F.col("toks_ord").alias("ty")
     )
+    from ..operators.dedup import intersect_size_expr
+
     contain = (
-        F.size(F.array_intersect("tx", "ty")).cast("double") / F.col("nx")
+        intersect_size_expr("tx", "ty").cast("double") / F.col("nx")
     )
     return (
         cand.join(x, "small_id")
@@ -1892,9 +1894,7 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-        jac = F.size(F.array_intersect("sh_a", "sh_b")).cast(
-            "double"
-        ) / F.size(F.array_union("sh_a", "sh_b"))
+        jac = D.jaccard_expr("sh_a", "sh_b")
         row = (
             cand.join(sa, "doc_a")
             .join(sb, "doc_b")
