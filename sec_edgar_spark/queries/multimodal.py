@@ -323,16 +323,21 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return F.concat(*parts)
 
-    # sample bytes: fold the per-sample LE hex, one unhex at the end
+    # sample bytes: join the per-sample LE hex, one unhex at the end.
+    # array_join, not an aggregate(.., concat) fold (r14, guide §4.2/
+    # §1.2 per-task work): the fold re-copied the accumulated string
+    # every step — O(n²) bytes per row and interpreted lambda calls —
+    # while array_join sizes the output once and is a codegen'd
+    # builtin.  Byte-identical: elements are never null and the empty
+    # sequence joins to "" exactly like the fold's init.
     u = lambda i: (F.col("doc_id") * 31 + i * 7) % 65536  # noqa: E731
     le_hex = lambda c: F.concat(  # noqa: E731
         F.substring(F.lpad(F.hex(c.cast("long")), 4, "0"), 3, 2),
         F.substring(F.lpad(F.hex(c.cast("long")), 4, "0"), 1, 2),
     )
-    data_hex = F.aggregate(
+    data_hex = F.array_join(
         F.transform(F.sequence(F.lit(0), n_samples - 1), lambda i: le_hex(u(i))),
-        F.lit(""),
-        lambda acc, x: F.concat(acc, x),
+        "",
     )
     fmt_chunk = F.concat(
         F.lit(b"fmt "), le(F.lit(16), 4),
@@ -373,19 +378,22 @@ def _bmp_blob(w, h, px_hex):
     pad = stride - w * 3
     data_len = stride * h
     file_len = F.lit(54) + data_len
+    # array_join, not an aggregate(.., concat) fold (r14, guide §4.2/
+    # §1.2): the fold re-copied the accumulated row/file string every
+    # step — O(n²) bytes per row — array_join sizes the output once in
+    # a codegen'd builtin.  Byte-identical (elements never null; empty
+    # sequence joins to "" like the fold's init).
     row_hex = lambda y: F.concat(  # noqa: E731
-        F.aggregate(
-            F.sequence(F.lit(0), w - 1),
-            F.lit(""),
-            lambda acc, x: F.concat(acc, px_hex(x, y)),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), w - 1), lambda x: px_hex(x, y)),
+            "",
         ),
         F.repeat(F.lit("00"), pad),
     )
     # bottom-up: row H-1 first in byte order ⇒ iterate y = h-1 .. 0
-    data_hex = F.aggregate(
-        F.sequence(h - 1, F.lit(0), F.lit(-1)),
-        F.lit(""),
-        lambda acc, y: F.concat(acc, row_hex(y)),
+    data_hex = F.array_join(
+        F.transform(F.sequence(h - 1, F.lit(0), F.lit(-1)), row_hex),
+        "",
     )
     file_header = F.concat(
         F.lit(b"BM"), _le(file_len, 4), _le(F.lit(0), 4), _le(F.lit(54), 4)
