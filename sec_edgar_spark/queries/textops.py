@@ -1362,9 +1362,27 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-keyed join-back was ~35% of its wall time).
     """
     d = table(spark, sf_dir, "documents")
-    keyed = d.filter(T.token_count("text") >= 8).select(
-        "doc_id", T.shingles("text", 8).alias("_sh8")
+    # Materialize the token split in its own projection and reference
+    # it twice (r14, guide §1.2 per-task work): T.shingles("text", 8)
+    # inlined the split into the transform lambda, and interpreted
+    # higher-order lambdas re-evaluate the inlined split PER SHINGLE
+    # POSITION — the recompute trap documented at
+    # operators/dedup.shingle_rows and SCALE.md.  The double reference
+    # (filter + lambda) keeps CollapseProject from re-inlining it.
+    tokd = d.select("doc_id", T.tokens("text").alias("_toks")).filter(
+        F.size("_toks") >= 8
     )
+    # .cache(): the explode branch (novel-shingle min) and the size
+    # branch (per-doc shingle count) both consume this frame, and
+    # without the cache each re-runs the full shingle assembly — the
+    # same duplicated-recompute shape the dedup family's
+    # fused_doc_frame cache removes (r13).  Measured 6.1s → 1.7s warm
+    # at 8 cores, sf0.1.  Lifetime: per-bench-sample (the bench clears
+    # the cache between samples); MEMORY_AND_DISK spills gracefully at
+    # scale, same trade as fused_doc_frame.
+    keyed = tokd.select(
+        "doc_id", T.shingles_from_tokens(F.col("_toks"), 8).alias("_sh8")
+    ).cache()
     sh = keyed.select("doc_id", F.explode("_sh8").alias("sh"))
     nsh = keyed.select(
         "doc_id", F.size("_sh8").cast("bigint").alias("n_shingles")
