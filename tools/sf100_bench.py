@@ -126,7 +126,16 @@ def main() -> int:
     # (the sf100 documents table lands on the measured 128 pin)
     # automatically.  SPARK_GRAFT_SHUFFLE, if exported, pins the old
     # manual behavior and disables autosizing.
-    spark = get_spark(app_name="sf100-bench")
+    # UI on for job-group task metrics (r14, VERDICT #8: the decade
+    # claim needs SPILL evidence, not just walls — the r13 partition
+    # calibration was motivated by a 24 GB spill at 128 partitions).
+    from sec_edgar_spark.session import builder
+
+    spark = (
+        builder(app_name="sf100-bench")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sec_edgar.longcents", "true")
 
@@ -181,6 +190,14 @@ def main() -> int:
     all_walls: dict[str, dict[str, list]] = {
         n: {"sf10": [], "sf100": []} for n in probes
     }
+    # Per-leg executor task time + total disk spill (r14): job-group
+    # attributed via the REST API, best-effort like bench.py's capture.
+    from tools.taskmetrics import GroupMetrics
+
+    gm = GroupMetrics(spark)
+    leg_metrics: dict[str, dict[str, dict]] = {
+        n: {"sf10": {}, "sf100": {}} for n in probes
+    }
     for p in range(passes):
         for name in probes:
             fn = qs[name]
@@ -192,13 +209,31 @@ def main() -> int:
             )
             for label, d in (("sf10", SF10), ("sf100", SF100)):
                 spark.catalog.clearCache()
+                gid = f"sf100:{name}:{label}:{p}"
+                spark.sparkContext.setJobGroup(gid, name)
                 t0 = time.time()
                 noop(fn(spark, d))
+                spark.sparkContext.setJobGroup("", "")
                 w = time.time() - t0
                 all_walls[name][label].append(round(w, 1))
+                stages = gm.stage_profile(gid, top=10_000) or []
+                spill = round(sum(s["spill_mb"] for s in stages), 1)
+                # keep the metrics of the FASTEST pass per leg (matches
+                # the min-wall row the table reports)
+                if (
+                    not leg_metrics[name][label]
+                    or w < leg_metrics[name][label]["wall_s"]
+                ):
+                    leg_metrics[name][label] = {
+                        "wall_s": round(w, 1),
+                        "task_time_s": gm.task_time_s(gid),
+                        "spill_mb": spill,
+                        "n_stages": len(stages),
+                    }
                 print(
                     f"  [pass {p + 1}/{passes}] {name} @ {label}: "
-                    f"{w:.1f}s (shuffle="
+                    f"{w:.1f}s task={gm.task_time_s(gid)} "
+                    f"spill={spill}MB (shuffle="
                     f"{spark.conf.get('spark.sql.shuffle.partitions')})",
                     flush=True,
                 )
@@ -251,12 +286,14 @@ def main() -> int:
         "keeps its measured-cheaper 32), and this run uses it with "
         "no manual conf.",
         "",
-        "| query | sf10 | sf100 | ×/decade | note |",
-        "|---|---|---|---|---|",
+        "| query | sf10 | sf100 | ×/decade | sf100 spill | note |",
+        "|---|---|---|---|---|---|",
     ]
     for name, w10, w100, f_ in sorted(rows, key=lambda r: -r[3]):
+        sp = leg_metrics[name]["sf100"].get("spill_mb")
         lines.append(
             f"| {name} | {w10:.1f}s | {w100:.1f}s | {f_:.1f}x | "
+            f"{sp if sp is not None else '—'} MB | "
             f"{ANNOTATIONS.get(name, '')} |"
         )
     worst = max((r[3] for r in rows), default=0)
@@ -276,6 +313,7 @@ def main() -> int:
                 "first_run_s": first_run,
                 "passes": passes,
                 "all_walls_s": all_walls,
+                "leg_metrics": leg_metrics,
                 "rows": [
                     {"query": n, "sf10_s": round(a, 1),
                      "sf100_s": round(b, 1), "factor": round(f_, 2)}
